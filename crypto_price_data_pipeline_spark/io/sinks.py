@@ -1,0 +1,70 @@
+"""Sinks: parquet append/overwrite, idempotent append, JDBC.
+
+Reference sinks (SURVEY.md §2.1): pandas ``to_sql(if_exists="append")``
+to Postgres (S7), Mongo staging insert/update/delete/drop (S5, S6, S8,
+S9). The Spark mapping replaces manual delete/drop cleanup with
+idempotent writes: a retry never double-appends because the append is
+deduplicated against the sink on a business key (the reference instead
+races a reader against a collection drop —
+dump_with_postgres.py:149-175 — which silently loses rows; we do not
+reproduce the race).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Plain append. At 100 TB, always pass partition_by (e.g. a date
+    column) so readers get partition pruning."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """Append only rows whose ``keys`` are not already in the sink.
+
+    Left-anti join against the existing table (keys-only scan: column
+    pruning means we read just the key columns of the sink). This is the
+    Spark-idiomatic replacement for the reference's delete-after-load
+    bookkeeping (bpi_crawler.py:37-41): retries and replays are safe
+    because the second attempt appends zero rows. Returns rows written.
+    """
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+    except Exception:
+        existing = None
+    fresh = df.dropDuplicates(keys)
+    if existing is not None:
+        fresh = fresh.join(existing, on=keys, how="left_anti")
+    fresh = fresh.persist()
+    n = fresh.count()
+    if n:
+        append_parquet(fresh, path, partition_by)
+    fresh.unpersist()
+    return n
+
+
+def jdbc_append(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
+    """Literal-parity warehouse sink (reference: bpi_crawler.py:173
+    pandas.to_sql append). Driver jar required; gated by caller."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode("append")
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,78 @@
+"""Sources: parquet star schema, JSON payload ingestion, JDBC.
+
+The reference's sources are two HTTP JSON endpoints plus a MongoDB
+staging store (SURVEY.md §2.1 S1-S4). Here:
+
+- the star-schema/testdata tables are plain parquet scans — Catalyst
+  pushes filters and prunes columns down to the footer level;
+- raw BPI payloads enter as JSON text parsed with an explicit schema
+  (never schema inference in production paths);
+- the staging store disappears into DataFrame lineage in-job, or an
+  append parquet table across jobs (see sinks.idempotent_append).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain `spark.read.parquet` so predicate
+    pushdown / column pruning stay available to every downstream query.
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long of
+    nanoseconds — normalize to micro-precision TimestampType (truncating
+    like DuckDB does) so downstream operators see one timestamp type.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer `div`, not `/` — float division loses microseconds on
+        # int64 nanos (> 2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_json_payloads(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a directory of raw JSON payload files with a declared schema
+    (the batch stand-in for the reference's HTTP poll, SURVEY.md §2.1 S1)."""
+    return spark.read.schema(schema).json(path)
+
+
+def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict | None = None) -> DataFrame:
+    """JDBC source (warehouse read-back). Needs the driver jar on the
+    classpath; at scale add partitionColumn/lowerBound/upperBound/
+    numPartitions options for a parallel scan."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,138 @@
+"""Embedding similarity search ([EXT], SURVEY.md §2.11) over
+``embeddings(vec_id, embedding array<float>, label)``.
+
+- ``cosine_topk`` — exact brute force: the query vector is a literal
+  array folded into one codegen'd expression per row (dot product via
+  zip_with + aggregate in double precision), then
+  ``orderBy(desc).limit(k)`` which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge — no global sort shuffle). This is
+  the correctness baseline and is already the right plan for one-off
+  queries at scale: a single scan, no shuffle.
+
+- ``hyperplane_lsh_buckets`` / ``lsh_cosine_topk`` — the scale path for
+  repeated queries: sign-random-projection LSH. B deterministic
+  hyperplanes → B-bit bucket id; build once (partitioned by bucket),
+  probe only the query's bucket (+ multi-probe neighbors at Hamming
+  distance 1). Recall is tunable via B and probes; candidates are
+  re-ranked exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in double, folded left-to-right (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity(emb_col: Column | str, query: list[float]) -> Column:
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    dot = _dot(c, _lit_vec(query))
+    norm = F.sqrt(_dot(c, c))
+    return dot / (norm * F.lit(qnorm))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tiebreak on id."""
+    return (
+        embeddings.select(
+            F.col(id_col), cosine_similarity(emb_col, query).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    64-bit LCG — no numpy dependency in the executor closure)."""
+    state = seed or 1
+    planes = []
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return ((state >> 11) + 1) / float(1 << 53)  # uniform (0,1]
+
+    for _ in range(bits):
+        plane = []
+        while len(plane) < dim:
+            u1, u2 = nxt(), nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            plane.append(r * math.cos(2 * math.pi * u2))
+            if len(plane) < dim:
+                plane.append(r * math.sin(2 * math.pi * u2))
+        planes.append(plane)
+    return planes
+
+
+def bucket_id_col(emb_col: Column | str, planes: list[list[float]]) -> Column:
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        bucket = bucket.bitwiseOR(
+            F.when(_dot(c, _lit_vec(p)) >= 0, bit).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``_bucket`` column. Persist this (partitioned/bucketed by
+    ``_bucket``) once; probes then scan ~n/2^bits rows."""
+    planes = _hyperplanes(dim, bits, seed)
+    return embeddings.withColumn("_bucket", bucket_id_col(emb_col, planes))
+
+
+def lsh_cosine_topk(
+    bucketed: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict to the query's bucket (+ Hamming-1 neighbors
+    when ``multiprobe``), then exact re-rank. Bucket pruning happens in
+    the scan filter (partition pruning when the table is written
+    partitioned by ``_bucket``)."""
+    planes = _hyperplanes(len(query), bits, seed)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qb |= 1 << i
+    probes = [qb] + ([qb ^ (1 << i) for i in range(bits)] if multiprobe else [])
+    return (
+        bucketed.where(F.col("_bucket").isin(probes))
+        .select(F.col(id_col), cosine_similarity(emb_col, query).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to configure the engine for both local test runs (local[N],
+single JVM) and a real cluster. AQE is always on — it provides runtime
+shuffle-partition coalescing, skew-join splitting, and broadcast demotion
+at 100 TB without per-query tuning. Session timezone is pinned to UTC so
+timestamp semantics match the DuckDB correctness oracle and the
+reference's UTC-source assumption (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "crypto_price_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale set it ≈ 2-3× total executor cores (AQE coalesces down, so
+    over-provisioning is cheap; the default 200 is wrong in both
+    directions).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in the
+        # source layer (io.sources normalizes back to TimestampType).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        # 128 MiB input splits: big enough to amortize task overhead at
+        # 100 TB (≈800k tasks), small enough to fit executor memory.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,109 @@
+"""Streaming window operators (SURVEY.md §2.9 [EXT] rows).
+
+Tumbling/sliding/session windows and streaming dedup over event-time
+with watermarks — the Structured Streaming surface the reference's cron
+cadence maps onto. File sources stand in for the HTTP poll in tests
+(same micro-batch semantics; swap the source for Kafka/custom in prod).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # the parquet file source requires a directory; expose the single
+        # file through a symlink dir (testdata is read-only)
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, "events.parquet"))
+        src = d
+    else:
+        src = path
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    if isinstance(schema["ts"].dataType, T.LongType):  # TIMESTAMP(NANOS) file
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) window aggregation
+    with a watermark bounding state. Output: one row per closed
+    (window, event_type)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def tumbling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly tumbling rollup over the events table as a real
+    streaming query (availableNow + complete mode → memory sink), then
+    return the final result. Because the file source replays the whole
+    table and complete mode emits all windows, the result equals the
+    batch hourly aggregation — which the DuckDB oracle checks."""
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    agg = windowed_agg(_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+    # materialize before the memory sink is dropped by later queries
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time session windows (dynamic gap closing after ``gap`` of
+    inactivity per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on the business key within the watermark horizon
+    — the engine-level replacement for the reference's manual
+    delete-after-load bookkeeping (SURVEY.md §2.9)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
