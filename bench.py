@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall seconds across the headline query set (each
+executed once, fully materialized via a count/collect action after a
+warm-up pass builds the session and JIT-compiles codegen paths).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_pushdown",
+    "q03_segment_top_orders",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_topk_per_group",
+    "q_moving_avg",
+    "q_agg_distinct",
+    "q_asof_join",
+    "q_time_bucket_ohlc",
+    "q_sessionize",
+    "q_word_freq",
+    "q_dedup_exact",
+    "q_quality_scores",
+    "q_minhash_pairs",
+    "q_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+    from crypto_price_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm-up: session, parquet footers, codegen
+    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

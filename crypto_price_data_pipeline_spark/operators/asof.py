@@ -91,15 +91,17 @@ def asof_join_pandas(
 ) -> DataFrame:
     """merge_asof per key group via applyInPandas (semantic cross-check)."""
     import pandas as pd
+    from pyspark.sql import types as T
 
     value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
-    out_schema = left.schema
-    for c in value_cols:
-        out_schema = out_schema.add(right.schema[c])
+    # build a fresh StructType — DataFrame.schema is cached and
+    # StructType.add mutates in place, so never .add onto df.schema
+    out_schema = T.StructType(
+        list(left.schema.fields) + [right.schema[c] for c in value_cols]
+    )
     l_cols, keys = left.columns, list(by)
 
-    def merge(key, dfs):
-        lpdf, rpdf = dfs
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(on)
         rpdf = rpdf.sort_values(on)[[on] + value_cols]
         merged = pd.merge_asof(lpdf, rpdf, on=on, direction="backward")

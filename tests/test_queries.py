@@ -1,0 +1,38 @@
+"""Registry contract tests (fast; full oracle parity runs via
+tools/check_oracle.py and the driver)."""
+
+from __future__ import annotations
+
+from crypto_price_data_pipeline_spark.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_covers_survey_surface():
+    # operator families from SURVEY.md §2 that must be represented
+    assert {"q01_pricing_summary", "q_bpi_pipeline", "q_asof_join",
+            "q_band_join", "q_rollup", "q_pivot", "q_topk_per_group",
+            "q_setops", "q_dedup_exact", "q_minhash_pairs",
+            "q_embedding_topk", "q_word_freq", "q_stream_ohlc"} <= set(QUERIES)
+
+
+def test_flagship_entry(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+
+
+def test_queries_run_and_alias_columns(spark):
+    # spot-check a few: runs, and no auto-generated agg column names leak
+    for name in ["q01_pricing_summary", "q_agg_distinct", "q_time_bucket_ohlc"]:
+        df = QUERIES[name](spark, SF)
+        for c in df.columns:
+            assert "(" not in c, f"{name} leaks unaliased column {c}"
+        assert df.count() > 0

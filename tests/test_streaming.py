@@ -1,0 +1,129 @@
+"""Streaming surface tests: poll→accumulate→flush without the
+reference's read-delete race, plus windowed rollup parity."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+PAYLOAD = {
+    "time": {"updated": "Dec 6, 2022 13:31:00 UTC", "updatedISO": "2022-12-06T13:31:00+00:00"},
+    "disclaimer": "d",
+    "chartName": "Bitcoin",
+    "bpi": {
+        "USD": {"code": "USD", "rate": "17,091.0667", "description": "x"},
+        "GBP": {"code": "GBP", "rate": "14,022.2766", "description": "x"},
+        "EUR": {"code": "EUR", "rate": "16,105.2663", "description": "x"},
+    },
+}
+
+
+def _rates(spark):
+    return spark.createDataFrame(
+        [("USD", "IDR", "2022-12-06", 15650.25)],
+        "from_ccy string, to_ccy string, rate_date string, rate double",
+    ).withColumn("rate_date", F.to_date("rate_date"))
+
+
+def test_accumulate_then_flush(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.streaming.ingest import (
+        accumulate_then_flush,
+        start_payload_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(3):
+        p = dict(PAYLOAD)
+        p["time"] = {
+            "updated": f"Dec 6, 2022 13:3{i}:00 UTC",
+            "updatedISO": f"2022-12-06T13:3{i}:00+00:00",
+        }
+        (drop / f"p{i}.json").write_text(json.dumps(p))
+
+    staging = str(tmp_path / "staging")
+    warehouse = str(tmp_path / "warehouse")
+    q = start_payload_stream(
+        spark, str(drop), staging, str(tmp_path / "ckpt"), _rates(spark),
+        now="2022-12-06 14:00:00",
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(staging).count() == 3
+
+    assert accumulate_then_flush(spark, staging, warehouse) == 3
+    # replay the flush: idempotent, nothing double-appended, nothing lost
+    assert accumulate_then_flush(spark, staging, warehouse) == 0
+    assert spark.read.parquet(warehouse).count() == 3
+
+    # a new snapshot arriving AFTER the first flush is picked up by the
+    # next flush (the reference's drop() would have lost it)
+    p = dict(PAYLOAD)
+    p["time"] = {
+        "updated": "Dec 6, 2022 13:45:00 UTC",
+        "updatedISO": "2022-12-06T13:45:00+00:00",
+    }
+    (drop / "p9.json").write_text(json.dumps(p))
+    q = start_payload_stream(
+        spark, str(drop), staging, str(tmp_path / "ckpt"), _rates(spark),
+        now="2022-12-06 14:10:00",
+    )
+    q.awaitTermination()
+    assert accumulate_then_flush(spark, staging, warehouse) == 1
+    assert spark.read.parquet(warehouse).count() == 4
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.streaming.windows import streaming_dedup
+
+    src = tmp_path / "events"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:00:30", 1.0),
+         (2, "2024-01-01 10:01:00", 2.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src / "batch1"))
+
+    stream = spark.readStream.schema(df.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("dedup_out").count() == 2  # event 1 deduped
+
+
+def test_session_windows(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.streaming.windows import session_windows
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "a", 0.0, ""),
+         (2, "2024-01-01 10:10:00", 7, "a", 0.0, ""),
+         (3, "2024-01-01 12:00:00", 7, "a", 0.0, "")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src / "b"))
+    stream = spark.readStream.schema(df.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        session_windows(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sess_out").collect()
+    # two sessions: [10:00,10:10] and [12:00]
+    assert sorted(r["n_events"] for r in rows) == [1, 2]
