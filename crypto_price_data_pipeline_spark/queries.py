@@ -955,3 +955,9 @@ ORACLES: dict[str, str] = {
     # q_minhash_pairs / q_simhash_pairs / q_lsh_topk / q_fingerprints:
     # intentionally no oracle (xxhash64 / ANN — rows-only check).
 }
+
+# second coverage wave (queries_ext.py)
+from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)
