@@ -1,0 +1,138 @@
+"""Tests for the UDTF / custom data source / stateful / pandas-UDF
+surface and the MapType payload encoding."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_price_data_pipeline_spark.pipeline.schema import (
+    BPI_PAYLOAD_MAP_SCHEMA,
+    BPI_PAYLOAD_SCHEMA,
+)
+
+GOLDEN = (
+    {"updated": "Dec 6, 2022 13:31:00 UTC", "updatedISO": "2022-12-06T13:31:00+00:00"},
+    "d",
+    "Bitcoin",
+    {
+        "USD": {"code": "USD", "rate": "17,091.0667", "description": "United States Dollar"},
+        "GBP": {"code": "GBP", "rate": "14,022.2766", "description": "British Pound Sterling"},
+        "EUR": {"code": "EUR", "rate": "16,105.2663", "description": "Euro"},
+    },
+)
+
+
+def test_flatten_accepts_map_encoding(spark):
+    from crypto_price_data_pipeline_spark.pipeline.flatten import flatten_payload
+
+    struct_df = spark.createDataFrame([GOLDEN], BPI_PAYLOAD_SCHEMA)
+    map_df = spark.createDataFrame([GOLDEN], BPI_PAYLOAD_MAP_SCHEMA)
+    a = flatten_payload(struct_df, now="2022-12-06 14:00:00").drop("_event_ts").collect()
+    b = flatten_payload(map_df, now="2022-12-06 14:00:00").drop("_event_ts").collect()
+    assert a == b
+
+
+def test_explode_currencies_both_encodings(spark):
+    from crypto_price_data_pipeline_spark.pipeline.explode_udtf import explode_currencies
+
+    for schema in (BPI_PAYLOAD_SCHEMA, BPI_PAYLOAD_MAP_SCHEMA):
+        df = spark.createDataFrame([GOLDEN], schema)
+        rows = {r["ccy"]: r["rate_float"] for r in explode_currencies(df).collect()}
+        assert rows == {"USD": 17091.0667, "GBP": 14022.2766, "EUR": 16105.2663}
+
+
+def test_currency_explode_udtf(spark):
+    from crypto_price_data_pipeline_spark.pipeline.explode_udtf import CurrencyExplode
+
+    spark.udtf.register("currency_explode", CurrencyExplode)
+    spark.createDataFrame([GOLDEN], BPI_PAYLOAD_SCHEMA).createOrReplaceTempView(
+        "payloads_udtf"
+    )
+    rows = spark.sql(
+        "SELECT t.* FROM payloads_udtf, LATERAL currency_explode(bpi) t"
+    ).collect()
+    got = {r["ccy"]: r["rate_float"] for r in rows}
+    assert got == {"USD": 17091.0667, "GBP": 14022.2766, "EUR": 16105.2663}
+
+
+def test_http_poll_source(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.streaming.http_source import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("http_poll")
+        .option("ticksPerBatch", "4")
+        .load()
+        .writeStream.format("memory")
+        .queryName("http_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("http_out").collect()
+    assert len(rows) == 4
+    # payloads parse through the real pipeline schema
+    parsed = (
+        spark.table("http_out")
+        .select(F.from_json("value", BPI_PAYLOAD_SCHEMA).alias("p"))
+        .select("p.bpi.USD.rate")
+        .collect()
+    )
+    assert all(r["rate"] is not None for r in parsed)
+
+
+def test_running_ohlc_stateful(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.streaming.stateful import running_ohlc
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "btc", 10.0),
+         (2, "2024-01-01 10:01:00", "btc", 30.0),
+         (3, "2024-01-01 10:02:00", "btc", 5.0),
+         (4, "2024-01-01 10:03:00", "btc", 20.0),
+         (5, "2024-01-01 10:00:30", "eth", 2.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(df.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        running_ohlc(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ohlc_state_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["key"]: r for r in spark.table("ohlc_state_out").collect()}
+    btc = rows["btc"]
+    assert (btc["open"], btc["high"], btc["low"], btc["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert btc["n"] == 4 and abs(btc["volume"] - 65.0) < 1e-9
+    assert rows["eth"]["open"] == rows["eth"]["close"] == 2.0
+
+
+def test_pandas_udfs(spark):
+    from crypto_price_data_pipeline_spark.functions.pandas_udfs import (
+        geometric_mean,
+        winsorized_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("b", 4.0), ("b", 9.0)], "k string, v double"
+    )
+    rows = {
+        r["k"]: (r["gm"], r["wm"])
+        for r in df.groupBy("k")
+        .agg(geometric_mean("v").alias("gm"), winsorized_mean("v").alias("wm"))
+        .collect()
+    }
+    assert abs(rows["a"][0] - 10.0) < 1e-9  # sqrt(1*100)
+    assert abs(rows["b"][0] - 6.0) < 1e-9  # sqrt(36)
+    assert math.isfinite(rows["a"][1])
