@@ -1,0 +1,36 @@
+"""Tests for skew-mitigation and merge/upsert sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark):
+    from crypto_price_data_pipeline_spark.operators.skew import salted_join
+
+    # one hot key (0) with 500 rows, plus a uniform tail
+    facts = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(i % 10 + 1, i) for i in range(200)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(11)], "k long, name string")
+    plain = sorted(tuple(r) for r in facts.join(dim, ["k"]).collect())
+    salted = sorted(tuple(r) for r in salted_join(facts, dim, ["k"]).collect())
+    assert plain == salted
+
+
+def test_merge_upsert(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.io.sinks import merge_upsert
+
+    path = str(tmp_path / "dim")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert merge_upsert(spark, v1, path, keys=["id"]) == 2
+    # upsert: key 2 updated, key 3 inserted, key 1 untouched
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    assert merge_upsert(spark, v2, path, keys=["id"]) == 3
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # replay of the same batch is a no-op semantically
+    assert merge_upsert(spark, v2, path, keys=["id"]) == 3
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
