@@ -23,6 +23,9 @@ HEADLINE = [
     "q03_segment_top_orders",
     "q05_region_revenue",
     "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
     "q_topk_per_group",
     "q_moving_avg",
     "q_agg_distinct",

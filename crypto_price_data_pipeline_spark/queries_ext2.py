@@ -217,7 +217,67 @@ FROM lineitem WHERE l_orderkey <= 2000
 """
 
 
+def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime scalar surface (SURVEY §2.3 F4-F7 generalized):
+    truncation, extraction, arithmetic, formatting."""
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month_num"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_1998"),
+    )
+
+
+Q_DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month_num,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+       date_add(CAST(o_orderdate AS DATE), 30) AS due_date,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_1998
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON decode over the events.props column (SURVEY §2.3 F10):
+    path extraction + typed cast + aggregation."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXT2_QUERIES = {
+    "q_date_funcs": q_date_funcs,
+    "q_json_extract": q_json_extract,
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_status": q12_priority_by_status,
     "q14_promo_share": q14_promo_share,
@@ -227,6 +287,8 @@ EXT2_QUERIES = {
 }
 
 EXT2_ORACLES = {
+    "q_date_funcs": Q_DATE_FUNCS_SQL,
+    "q_json_extract": Q_JSON_EXTRACT_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_by_status": Q12_SQL,
     "q14_promo_share": Q14_SQL,
