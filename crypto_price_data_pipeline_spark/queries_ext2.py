@@ -275,7 +275,22 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based aggregates (HLL distinct, approximate quantiles) —
+    the constant-memory statistics used at 100 TB where exact
+    distinct/median would shuffle the world. Sketch outputs are
+    engine-specific → rows-only check (exact twins are oracle-verified
+    in q_agg_distinct / q_moving_avg)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95_price"),
+    )
+
+
 EXT2_QUERIES = {
+    "q_approx_stats": q_approx_stats,
     "q_date_funcs": q_date_funcs,
     "q_json_extract": q_json_extract,
     "q10_returned_items": q10_returned_items,

@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties we rely on
+(pushdown, broadcast, bucketed no-shuffle joins) must survive future
+changes, not just exist in today's explain output."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q02_filter_pushdown"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,10.0)" in plan
+    # projection pruning: unread columns never reach the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_tax" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q05_region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the star join must not degenerate into a nested-loop product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q03_segment_top_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join on the bucket key reads both sides
+    without an Exchange — the 100 TB co-located-join strategy."""
+    # spark.sql.warehouse.dir is static config — tables land in the
+    # session's default warehouse; drop them (and their files) after
+    import shutil
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .mode("overwrite").saveAsTable("li_b"))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+           .mode("overwrite").saveAsTable("orders_b"))
+        # disable broadcast so the join must rely on bucketing, as it
+        # would on TB-scale sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        shutil.rmtree(wh, ignore_errors=True)
