@@ -136,7 +136,15 @@ def q03_segment_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            # timestamps leave the engine as canonical strings so the
+            # oracle compare is representation-independent (Spark
+            # collects tz-aware UTC, DuckDB naive — same instant,
+            # different repr)
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -144,7 +152,7 @@ def q03_segment_top_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q03_SQL = f"""
-SELECT l_orderkey, o_orderdate, o_orderpriority,
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority,
        {S_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -152,7 +160,7 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
   AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
@@ -494,11 +502,14 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.where(_col("event_type") == "click").select(
         "user_id", "ts", _col("value").alias("last_click_value")
     )
-    return asof_join(purchases, clicks, on="ts", by=["user_id"])
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
 
 
 Q_ASOF_SQL = """
-SELECT l.event_id, l.user_id, l.ts, l.value, r.last_click_value
+SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.value, r.last_click_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT user_id, ts, value AS last_click_value
                 FROM events WHERE event_type = 'click') r
@@ -552,7 +563,9 @@ def q_time_bucket_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     """Hourly OHLC rollup per event type (hypertable-style time bucket;
     open/close via rank-1 rows in both engines for determinism)."""
     ev = load_table(spark, sf, "events")
-    bucket = F.date_trunc("hour", _col("ts")).alias("bucket")
+    bucket = F.date_format(F.date_trunc("hour", _col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+        "bucket"
+    )
     base = ev.select(bucket, "event_type", "ts", "event_id", "value")
     wa = Window.partitionBy("bucket", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
     wd = Window.partitionBy("bucket", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -584,7 +597,7 @@ SELECT bucket, event_type,
        COUNT(*) AS n_trades,
        {S_DSUM('value')} AS volume
 FROM (
-  SELECT date_trunc('hour', ts) AS bucket, event_type, value,
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type, value,
          ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
                             ORDER BY ts ASC, event_id ASC) AS rn_a,
          ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
@@ -876,7 +889,7 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_STREAM_OHLC_SQL = f"""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
        COUNT(*) AS n, {S_DSUM('value')} AS sum_value,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events

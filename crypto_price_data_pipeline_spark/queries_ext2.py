@@ -138,14 +138,23 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
 
 
 Q18_SQL = """
-SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice, total_qty
 FROM (
   SELECT l_orderkey,
          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
@@ -223,7 +232,9 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").where(F.col("o_orderkey") <= 2000)
     return orders.select(
         "o_orderkey",
-        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "order_month"
+        ),
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.month("o_orderdate").cast("int").alias("order_month_num"),
         F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
@@ -237,7 +248,7 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
 Q_DATE_FUNCS_SQL = """
 SELECT o_orderkey,
-       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS order_month,
        CAST(year(o_orderdate) AS INT) AS order_year,
        CAST(month(o_orderdate) AS INT) AS order_month_num,
        CAST(day(o_orderdate) AS INT) AS order_day,

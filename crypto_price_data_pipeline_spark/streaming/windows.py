@@ -77,7 +77,7 @@ def tumbling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     out = spark.table(name).select(
-        F.col("w.start").alias("window_start"),
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",
         "sum_value",
