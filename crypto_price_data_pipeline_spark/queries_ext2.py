@@ -286,6 +286,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup clustering: connected components over the embedding
+    near-dup pair graph (iterative hash-min label propagation). The
+    oracle recomputes the transitive closure with a recursive CTE —
+    an exact check of an iterative distributed algorithm."""
+    from .operators.components import connected_components
+    from .operators.similarity import _dot
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_e_a"), "label")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_e_b"), "label")
+    sim = _dot(F.col("_e_a"), F.col("_e_b")) / (
+        F.sqrt(_dot(F.col("_e_a"), F.col("_e_a")))
+        * F.sqrt(_dot(F.col("_e_b"), F.col("_e_b")))
+    )
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(sim, 9) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    nodes = emb.select(F.col("vec_id"))
+    return connected_components(nodes, pairs, id_col="vec_id").withColumnRenamed(
+        "component", "cluster_id"
+    )
+
+
+Q_EMBEDDING_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) >= 0.3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(n, l) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+)
+SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+"""
+
+
 def q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based aggregates (HLL distinct, approximate quantiles) —
     the constant-memory statistics used at 100 TB where exact
@@ -301,6 +350,7 @@ def q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EXT2_QUERIES = {
+    "q_embedding_clusters": q_embedding_clusters,
     "q_approx_stats": q_approx_stats,
     "q_date_funcs": q_date_funcs,
     "q_json_extract": q_json_extract,
@@ -313,6 +363,7 @@ EXT2_QUERIES = {
 }
 
 EXT2_ORACLES = {
+    "q_embedding_clusters": Q_EMBEDDING_CLUSTERS_SQL,
     "q_date_funcs": Q_DATE_FUNCS_SQL,
     "q_json_extract": Q_JSON_EXTRACT_SQL,
     "q10_returned_items": Q10_SQL,
