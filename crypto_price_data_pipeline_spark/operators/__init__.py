@@ -1,8 +1,10 @@
 from .asof import asof_join
 from .range_join import band_join
 from .dedup import exact_dedup, minhash_signatures, minhash_lsh_pairs, minhash_dedup, simhash, simhash_pairs
-from .similarity import cosine_topk, hyperplane_lsh_buckets, lsh_cosine_topk
+from .similarity import cosine_topk, hyperplane_lsh_buckets, lsh_cosine_topk, ivf_build, ivf_topk
 from .text import tokenize, token_count, quality_scores, language_id, fingerprint
+from .components import connected_components, dedup_keep_component_min
+from .skew import salted_join
 
 __all__ = [
     "asof_join",
@@ -16,6 +18,11 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",
+    "ivf_build",
+    "ivf_topk",
+    "connected_components",
+    "dedup_keep_component_min",
+    "salted_join",
     "tokenize",
     "token_count",
     "quality_scores",

@@ -110,6 +110,62 @@ def hyperplane_lsh_buckets(
     return embeddings.withColumn("_bucket", bucket_id_col(emb_col, planes))
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: k-means coarse quantizer over the
+    corpus; every vector is assigned to its nearest centroid's list.
+
+    Returns (assigned_df with ``_list`` column, centroids). Persist the
+    assigned table partitioned by ``_list``; a probe then scans only
+    n_probe/n_lists of the corpus. The complementary scale path to the
+    hyperplane LSH (data-adaptive partitions vs oblivious hashes)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.withColumn(
+        "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list").fit(
+        vecs
+    )
+    assigned = model.transform(vecs).drop("_features")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: rank centroids by cosine to the query (driver-side,
+    n_lists is tiny), scan only the ``n_probe`` nearest lists, exact
+    re-rank inside them."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query))
+    probes = ranked[:n_probe]
+    return (
+        assigned.where(F.col("_list").isin(probes))
+        .select(F.col(id_col), cosine_similarity(emb_col, query).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_cosine_topk(
     bucketed: DataFrame,
     query: list[float],

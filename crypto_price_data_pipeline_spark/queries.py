@@ -871,6 +871,17 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_cosine_topk(bucketed, query, k=10, bits=6)
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN cosine top-10 via an IVF index (k-means coarse quantizer,
+    n_probe nearest lists, exact re-rank). Approximate → rows-only."""
+    from .operators.similarity import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = ivf_build(emb, n_lists=8)
+    return ivf_topk(assigned, centroids, query, k=10, n_probe=3)
+
+
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling-hash document fingerprints (xxhash64-based → rows-only)."""
     from .operators.text import fingerprint
@@ -931,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash_pairs": q_simhash_pairs,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
     "q_fingerprints": q_fingerprints,
     "q_stream_ohlc": q_stream_ohlc,
 }

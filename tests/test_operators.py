@@ -208,3 +208,25 @@ def test_multimodal_byte_histogram(spark):
     # 'a','b','c' = 97,98,99 → all in bin 6 (96..112) of 16 bins
     assert feats[1]["byte_hist"][6] == 3 and sum(feats[1]["byte_hist"]) == 3
     assert feats[2]["n_bytes"] == 0 and sum(feats[2]["byte_hist"]) == 0
+
+
+def test_ivf_topk_recall(spark):
+    from crypto_price_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    # three tight synthetic clusters in 8-d
+    rows = []
+    for c, base in enumerate([[5.0] + [0.0] * 7, [0.0] * 4 + [5.0] + [0.0] * 3, [-5.0] + [0.0] * 7]):
+        for j in range(20):
+            vec = [x + ((i * 7 + j * 13 + c) % 10) * 0.01 for i, x in enumerate(base)]
+            rows.append((c * 100 + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, centroids = ivf_build(emb, n_lists=3)
+    query = [5.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, query, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(assigned, centroids, query, k=5, n_probe=1).collect()]
+    # the query's cluster is fully inside one list: recall@5 == 1
+    assert approx == exact
