@@ -981,11 +981,14 @@ ORACLES: dict[str, str] = {
     # intentionally no oracle (xxhash64 / ANN — rows-only check).
 }
 
-# second + third coverage waves
+# second + third + fourth coverage waves
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from .queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
+from .queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
 QUERIES.update(EXT2_QUERIES)
 ORACLES.update(EXT2_ORACLES)
+QUERIES.update(EXT3_QUERIES)
+ORACLES.update(EXT3_ORACLES)

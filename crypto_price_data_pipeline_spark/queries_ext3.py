@@ -1,0 +1,563 @@
+"""Fourth coverage wave: the remaining TPC-H query shapes, adapted to
+the testdata schema (no partsupp table — cost/availability terms use
+p_retailprice or lineitem aggregates instead; the plan SHAPES — correlated
+scalar subqueries, decorrelated min-subquery joins, outer-join count
+distributions, exists/not-exists — are what is exercised).
+
+Registered into QUERIES/ORACLES by queries.py. Same determinism contract
+as queries.py (decimal(38,6) sums cast back to double, unique-key
+tiebreaks on every top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.sources import load_table
+
+
+def _dec(col: Column) -> Column:
+    return col.cast("decimal(38,6)")
+
+
+def dsum(col: Column) -> Column:
+    return F.sum(_dec(col)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    return F.sum(_dec(col)).cast("double") / F.count(col)
+
+
+# --------------------------------------------------------------- Q2 shape
+
+
+def q02_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery, decorrelated into an
+    aggregate + equi-join (exactly what Catalyst does to the SQL form).
+
+    For each LARGE-type part, the supplier(s) that shipped it at the
+    lowest extended price. The per-part min is a broadcast-able agg;
+    the probe join is partition-local after AQE.
+    """
+    part = load_table(spark, sf, "part").where(F.col("p_type") == "LARGE")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li["l_partkey"] == part["p_partkey"])
+        .select("p_partkey", "p_brand", "p_size", "l_suppkey", "l_extendedprice")
+    )
+    min_price = offers.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_price),
+            (offers["p_partkey"] == min_price["mp_partkey"])
+            & (offers["l_extendedprice"] == min_price["min_price"]),
+        )
+        .join(F.broadcast(supp), offers["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "p_partkey", "p_brand", "p_size", "s_name", "n_name",
+            F.col("l_extendedprice").alias("best_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+Q02_MIN_COST_SQL = """
+SELECT p_partkey, p_brand, p_size, s_name, n_name, l_extendedprice AS best_price
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE'
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+ORDER BY p_partkey, s_name
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------- Q8 shape
+
+
+def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of NATION_1 suppliers within AMERICA
+    customers' orders, per year. Conditional ratio of two decimal sums;
+    all dims broadcast, single shuffle at the year agg."""
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    cnation = load_table(spark, sf, "nation")
+    snation = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem")
+
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cnation), cust["c_nationkey"] == cnation["n_nationkey"])
+        .join(F.broadcast(region), cnation["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(snation), supp["s_nationkey"] == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(_dec(target)).cast("double")
+             / F.sum(_dec(revenue)).cast("double")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q08_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY EXTRACT(year FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------- Q9 shape
+
+
+def q09_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year. The classic
+    uses ps_supplycost (no partsupp table here) — p_retailprice stands in
+    as the unit cost, preserving the multi-join + derived-expression +
+    two-level groupBy plan shape."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("%e%"))
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders")
+
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q09_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%e%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# -------------------------------------------------------------- Q11 shape
+
+
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the whole
+    table (group value > fraction of global total). Shipped value per
+    part vs 0.1% of total shipped value. The global total is a 1-row
+    broadcast cross join — no second scan of the grouped data."""
+    li = load_table(spark, sf, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(dsum(value).alias("part_value"))
+    total = li.agg((dsum(value) * F.lit(0.0007)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) * 0.0007
+  FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# -------------------------------------------------------------- Q13 shape
+
+
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — orders
+    per customer, then customers per order-count (zero-order customers
+    included via the outer join)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -------------------------------------------------------------- Q15 shape
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + join against its own MAX (scalar
+    subquery). Revenue per supplier in 1997H1; keep supplier(s) at the
+    max. The decimal-sum contract makes the double equality exact on
+    both engines."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# -------------------------------------------------------------- Q16 shape
+
+
+def q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (anti join) + COUNT(DISTINCT)
+    per attribute group. Distinct suppliers per (p_brand, p_size) for
+    non-PROMO parts, excluding suppliers whose name ends in '7'."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_type") != "PROMO")
+    excluded = load_table(spark, sf, "supplier").where(
+        F.col("s_name").like("%7")
+    ).select(F.col("s_suppkey").alias("x_suppkey"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(excluded), li["l_suppkey"] == F.col("x_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(50)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 50
+"""
+
+
+# -------------------------------------------------------------- Q17 shape
+
+
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery, decorrelated into a
+    per-part aggregate + broadcast join. Revenue from lineitems below
+    30% of their part's average quantity."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (davg(F.col("l_quantity")) * F.lit(0.3)).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(part_avg), li["l_partkey"] == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l2.l_quantity) * 0.3
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+# -------------------------------------------------------------- Q20 shape
+
+
+def q20_part_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers that shipped
+    more than 60 units of any part whose name contains '3', joined to
+    their nation. Inner agg → threshold filter → LEFT SEMI probe."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("%o%"))
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > 100.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%o%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 100.0
+)
+ORDER BY s_name
+"""
+
+
+# -------------------------------------------------------------- Q21 shape
+
+
+def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS / NOT EXISTS over sibling rows of the
+    same order. No receipt/commit dates in this schema, so the 'late'
+    predicate becomes l_returnflag = 'R': suppliers with a returned
+    line in a multi-supplier order where NO other supplier of that
+    order had a return.
+
+    Formulated as a per-order aggregate (distinct suppliers, distinct
+    returning suppliers) + join — the decorrelated plan Catalyst
+    produces for the EXISTS pair, one shuffle per agg.
+    """
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+
+    order_stats = (
+        li.groupBy(F.col("l_orderkey").alias("os_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supps"),
+        )
+        .where((F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1))
+    )
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        returned.join(orders, returned["l_orderkey"] == orders["o_orderkey"], "left_semi")
+        .join(order_stats, returned["l_orderkey"] == F.col("os_orderkey"))
+        .join(F.broadcast(supp), returned["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+) l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# -------------------------------------------------------------- Q22 shape
+
+
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + anti join. Customers with
+    above-average account balance and no RECENT orders (every customer
+    has some order in this dataset; the 1999+ window keeps the anti
+    join selective at every sf), counted per nation."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    nation = load_table(spark, sf, "nation")
+
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = """
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c2.c_acctbal)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+EXT3_QUERIES = {
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q08_market_share": q08_market_share,
+    "q09_nation_profit": q09_nation_profit,
+    "q11_important_stock": q11_important_stock,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_quantity": q17_small_quantity,
+    "q20_part_shippers": q20_part_shippers,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+EXT3_ORACLES = {
+    "q02_min_cost_supplier": Q02_MIN_COST_SQL,
+    "q08_market_share": Q08_SQL,
+    "q09_nation_profit": Q09_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_cnt": Q16_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q20_part_shippers": Q20_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_idle_customers": Q22_SQL,
+}

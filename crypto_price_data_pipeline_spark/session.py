@@ -52,6 +52,11 @@ def get_spark(
         # 100 TB (≈800k tasks), small enough to fit executor memory.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Python-worker connect-back can exceed the 15s default on a
+        # loaded host (32 workers forking at once); raise it so
+        # streaming Python data sources don't flake.
+        .config("spark.python.authenticate.socketTimeout", "120s")
+        .config("spark.python.worker.idleTimeoutSeconds", "300")
     )
     if extra_conf:
         for k, v in extra_conf.items():
