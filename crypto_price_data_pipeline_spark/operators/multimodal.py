@@ -92,17 +92,109 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame, fmt: str = "RGB") -> DataFrame:
-    """STUB — decode payload → pixel tensor column.
-
-    Intended signature: mapInPandas batches with output schema
-    ``media_id long, pixels array<array<array<int>>>, width int,
-    height int``; slot PIL/libvips into ``extract``. Unavailable in
-    this container."""
-    raise NotImplementedError("image codec libraries not available in this environment")
+DECODED_SCHEMA = "media_id long, width int, height int, pixels array<array<int>>"
 
 
-def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling (payload → one row per sampled frame
-    via mapInPandas + per-batch explode). Unavailable here."""
-    raise NotImplementedError("video codec libraries not available in this environment")
+def _fake_image_decode(payload: bytes, width: int = 8) -> tuple[int, int, list[list[int]]]:
+    """Deterministic stand-in decoder: payload bytes laid out row-major
+    as a ``width``-wide grayscale image (last row zero-padded). Replace
+    with PIL/libvips in environments that have them — the mapInPandas
+    plumbing below is codec-agnostic."""
+    n = len(payload)
+    height = max(1, -(-n // width))
+    padded = payload + b"\x00" * (width * height - n)
+    return width, height, [
+        list(padded[r * width:(r + 1) * width]) for r in range(height)
+    ]
+
+
+def decode_image(media: DataFrame, codec: str = "fake", width: int = 8) -> DataFrame:
+    """payload → grayscale pixel tensor rows via Arrow-batched
+    ``mapInPandas`` (the real production shape: per-batch pandas in/out,
+    one Python worker per input partition, no per-row overhead).
+
+    ``codec="fake"`` uses the deterministic byte-layout decoder above;
+    ``codec="pil"`` is the slot for a real image library (absent in this
+    container → NotImplementedError)."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"image codec {codec!r} not available in this environment; "
+            "plug a PIL/libvips decoder into the extract closure"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _fake_image_decode(b"" if payload is None else payload, width)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixels"].append(px)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, DECODED_SCHEMA)
+
+
+def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel tensors — pure pandas
+    math inside mapInPandas, deterministic, codec-independent."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
+                rows = [
+                    [
+                        int(px[min(h - 1, (r * h) // out_h)][min(w - 1, (c * w) // out_w)])
+                        for c in range(out_w)
+                    ]
+                    for r in range(out_h)
+                ]
+                out_px.append(rows)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [out_w] * len(pdf),
+                    "height": [out_h] * len(pdf),
+                    "pixels": out_px,
+                }
+            )
+
+    return decoded.mapInPandas(resample, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_len int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 4, frame_size: int = 64, codec: str = "fake"
+) -> DataFrame:
+    """Video frame sampling: payload → one row per sampled frame
+    (per-batch explode inside mapInPandas — output rows ≠ input rows,
+    which is exactly why this is mapInPandas and not a scalar UDF).
+
+    The fake codec treats the payload as a stream of ``frame_size``-byte
+    frames and keeps every ``every_n``-th; a real container parser slots
+    into the same closure (``codec="ffmpeg"`` → NotImplementedError
+    here)."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"video codec {codec!r} not available in this environment"
+        )
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_len": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = b"" if payload is None else bytes(payload)
+                n_frames = max(1, -(-len(buf) // frame_size))
+                for idx in range(0, n_frames, every_n):
+                    frame = buf[idx * frame_size:(idx + 1) * frame_size]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(frame))
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(explode_frames, FRAME_SCHEMA)

@@ -534,7 +534,42 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------- multimodal frame sample
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame sampling ([EXT] §2.11): every 4th 64-byte frame
+    of each document payload via mapInPandas (per-batch explode — output
+    cardinality ≠ input cardinality, the defining mapInPandas case).
+    Frames verified byte-exactly through md5."""
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    docs = load_table(spark, sf, "documents")
+    frames = sample_frames(documents_as_media(docs), every_n=4, frame_size=64)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_len",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )
+
+
+# DuckDB cannot slice BLOBs; the testdata documents are pure ASCII
+# (octet_length == length at every sf), so VARCHAR substring is
+# byte-exact here.
+Q_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(LEAST(64, octet_length(CAST(text AS BLOB)) - idx*64) AS INTEGER) AS frame_len,
+       md5(substring(text, CAST(idx*64+1 AS BIGINT), 64)) AS frame_md5
+FROM documents, LATERAL (
+  SELECT unnest(range(0, GREATEST(1, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT)), 4)) AS idx
+) t
+"""
+
+
 EXT3_QUERIES = {
+    "q_frame_sample": q_frame_sample,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q08_market_share": q08_market_share,
     "q09_nation_profit": q09_nation_profit,
@@ -549,6 +584,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_frame_sample": Q_FRAME_SAMPLE_SQL,
     "q02_min_cost_supplier": Q02_MIN_COST_SQL,
     "q08_market_share": Q08_SQL,
     "q09_nation_profit": Q09_SQL,

@@ -127,6 +127,57 @@ def test_running_ohlc_stateful(spark, tmp_path):
     assert rows["eth"]["open"] == rows["eth"]["close"] == 2.0
 
 
+def test_running_ohlc_transform_with_state(spark, tmp_path):
+    """Same semantics as test_running_ohlc_stateful on the Spark 4
+    transformWithStateInPandas runtime (needs the RocksDB provider)."""
+    from crypto_price_data_pipeline_spark.streaming.stateful import running_ohlc_tws
+
+    import pytest
+
+    if running_ohlc_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed (transformWithState state protocol needs it)")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "ev"
+        src.mkdir()
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "btc", 10.0),
+             (2, "2024-01-01 10:01:00", "btc", 30.0),
+             (3, "2024-01-01 10:02:00", "btc", 5.0),
+             (4, "2024-01-01 10:03:00", "btc", 20.0),
+             (5, "2024-01-01 10:00:30", "eth", 2.0)],
+            "event_id long, ts string, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.parquet(str(src / "b1"))
+        stream = spark.readStream.schema(df.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            running_ohlc_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ohlc_tws_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r["key"]: r for r in spark.table("ohlc_tws_out").collect()}
+        btc = rows["btc"]
+        assert (btc["open"], btc["high"], btc["low"], btc["close"]) == (10.0, 30.0, 5.0, 20.0)
+        assert btc["n"] == 4 and abs(btc["volume"] - 65.0) < 1e-9
+        assert rows["eth"]["open"] == rows["eth"]["close"] == 2.0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_pandas_udfs(spark):
     from crypto_price_data_pipeline_spark.functions.pandas_udfs import (
         geometric_mean,

@@ -210,6 +210,60 @@ def test_multimodal_byte_histogram(spark):
     assert feats[2]["n_bytes"] == 0 and sum(feats[2]["byte_hist"]) == 0
 
 
+def test_multimodal_decode_resize(spark):
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        documents_as_media,
+        resize_image,
+    )
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "x")], "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+    decoded = {r["media_id"]: r for r in decode_image(media, width=4).collect()}
+    # 10 bytes at width 4 → 3 rows, zero-padded tail
+    assert (decoded[1]["width"], decoded[1]["height"]) == (4, 3)
+    assert decoded[1]["pixels"][0] == [97, 98, 99, 100]
+    assert decoded[1]["pixels"][2] == [105, 106, 0, 0]
+    assert decoded[2]["pixels"] == [[120, 0, 0, 0]]
+
+    resized = {r["media_id"]: r for r in
+               resize_image(decode_image(media, width=4), 2, 2).collect()}
+    assert (resized[1]["width"], resized[1]["height"]) == (2, 2)
+    # nearest-neighbor: rows 0,1 / cols 0,2 of the 4x3 source
+    assert resized[1]["pixels"] == [[97, 99], [101, 103]]
+
+    # real codec slot is present but gated
+    with pytest.raises(NotImplementedError):
+        decode_image(media, codec="pil")
+
+
+def test_multimodal_sample_frames(spark):
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 150), (2, "b" * 10), (3, "")], "doc_id long, text string"
+    )
+    frames = sample_frames(
+        documents_as_media(docs), every_n=2, frame_size=32
+    ).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 150 bytes / 32 → 5 frames, sampled idx 0,2,4; last frame 22 bytes
+    idx1 = sorted((r["frame_idx"], r["frame_len"]) for r in by_media[1])
+    assert idx1 == [(0, 32), (2, 32), (4, 22)]
+    assert all(bytes(r["frame"]) == b"a" * r["frame_len"] for r in by_media[1])
+    assert [(r["frame_idx"], r["frame_len"]) for r in by_media[2]] == [(0, 10)]
+    # empty payload still yields one empty frame row (schema-stable)
+    assert [(r["frame_idx"], r["frame_len"]) for r in by_media[3]] == [(0, 0)]
+
+
 def test_ivf_topk_recall(spark):
     from crypto_price_data_pipeline_spark.operators.similarity import (
         cosine_topk,
