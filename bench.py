@@ -37,6 +37,11 @@ HEADLINE = [
     "q_quality_scores",
     "q_minhash_pairs",
     "q_embedding_topk",
+    "q09_nation_profit",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
+    "q_array_funcs",
+    "q_frame_sample",
 ]
 
 

@@ -427,29 +427,28 @@ def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     line in a multi-supplier order where NO other supplier of that
     order had a return.
 
-    Formulated as a per-order aggregate (distinct suppliers, distinct
-    returning suppliers) + join — the decorrelated plan Catalyst
-    produces for the EXISTS pair, one shuffle per agg.
+    Formulated as a two-level aggregate: per (order, supplier) first
+    (map-side combinable, no COUNT DISTINCT expand), then per order.
+    The per-supplier aggregate subplan appears on both sides of the
+    final join, and its shuffle is identical — AQE's ReusedExchange
+    materializes it once.
     """
     li = load_table(spark, sf, "lineitem")
     supp = load_table(spark, sf, "supplier")
     orders = load_table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
 
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret")
+    )
     order_stats = (
-        li.groupBy(F.col("l_orderkey").alias("os_orderkey"))
+        per_supp.groupBy(F.col("l_orderkey").alias("os_orderkey"))
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.countDistinct(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("n_ret_supps"),
+            F.count("*").alias("n_supps"),
+            F.sum("has_ret").alias("n_ret_supps"),
         )
         .where((F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1))
     )
-    returned = (
-        li.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    returned = per_supp.where(F.col("has_ret") == 1).select("l_orderkey", "l_suppkey")
     return (
         returned.join(orders, returned["l_orderkey"] == orders["o_orderkey"], "left_semi")
         .join(order_stats, returned["l_orderkey"] == F.col("os_orderkey"))
@@ -534,6 +533,51 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------------- array surface
+
+
+def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """ArrayType surface: collect_set/sort_array/size/contains/slice plus
+    the transform & filter higher-order functions (all JVM-side codegen —
+    no Python in the loop). Sorted int arrays keep every result
+    order-deterministic on both engines."""
+    li = load_table(spark, sf, "lineitem")
+    statuses = F.sort_array(F.collect_set("l_linestatus"))
+    linenos = F.sort_array(F.collect_set("l_linenumber"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(statuses.alias("statuses"), linenos.alias("linenos"))
+        .select(
+            "l_returnflag",
+            "statuses",
+            F.size("statuses").alias("n_statuses"),
+            F.array_contains("statuses", "O").alias("has_open"),
+            F.slice("linenos", 1, 3).alias("first_linenos"),
+            F.transform("linenos", lambda x: x * 2).alias("doubled"),
+            F.filter("linenos", lambda x: x % 2 == 0).alias("evens"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_ARRAY_FUNCS_SQL = """
+SELECT l_returnflag,
+       statuses,
+       CAST(len(statuses) AS INTEGER) AS n_statuses,
+       list_contains(statuses, 'O') AS has_open,
+       linenos[1:3] AS first_linenos,
+       list_transform(linenos, x -> x * 2) AS doubled,
+       list_filter(linenos, x -> x % 2 = 0) AS evens
+FROM (
+  SELECT l_returnflag,
+         list_sort(list(DISTINCT l_linestatus)) AS statuses,
+         list_sort(list(DISTINCT l_linenumber)) AS linenos
+  FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------------------- multimodal frame sample
 
 
@@ -569,6 +613,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_array_funcs": q_array_funcs,
     "q_frame_sample": q_frame_sample,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q08_market_share": q08_market_share,
@@ -584,6 +629,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_array_funcs": Q_ARRAY_FUNCS_SQL,
     "q_frame_sample": Q_FRAME_SAMPLE_SQL,
     "q02_min_cost_supplier": Q02_MIN_COST_SQL,
     "q08_market_share": Q08_SQL,

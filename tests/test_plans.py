@@ -47,6 +47,39 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
 
 
+def test_decorrelated_subqueries_broadcast(spark):
+    """The Q2/Q17-shape decorrelations must keep the per-key aggregate
+    on the build (broadcast) side — a shuffle join here would mean the
+    decorrelation lost the dimension-sized build."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    for name in ("q02_min_cost_supplier", "q17_small_quantity"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_outer_join_count_distribution_plan(spark):
+    """Q13 shape: the left outer join must stay a real join (no NL), and
+    the two aggregation levels must be hash aggregates."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q13_customer_distribution"](spark, SF))
+    assert "LeftOuter" in plan or "BuildRight" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+
+
+def test_scalar_subquery_single_row_broadcast(spark):
+    """Q11/Q15 shape: joining against a 1-row aggregate must broadcast
+    (never shuffle the big grouped side against one row)."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucketBy co-location: a join on the bucket key reads both sides
     without an Exchange — the 100 TB co-located-join strategy."""
