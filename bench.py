@@ -66,6 +66,33 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+
+    # end-to-end streaming rollup (availableNow over the events table,
+    # full Structured Streaming machinery incl. checkpointing)
+    t0 = time.time()
+    QUERIES["q_stream_ohlc"](spark, sf_dir).count()
+    timings["stream_ohlc_e2e"] = round(time.time() - t0, 3)
+
+    # written-sink path: snappy-parquet append of the enriched lineitem
+    # projection (measures the write pipeline, not just scans)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from crypto_price_data_pipeline_spark.io.sinks import overwrite_parquet
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    out = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        enriched = load_table(spark, sf_dir, "lineitem").withColumn(
+            "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        t0 = time.time()
+        overwrite_parquet(enriched, out)
+        timings["sink_parquet_write"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
