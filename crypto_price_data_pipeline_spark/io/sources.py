@@ -68,6 +68,47 @@ def read_json_payloads(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV source with an explicit schema (inference is a full extra
+    pass over the data — never in production paths). PERMISSIVE mode +
+    ``_corrupt_record`` column so bad rows are quarantined by the
+    expectation gate instead of failing the job mid-scan."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Newline-delimited JSON with declared schema — the lakehouse
+    landing-zone format for API payload drops. PERMISSIVE, so malformed
+    documents surface as nulls for the validation gate."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text source for document pipelines: one row per line, or one
+    row per file (``wholetext`` — the shape for per-document dedup /
+    quality scoring over a crawl dump). NB the ``wholetext`` flag only
+    takes effect as the reader kwarg, not via ``.option()``."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict | None = None) -> DataFrame:
     """JDBC source (warehouse read-back). Needs the driver jar on the
     classpath; at scale add partitionColumn/lowerBound/upperBound/

@@ -57,6 +57,34 @@ def test_currency_explode_udtf(spark):
     assert got == {"USD": 17091.0667, "GBP": 14022.2766, "EUR": 16105.2663}
 
 
+def test_csv_json_text_sources(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.io.sources import (
+        read_csv,
+        read_json_lines,
+        read_text_corpus,
+    )
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,price,ts\n1,10.5,2024-01-01 00:00:00\n2,oops,2024-01-02 00:00:00\n")
+    schema = "id long, price double, ts timestamp"
+    rows = read_csv(spark, str(csv), schema=schema).orderBy("id").collect()
+    assert rows[0]["price"] == 10.5
+    # PERMISSIVE: the bad double becomes null, row survives for the gate
+    assert rows[1]["id"] == 2 and rows[1]["price"] is None
+
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\nnot json\n')
+    jrows = read_json_lines(spark, str(jl), "id long, v string").collect()
+    assert len(jrows) == 3  # malformed row kept as nulls, not a crash
+    assert {r["v"] for r in jrows if r["v"]} == {"a", "b"}
+
+    txt = tmp_path / "doc.txt"
+    txt.write_text("line one\nline two\n")
+    assert read_text_corpus(spark, str(txt)).count() == 2
+    whole = read_text_corpus(spark, str(txt), whole_file=True).collect()
+    assert len(whole) == 1 and "line two" in whole[0]["value"]
+
+
 def test_http_poll_source(spark, tmp_path):
     from crypto_price_data_pipeline_spark.streaming.http_source import register
 
