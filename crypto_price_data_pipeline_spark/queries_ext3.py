@@ -533,6 +533,105 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------- ordered statistics
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ordered statistics: median and p95 per group. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both interpolate on
+    the sorted values — measured bit-exact on this data (the approximate
+    sketch twins live in q_approx_stats)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+            F.expr("percentile(l_quantity, 0.25)").alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       quantile_cont(l_quantity, 0.25) AS q1_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment statistics (sample variance/stddev, covariance,
+    correlation) built from exact decimal sums — the engines' native
+    stddev/corr use different streaming algorithms (Welford vs naive)
+    whose float results drift, so the moments are assembled from
+    Sx/Sy/Sxx/Syy/Sxy with identical double arithmetic on both sides.
+    This is also the map-side-combinable form you want at 100 TB (one
+    pass, six partial sums per group).
+
+    Variable choice matters for the oracle: quantity (integer-valued)
+    and discount (<=2 decimals) square to <=4-decimal values whose
+    DECIMAL(38,6) casts are exact and whose sums stay below 2^53/10^6 —
+    above that, DuckDB's decimal->double cast double-rounds (int128 ->
+    double -> scale) where Spark rounds once, so sums of squared PRICES
+    drift a ulp. See NOTES.md determinism contract."""
+    li = load_table(spark, sf, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    # corr from cov/sd·sd (not the n·Sxy − Sx·Sy form): a*b − c*d invites
+    # compiler FMA contraction in native engines → last-ulp drift
+    corr = cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    return agg.select(
+        "l_returnflag",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        var_y.alias("var_disc"),
+        cov.alias("covar_qty_disc"),
+        corr.alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+Q_STATS_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (sxx - sx * sx / n) / (n - 1.0) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS stddev_qty,
+       (syy - sy * sy / n) / (n - 1.0) AS var_disc,
+       (sxy - sx * sy / n) / (n - 1.0) AS covar_qty_disc,
+       ((sxy - sx * sy / n) / (n - 1.0))
+         / (sqrt((sxx - sx * sx / n) / (n - 1.0)) * sqrt((syy - sy * sy / n) / (n - 1.0)))
+         AS corr_qty_disc
+FROM s
+ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------------------------- array surface
 
 
@@ -613,6 +712,8 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_percentiles": q_percentiles,
+    "q_stats_moments": q_stats_moments,
     "q_array_funcs": q_array_funcs,
     "q_frame_sample": q_frame_sample,
     "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -629,6 +730,8 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_percentiles": Q_PERCENTILES_SQL,
+    "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_array_funcs": Q_ARRAY_FUNCS_SQL,
     "q_frame_sample": Q_FRAME_SAMPLE_SQL,
     "q02_min_cost_supplier": Q02_MIN_COST_SQL,
