@@ -80,6 +80,31 @@ def test_scalar_subquery_single_row_broadcast(spark):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Date-partitioned fact + filtered dim join must prune fact
+    partitions at runtime (DPP) — the scan shape SCALING.md prescribes
+    for every persisted table at 100 TB."""
+    fact = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    fact.write.partitionBy("o_year").mode("overwrite").parquet(
+        str(tmp_path / "orders_part")
+    )
+    years = spark.createDataFrame(
+        [(1997, "target")], "y_year int, tag string"
+    )
+    part_fact = spark.read.parquet(str(tmp_path / "orders_part"))
+    joined = part_fact.join(
+        years.where(F.col("tag") == "target"),
+        part_fact["o_year"] == years["y_year"],
+    )
+    plan = _plan(joined)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    n_1997 = part_fact.where(F.col("o_year") == 1997).count()
+    assert joined.count() == n_1997
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucketBy co-location: a join on the bucket key reads both sides
     without an Exchange — the 100 TB co-located-join strategy."""

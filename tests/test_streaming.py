@@ -69,6 +69,10 @@ def test_accumulate_then_flush(spark, tmp_path):
         now="2022-12-06 14:10:00",
     )
     q.awaitTermination()
+    # checkpoint recovery: the restarted query must process ONLY the new
+    # file — 4 staged rows total, not 7 (reprocessing would be masked
+    # downstream by the idempotent flush, so assert at staging level)
+    assert spark.read.parquet(staging).count() == 4
     assert accumulate_then_flush(spark, staging, warehouse) == 1
     assert spark.read.parquet(warehouse).count() == 4
 
