@@ -93,6 +93,59 @@ def merge_upsert(
     return n
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write with rows sorted *within each file* on ``sort_cols``.
+
+    Sorting clusters values so parquet row-group min/max statistics
+    become selective — point/range predicates on the sort columns skip
+    whole row groups at scan time (the poor man's Z-order; at 100 TB
+    this is the difference between reading 1 row group and reading the
+    table). sortWithinPartitions is a local sort: no extra shuffle."""
+    writer = df.sortWithinPartitions(*sort_cols).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into files of
+    ~``target_file_bytes``. Streaming appends and fine-grained idempotent
+    writes accumulate small files; at scale the scan's task-per-file
+    overhead dominates. Returns the resulting file count.
+
+    Sizing uses the table's on-disk bytes (parquet-compressed) so the
+    output files land near the target without sampling."""
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    compacted = df.repartition(n_files)
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+    # break lineage before overwriting the source path
+    compacted = compacted.localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").parquet(path)
+    return n_files
+
+
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """Literal-parity warehouse sink (reference: bpi_crawler.py:173
     pandas.to_sql append). Driver jar required; gated by caller."""

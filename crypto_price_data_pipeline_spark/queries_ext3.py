@@ -533,6 +533,45 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------- deterministic sampling
+
+
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling (~1/8 of rows by md5 prefix of the
+    business key) + aggregate over the sample. ``df.sample`` uses
+    engine-local RNG and can never oracle-match; key-hash sampling is
+    the reproducible form used for experiment subsets at 100 TB — same
+    rows every run, on any engine, no coordination. The filter is
+    JVM-side codegen and pipelines into the scan."""
+    li = load_table(spark, sf, "lineitem")
+    bucket = F.substring(
+        F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 1
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(bucket.isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("sample_rows"),
+            dsum(revenue).alias("sample_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_HASH_SAMPLE_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS sample_rows,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS sample_revenue
+FROM lineitem
+WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+      IN ('0', '1')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------- ordered statistics
 
 
@@ -712,6 +751,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_hash_sample": q_hash_sample,
     "q_percentiles": q_percentiles,
     "q_stats_moments": q_stats_moments,
     "q_array_funcs": q_array_funcs,
@@ -730,6 +770,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_hash_sample": Q_HASH_SAMPLE_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_array_funcs": Q_ARRAY_FUNCS_SQL,

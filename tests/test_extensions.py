@@ -85,6 +85,31 @@ def test_csv_json_text_sources(spark, tmp_path):
     assert len(whole) == 1 and "line two" in whole[0]["value"]
 
 
+def test_compaction_and_sorted_write(spark, tmp_path):
+    from crypto_price_data_pipeline_spark.io.sinks import (
+        compact_parquet,
+        write_sorted,
+    )
+    import glob
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    n = li.count()
+    scattered = str(tmp_path / "scattered")
+    li.repartition(40).write.parquet(scattered)  # simulate small-file debris
+    assert len(glob.glob(f"{scattered}/*.parquet")) >= 40
+    n_files = compact_parquet(spark, scattered, target_file_bytes=64 * 1024 * 1024)
+    assert len(glob.glob(f"{scattered}/*.parquet")) == n_files < 40
+    assert spark.read.parquet(scattered).count() == n  # lossless
+
+    srt = str(tmp_path / "sorted")
+    write_sorted(li.repartition(2), srt, sort_cols=["l_orderkey"])
+    back = spark.read.parquet(srt)
+    assert back.count() == n
+    # row-group stats selectivity: a point predicate must push down
+    pushed = back.where(F.col("l_orderkey") == 1)
+    assert pushed.count() == li.where(F.col("l_orderkey") == 1).count()
+
+
 def test_http_poll_source(spark, tmp_path):
     from crypto_price_data_pipeline_spark.streaming.http_source import register
 
@@ -103,12 +128,19 @@ def test_http_poll_source(spark, tmp_path):
         )
         q.awaitTermination()
 
-    # one retry: first Python-worker fork on a loaded host can miss the
-    # connect-back window (environment timing, not engine logic)
-    try:
-        run(0)
-    except Exception:
-        run(1)
+    # retries: the Python-worker connect-back window is a HARDCODED 10s
+    # in PythonWorkerFactory (PROCESS_WAIT_TIMEOUT_MS — no conf), and a
+    # loaded host can miss it. Environment timing, not engine logic.
+    import time
+
+    for attempt in range(3):
+        try:
+            run(attempt)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(5 * (attempt + 1))
     rows = spark.table("http_out").collect()
     assert len(rows) == 4
     # payloads parse through the real pipeline schema
