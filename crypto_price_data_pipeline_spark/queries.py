@@ -286,7 +286,7 @@ def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_TOPK_GROUP_SQL = """
-SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -541,7 +541,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_SESSIONIZE_SQL = """
-SELECT user_id, MAX(session_idx) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_idx) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -126,7 +126,7 @@ def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q08_SQL = """
-SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
        CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_1'
                           THEN l_extendedprice * (1 - l_discount)
                           ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
@@ -178,7 +178,7 @@ def q09_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q09_SQL = """
-SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                      - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,6))) AS DOUBLE)
          AS sum_profit

@@ -45,6 +45,40 @@ def row_multiset(cols, rows):
     )
 
 
+# canonical type lattice for the schema comparison: the driver may
+# compare dtypes, so flag int-width / numeric-kind drift between the
+# Spark result and the DuckDB oracle even when Python values are equal
+_SPARK_CANON = {
+    "tinyint": "int32", "smallint": "int32", "int": "int32", "bigint": "int64",
+    "float": "float", "double": "float", "string": "string", "boolean": "bool",
+    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+_DUCK_CANON = {
+    "TINYINT": "int32", "SMALLINT": "int32", "INTEGER": "int32", "BIGINT": "int64",
+    "HUGEINT": "int128", "UBIGINT": "int64", "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp", "BLOB": "binary",
+}
+
+
+def _canon_spark(dt_simple: str) -> str:
+    if dt_simple.startswith("array<"):
+        return "list<" + _canon_spark(dt_simple[6:-1]) + ">"
+    if dt_simple.startswith("decimal"):
+        return "decimal"
+    return _SPARK_CANON.get(dt_simple, dt_simple)
+
+
+def _canon_duck(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]"):
+        return "list<" + _canon_duck(t[:-2]) + ">"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_CANON.get(t, t.lower())
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,9 +115,10 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(ORACLES[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(ORACLES[name])
+            ocols = list(rel.columns)
+            otype_list = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -93,6 +128,16 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            stypes = {f.name: _canon_spark(f.dataType.simpleString()) for f in sdf.schema.fields}
+            otypes = {c: _canon_duck(t) for c, t in zip(ocols, otype_list)}
+            drift = {
+                c: (stypes[c], otypes[c])
+                for c in stypes
+                if c in otypes and stypes[c] != otypes[c]
+            }
+            if drift:
+                problems.append(f"dtype drift {drift}")
         if not problems:
             sm = row_multiset(scols, srows)
             om = row_multiset(ocols, orows)
