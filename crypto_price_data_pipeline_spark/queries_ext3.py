@@ -533,6 +533,81 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------------- full outer join
+
+
+def q_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join of two per-nation aggregates (customer count vs
+    supplier count) with COALESCE over both null sides — the join type
+    the other registry queries don't exercise. Both sides pre-aggregate
+    to nation cardinality, so the join is trivially broadcast-able."""
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    by_c = cust.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    by_s = supp.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        by_c.join(by_s, by_c["c_nk"] == by_s["s_nk"], "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q_FULL_OUTER_SQL = """
+SELECT COALESCE(c_nk, s_nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS c_nk, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS s_nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+ON c_nk = s_nk
+ORDER BY nationkey
+"""
+
+
+# ------------------------------------------------------- ranking family
+
+
+def q_rank_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """The full ranking-function family over one deterministic ordering:
+    rank, dense_rank, percent_rank, cume_dist, ntile(4). Supplier
+    account balances per nation — small enough to eyeball, exercises
+    every ranking physical mode in one window."""
+    from pyspark.sql.window import Window
+
+    supp = load_table(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+Q_RANK_FUNCS_SQL = """
+SELECT s_nationkey, s_suppkey,
+       CAST(RANK()         OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK()   OVER w AS INTEGER) AS drnk,
+       PERCENT_RANK()      OVER w AS prnk,
+       CUME_DIST()         OVER w AS cdist,
+       CAST(NTILE(4)       OVER w AS INTEGER) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+ORDER BY s_nationkey, s_suppkey
+"""
+
+
 # ------------------------------------------------- deterministic sampling
 
 
@@ -751,6 +826,8 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_full_outer": q_full_outer,
+    "q_rank_funcs": q_rank_funcs,
     "q_hash_sample": q_hash_sample,
     "q_percentiles": q_percentiles,
     "q_stats_moments": q_stats_moments,
@@ -770,6 +847,8 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_full_outer": Q_FULL_OUTER_SQL,
+    "q_rank_funcs": Q_RANK_FUNCS_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
