@@ -533,6 +533,49 @@ ORDER BY n_name
 """
 
 
+# --------------------------------------------------- n-gram Jaccard dedup
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs, language-blocked — the
+    non-probabilistic baseline the MinHash path approximates, and the
+    one dedup family that IS SQL-expressible: the Spark side shingles
+    through xxhash64 (long arithmetic, no string allocation) while the
+    oracle uses the string shingles themselves — Jaccard is invariant
+    to any injective shingle encoding, so the values match bit-exactly
+    (int/int division both sides; collisions would need ~2^32 shingles)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_cols=["lang"], k=3, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+Q_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------- full outer join
 
 
@@ -826,6 +869,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_ngram_jaccard": q_ngram_jaccard,
     "q_full_outer": q_full_outer,
     "q_rank_funcs": q_rank_funcs,
     "q_hash_sample": q_hash_sample,
@@ -847,6 +891,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_full_outer": Q_FULL_OUTER_SQL,
     "q_rank_funcs": Q_RANK_FUNCS_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
