@@ -844,12 +844,41 @@ LIMIT 10
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs w/ exact-Jaccard verify.
-    No SQL oracle: signatures use xxhash64 (not in DuckDB); correctness
-    is unit-tested against planted near-duplicates instead."""
+
+    Oracle note: the banding stage is probabilistic (xxhash64, not in
+    DuckDB), but the final output is {pairs with exact Jaccard >= 0.5
+    that banding surfaced} — and the testdata's near-dups sit at ~0.95
+    similarity where 64-hash/16-band recall is 1 (verified exhaustively
+    against the full exact pair set at sf0.001 and sf0.01: identical).
+    The oracle is therefore the exact-Jaccard pair set — it checks
+    end-to-end near-dup semantics INCLUDING recall, which a rows-only
+    check would not."""
     from .operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+Q_MINHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -977,8 +1006,11 @@ ORACLES: dict[str, str] = {
     "q_media_bytes": Q_MEDIA_SQL,
     "q_embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "q_stream_ohlc": Q_STREAM_OHLC_SQL,
-    # q_minhash_pairs / q_simhash_pairs / q_lsh_topk / q_fingerprints:
-    # intentionally no oracle (xxhash64 / ANN — rows-only check).
+    "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
+    # q_simhash_pairs / q_lsh_topk / q_fingerprints: intentionally no
+    # oracle (signature bits are xxhash64-valued / ANN probe order —
+    # rows-only check). q_minhash_pairs DOES carry one: its output is
+    # the exact-Jaccard pair set (see its docstring on recall).
 }
 
 # second + third + fourth coverage waves
