@@ -533,6 +533,54 @@ ORDER BY n_name
 """
 
 
+# ----------------------------------------------------------- language ID
+
+
+def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-profile language ID over documents: per-language hit
+    rates → argmax (ties resolve en > de > es > fr, no hits → 'und').
+    Row-level predictions oracle-checked; the operator shape (N score
+    columns → greatest → case) is the scalable part — a real model
+    would swap in via pandas UDF."""
+    from .operators.text import language_id
+
+    docs = load_table(spark, sf, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+_SW = {
+    "en": "'the','and','of','to','a','in','is','that','it','for'",
+    "de": "'der','die','und','das','ist','nicht','ein','mit','auf','zu'",
+    "es": "'el','la','de','que','y','en','un','es','no','por'",
+    "fr": "'le','la','de','et','les','des','est','un','une','dans'",
+}
+
+Q_LANGUAGE_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(t, x -> list_contains([{_SW['en']}], x))) AS DOUBLE) / GREATEST(len(t), 1) AS s_en,
+         CAST(len(list_filter(t, x -> list_contains([{_SW['de']}], x))) AS DOUBLE) / GREATEST(len(t), 1) AS s_de,
+         CAST(len(list_filter(t, x -> list_contains([{_SW['es']}], x))) AS DOUBLE) / GREATEST(len(t), 1) AS s_es,
+         CAST(len(list_filter(t, x -> list_contains([{_SW['fr']}], x))) AS DOUBLE) / GREATEST(len(t), 1) AS s_fr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) > 0 THEN
+              CASE WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                   WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+                   WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+                   ELSE 'fr' END
+            ELSE 'und' END AS lang_pred
+FROM scored
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------- n-gram Jaccard dedup
 
 
@@ -869,6 +917,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_full_outer": q_full_outer,
     "q_rank_funcs": q_rank_funcs,
@@ -891,6 +940,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_language_id": Q_LANGUAGE_ID_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_full_outer": Q_FULL_OUTER_SQL,
     "q_rank_funcs": Q_RANK_FUNCS_SQL,
