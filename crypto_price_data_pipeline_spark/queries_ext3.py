@@ -533,6 +533,62 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------- full quality features
+
+
+def q_quality_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete Gopher/C4-style quality feature set from the actual
+    ``quality_scores`` operator (q_quality_scores re-derives only the
+    repetition slice): token counts, mean word length, punctuation
+    density, stopword fraction, repetition ratio, and the composite
+    0..1 gate score. All ratios are int/int doubles — bit-exact."""
+    from .operators.text import quality_scores
+
+    docs = load_table(spark, sf, "documents")
+    return quality_scores(docs).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_frac",
+        "repetition_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+Q_QUALITY_FULL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_char
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         (n_char - len(toks) + 1) / GREATEST(len(toks), 1) AS mean_word_len,
+         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS BIGINT)
+           / GREATEST(n_char, 1) AS punct_ratio,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','a','in','is','that','it','for'], x))) AS BIGINT)
+           / GREATEST(len(toks), 1) AS stopword_frac,
+         1.0 - len(list_distinct(toks)) / GREATEST(len(toks), 1) AS repetition_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_frac, 6) AS stopword_frac,
+       round(repetition_ratio, 6) AS repetition_ratio,
+       CAST(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN repetition_ratio <= 0.9 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------- language ID
 
 
@@ -917,6 +973,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_quality_full": q_quality_full,
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_full_outer": q_full_outer,
@@ -940,6 +997,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_quality_full": Q_QUALITY_FULL_SQL,
     "q_language_id": Q_LANGUAGE_ID_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_full_outer": Q_FULL_OUTER_SQL,
