@@ -115,6 +115,18 @@ def fingerprint(col: Column | str) -> Column:
     )
 
 
+def fingerprint_md5(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint as a chained md5 fold over
+    the token stream: h = md5(h || token). Slower than ``fingerprint``
+    (string re-hash per step vs long arithmetic) but expressible in any
+    engine with md5 — use it when fingerprints must be verified or
+    joined across systems; use ``fingerprint`` for pure-Spark dedup."""
+    toks = tokenize(col)
+    return F.aggregate(
+        toks, F.lit("fp0"), lambda acc, t: F.md5(F.concat(acc, t))
+    )
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus term frequencies: explode tokens → count per word. The one
     text op that genuinely shuffles (groupBy word); partial aggregation

@@ -533,6 +533,31 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------- portable fingerprint
+
+
+def q_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-engine-verifiable document fingerprints: chained md5 fold
+    over the token stream (the portable twin of the xxhash64 rolling
+    fingerprint, which is Spark-only and hence rows-only checked).
+    Order-sensitive: token permutations change the fingerprint."""
+    from .operators.text import fingerprint_md5
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp")).orderBy("doc_id")
+
+
+Q_FINGERPRINT_MD5_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend('fp0', list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')),
+         (acc, x) -> md5(acc || x)
+       ) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- full quality features
 
 
@@ -973,6 +998,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_fingerprint_md5": q_fingerprint_md5,
     "q_quality_full": q_quality_full,
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -997,6 +1023,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,
     "q_quality_full": Q_QUALITY_FULL_SQL,
     "q_language_id": Q_LANGUAGE_ID_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
