@@ -329,24 +329,35 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked pairs (the non-probabilistic
     baseline the MinHash path approximates). ``block_cols`` bounds the
-    pair blowup (e.g. ["lang"]); omit only on small corpora."""
-    shingled = with_shingles(df, id_col, text_col, k).withColumnRenamed("_shingles", "_sh")
-    base = (
-        df.select(F.col(id_col), *(block_cols or []))
-        .join(shingled, id_col)
-        .select(F.col(id_col).alias("_id"), *(block_cols or []), "_sh")
-        if block_cols
-        else shingled.select(F.col(id_col).alias("_id"), "_sh")
+    pair blowup (e.g. ["lang"]); omit only on small corpora.
+
+    Plan shape: candidate ID pairs are generated inside the (cheap,
+    id-only) block self-join, REPARTITIONED to full parallelism, and
+    only then joined against the shingle arrays by id. Joining the
+    arrays inside the block join instead would (a) ship every array
+    once per partner and (b) serialize the Jaccard compute onto
+    |distinct block keys| partitions — with a low-cardinality key like
+    lang, that is 5 tasks no matter how big the cluster."""
+    shingled = (
+        with_shingles(df, id_col, text_col, k)
+        .withColumnRenamed("_shingles", "_sh")
+        .withColumnRenamed(id_col, "_sid")
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), *(block_cols or []))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), *(block_cols or []))
-    pairs = a.join(b, block_cols) if block_cols else a.crossJoin(b)
+    ids = df.select(F.col(id_col).alias("_id"), *(block_cols or []))
+    a = ids.select(F.col("_id").alias("id_a"), *(block_cols or []))
+    b = ids.select(F.col("_id").alias("id_b"), *(block_cols or []))
+    pairs = (a.join(b, block_cols) if block_cols else a.crossJoin(b)).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_part, "id_a").select("id_a", "id_b")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
     ).alias("jaccard")
     return (
-        pairs.where(F.col("id_a") < F.col("id_b"))
+        pairs.join(shingled.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(shingled.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
         .select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= threshold)
     )
