@@ -270,23 +270,39 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥ 0.35 — calibrated to the synthetic corpus so the check is non-vacuous), blocked on the
     label column so the pair space is |label-group|², not n² — the
     blocking pattern that keeps this tractable at scale (swap label
-    for an LSH bucket on unlabeled corpora)."""
+    for an LSH bucket on unlabeled corpora).
+
+    Plan shape (same lesson as ngram_jaccard_pairs): id-only pairs in
+    the low-cardinality block join, repartition to full parallelism,
+    THEN join the vectors in by id — and each vector's norm is
+    precomputed once per vector, not re-derived per pair (turns 3 dot
+    products per pair into 1)."""
     from .operators.similarity import _dot
 
-    emb = load_table(spark, sf, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_e_a"), "label"
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("_e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_norm"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_e_b"), "label"
-    )
-    sim = _dot(F.col("_e_a"), F.col("_e_b")) / (
-        F.sqrt(_dot(F.col("_e_a"), F.col("_e_a")))
-        * F.sqrt(_dot(F.col("_e_b"), F.col("_e_b")))
-    )
-    return (
-        a.join(b, "label")
+    ids = emb.select(F.col("vec_id").alias("_id"), "label")
+    pairs = (
+        ids.select(F.col("_id").alias("id_a"), "label")
+        .join(ids.select(F.col("_id").alias("id_b"), "label"), "label")
         .where(F.col("id_a") < F.col("id_b"))
+        .repartition(spark.sparkContext.defaultParallelism, "id_a")
+        .select("id_a", "id_b")
+    )
+    sim = _dot(F.col("_e_a"), F.col("_e_b")) / (F.col("_n_a") * F.col("_n_b"))
+    return (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("_e").alias("_e_a"), F.col("_norm").alias("_n_a")),
+            "id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("_e").alias("_e_b"), F.col("_norm").alias("_n_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", F.round(sim, 9).alias("cosine_sim_r9"))
         .where(F.col("cosine_sim_r9") >= 0.35)
     )
