@@ -277,6 +277,13 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     THEN join the vectors in by id — and each vector's norm is
     precomputed once per vector, not re-derived per pair (turns 3 dot
     products per pair into 1)."""
+    return embedding_neardup_pairs(spark, sf, threshold=0.35)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf: str, threshold: float) -> DataFrame:
+    """Blocked cosine pairs (id_a, id_b, cosine_sim_r9 ≥ threshold) —
+    shared by the near-dup query and the clustering query. See
+    q_embedding_neardup for the plan-shape rationale."""
     from .operators.similarity import _dot
 
     emb = load_table(spark, sf, "embeddings").select(
@@ -304,7 +311,7 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             "id_b",
         )
         .select("id_a", "id_b", F.round(sim, 9).alias("cosine_sim_r9"))
-        .where(F.col("cosine_sim_r9") >= 0.35)
+        .where(F.col("cosine_sim_r9") >= threshold)
     )
 
 

@@ -292,21 +292,10 @@ def q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
     oracle recomputes the transitive closure with a recursive CTE —
     an exact check of an iterative distributed algorithm."""
     from .operators.components import connected_components
-    from .operators.similarity import _dot
+    from .queries_ext import embedding_neardup_pairs
 
     emb = load_table(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_e_a"), "label")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_e_b"), "label")
-    sim = _dot(F.col("_e_a"), F.col("_e_b")) / (
-        F.sqrt(_dot(F.col("_e_a"), F.col("_e_a")))
-        * F.sqrt(_dot(F.col("_e_b"), F.col("_e_b")))
-    )
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(sim, 9) >= 0.3)
-        .select("id_a", "id_b")
-    )
+    pairs = embedding_neardup_pairs(spark, sf, threshold=0.3).select("id_a", "id_b")
     nodes = emb.select(F.col("vec_id"))
     return connected_components(nodes, pairs, id_col="vec_id").withColumnRenamed(
         "component", "cluster_id"
