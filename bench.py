@@ -57,6 +57,7 @@ def main() -> None:
     # the engine, not the JIT.
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
+    QUERIES["q_stream_ohlc"](spark, sf_dir).count()  # streaming machinery
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

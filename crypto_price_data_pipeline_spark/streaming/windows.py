@@ -68,14 +68,23 @@ def tumbling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch hourly aggregation — which the DuckDB oracle checks."""
     name = f"ohlc_{uuid.uuid4().hex[:8]}"
     agg = windowed_agg(_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a streaming agg materializes one state store PER shuffle partition
+    # (checkpoint dirs, maintenance threads); size partitions to the
+    # state cardinality (~|windows × keys|), not the batch default —
+    # at production key counts, raise it with the key space
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
