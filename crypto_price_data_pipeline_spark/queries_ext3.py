@@ -533,6 +533,55 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------- continuous aggregate
+
+
+def q_continuous_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-rollup (continuous aggregate) end-to-end: maintain an
+    hourly rollup of the events stream via checkpointed foreachBatch
+    merge, then serve it through the settled-history ∪ fresh-tail
+    reader. The oracle is the plain GROUP BY — the pattern's invariant
+    is that incremental maintenance + tail union ≡ one-shot
+    aggregation."""
+    import shutil
+    import tempfile
+
+    from .streaming.continuous_agg import read_with_tail, start_continuous_rollup
+
+    events = load_table(spark, sf, "events")
+    work = tempfile.mkdtemp(prefix="contagg_")
+    try:
+        raw_dir = f"{work}/raw"
+        events.write.parquet(raw_dir)
+        schema = spark.read.parquet(raw_dir).schema
+        q = start_continuous_rollup(
+            spark, raw_dir, f"{work}/rollup", f"{work}/ckpt", schema
+        )
+        q.awaitTermination()
+        out = read_with_tail(spark, f"{work}/rollup", events).select(
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        # materialize before the temp rollup dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q_CONTINUOUS_AGG_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 # ---------------------------------------------------- portable fingerprint
 
 
@@ -998,6 +1047,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_continuous_agg": q_continuous_agg,
     "q_fingerprint_md5": q_fingerprint_md5,
     "q_quality_full": q_quality_full,
     "q_language_id": q_language_id,
@@ -1023,6 +1073,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_continuous_agg": Q_CONTINUOUS_AGG_SQL,
     "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,
     "q_quality_full": Q_QUALITY_FULL_SQL,
     "q_language_id": Q_LANGUAGE_ID_SQL,

@@ -1,0 +1,126 @@
+"""Continuous aggregate (hypertable-rollup pattern, [EXT] §2.9).
+
+The classic time-series-db feature: an hourly rollup table maintained
+incrementally as events stream in, plus a reader that serves the
+pre-aggregated history UNION the not-yet-rolled-up tail — so dashboards
+scan |hours| rows instead of |events|, while still seeing the latest
+data.
+
+Spark-first shape:
+- maintenance is ``foreachBatch`` over the event stream: each micro
+  batch is bucketed and MERGEd into the rollup parquet (idempotent on
+  the (bucket, key) grain — a replayed batch recomputes the same
+  buckets, so retries are safe);
+- the reader unions the rollup with an on-the-fly aggregation of raw
+  events newer than the rollup's high-water mark. At 100 TB the rollup
+  side is date-partitioned and the tail scan is partition-pruned to the
+  last day.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_AGGS = lambda: [  # noqa: E731 - one grain definition, two call sites
+    F.count(F.lit(1)).alias("n"),
+    F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    F.min("value").alias("min_value"),
+    F.max("value").alias("max_value"),
+]
+
+
+def bucket_events(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
+    """Raw events → (bucket_start, event_type) grain aggregates."""
+    return (
+        events.groupBy(
+            F.window("ts", bucket).getField("start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(*BUCKET_AGGS())
+    )
+
+
+def _merge_rollup(spark: SparkSession, batch: DataFrame, rollup_dir: str) -> None:
+    """Upsert batch buckets into the rollup table: recompute the grain
+    rows touched by this batch from (existing ∪ batch) partials.
+    Partials combine because count/sum/min/max are decomposable."""
+    from ..io.sinks import overwrite_parquet
+
+    try:
+        existing = spark.read.parquet(rollup_dir)
+    except Exception:
+        overwrite_parquet(batch, rollup_dir)
+        return
+    merged = (
+        existing.unionByName(batch)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("sum_value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .localCheckpoint(eager=True)  # break lineage before overwrite
+    )
+    overwrite_parquet(merged, rollup_dir)
+
+
+def start_continuous_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    schema,
+    bucket: str = "1 hour",
+):
+    """Maintain the rollup from a file-source event stream.
+
+    NOTE on exactly-once: foreachBatch is at-least-once; the merge is
+    deterministic per (bucket, key) ONLY if a replayed batch carries the
+    same rows, which the checkpointed file source guarantees. A replay
+    re-merges partials already included — production deployments should
+    MERGE on a batch-id column (Delta) or stage per-batch parquet and
+    compact; here we keep plain parquet and accept at-least-once on
+    crash-mid-merge (the tests exercise the happy path + restart)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        buckets = bucket_events(batch, bucket)
+        _merge_rollup(batch.sparkSession, buckets, rollup_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_with_tail(
+    spark: SparkSession,
+    rollup_dir: str,
+    raw_events: DataFrame,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Serve the continuous aggregate: rolled-up history ∪ fresh tail.
+
+    Rows at or beyond the rollup's high-water bucket are aggregated
+    from raw on the fly (they may still be mutating); everything older
+    comes from the precomputed table. At scale the raw side's filter
+    prunes to the newest date partition."""
+    if os.path.exists(rollup_dir):
+        rollup = spark.read.parquet(rollup_dir)
+        hwm = rollup.agg(F.max("bucket_start")).collect()[0][0]
+    else:
+        rollup, hwm = None, None
+    tail = raw_events
+    if hwm is not None:
+        tail = tail.where(F.window("ts", bucket).getField("start") >= F.lit(hwm))
+    fresh = bucket_events(tail, bucket)
+    if rollup is None:
+        return fresh
+    settled = rollup.where(F.col("bucket_start") < F.lit(hwm))
+    return settled.unionByName(fresh)

@@ -77,6 +77,62 @@ def test_accumulate_then_flush(spark, tmp_path):
     assert spark.read.parquet(warehouse).count() == 4
 
 
+def test_continuous_rollup(spark, tmp_path):
+    """Hypertable-rollup pattern: incremental maintenance across two
+    stream batches must equal the one-shot batch aggregation, and the
+    union-with-tail reader must serve settled + fresh buckets."""
+    from crypto_price_data_pipeline_spark.streaming.continuous_agg import (
+        bucket_events,
+        read_with_tail,
+        start_continuous_rollup,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    b1 = mk([(1, "2024-01-01 10:05:00", "btc", 10.0),
+             (2, "2024-01-01 10:55:00", "btc", 20.0),
+             (3, "2024-01-01 11:05:00", "eth", 5.0)])
+    b1.write.parquet(str(events_dir / "b1"))
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    src = str(events_dir)
+    stream_schema = spark.read.parquet(str(events_dir / "b1")).schema
+    q = start_continuous_rollup(spark, f"{src}/*", rollup_dir, ckpt, stream_schema)
+    q.awaitTermination()
+
+    # second batch lands later events, incl. one in an existing bucket
+    b2 = mk([(4, "2024-01-01 10:59:00", "btc", 30.0),
+             (5, "2024-01-01 12:10:00", "btc", 7.0)])
+    b2.write.parquet(str(events_dir / "b2"))
+    q = start_continuous_rollup(spark, f"{src}/*", rollup_dir, ckpt, stream_schema)
+    q.awaitTermination()
+
+    all_events = b1.unionByName(b2)
+    expected = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in bucket_events(all_events).collect()
+    }
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    assert got == expected  # incremental == one-shot
+
+    served = {
+        (r["bucket_start"], r["event_type"]): r["n"]
+        for r in read_with_tail(spark, rollup_dir, all_events).collect()
+    }
+    assert served == {k: v[0] for k, v in expected.items()}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     from crypto_price_data_pipeline_spark.streaming.windows import streaming_dedup
 
