@@ -533,6 +533,51 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------------------ count-min sketch
+
+
+def q_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for every event type: build
+    the (4 × 1024) sketch over the events stream, then point-query each
+    distinct key. The DuckDB oracle rebuilds the identical sketch from
+    the same md5-derived hashes — estimates (including any collision
+    overcounts) match exactly, which verifies the sketch construction
+    itself, not just the happy case."""
+    from .operators.sketch import cms_build, cms_estimate
+
+    events = load_table(spark, sf, "events")
+    sketch = cms_build(events, "event_type")
+    keys = events.select("event_type").distinct()
+    return (
+        cms_estimate(sketch, keys, "event_type")
+        .orderBy("event_type")
+    )
+
+
+Q_CMS_COUNTS_SQL = """
+WITH counts AS (
+  SELECT CAST(event_type AS VARCHAR) AS v, COUNT(*) AS c FROM events GROUP BY 1
+),
+fanned AS (
+  SELECT v, c, d,
+         list_reduce(
+           list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(md5('s' || CAST(d AS VARCHAR) || v), i, 1)) - 1 AS BIGINT)),
+           (acc, dig) -> acc * 16 + dig
+         ) % 1024 AS bucket
+  FROM counts, (SELECT unnest(range(0, 4)) AS d)
+),
+sketch AS (
+  SELECT d, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM fanned GROUP BY d, bucket
+)
+SELECT f.v AS event_type, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS estimate
+FROM fanned f LEFT JOIN sketch s ON f.d = s.d AND f.bucket = s.bucket
+GROUP BY f.v
+ORDER BY event_type
+"""
+
+
 # ------------------------------------------------- continuous aggregate
 
 
@@ -1047,6 +1092,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_cms_counts": q_cms_counts,
     "q_continuous_agg": q_continuous_agg,
     "q_fingerprint_md5": q_fingerprint_md5,
     "q_quality_full": q_quality_full,
@@ -1073,6 +1119,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_cms_counts": Q_CMS_COUNTS_SQL,
     "q_continuous_agg": Q_CONTINUOUS_AGG_SQL,
     "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,
     "q_quality_full": Q_QUALITY_FULL_SQL,

@@ -264,6 +264,38 @@ def test_multimodal_sample_frames(spark):
     assert [(r["frame_idx"], r["frame_len"]) for r in by_media[3]] == [(0, 0)]
 
 
+def test_count_min_sketch(spark):
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(i, "k%d" % (i % 7)) for i in range(700)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    truth = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+
+    sketch = cms_build(df, "k", depth=4, width=256)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["estimate"] for r in cms_estimate(sketch, keys, "k", depth=4, width=256).collect()}
+    # CMS never underestimates; at 7 keys / 256 buckets it is exact
+    assert est == truth
+
+    # mergeability: sketch(a) + sketch(b) == sketch(a ∪ b)
+    half1, half2 = df.where(F.col("id") < 350), df.where(F.col("id") >= 350)
+    merged = cms_merge(
+        cms_build(half1, "k", depth=4, width=256),
+        cms_build(half2, "k", depth=4, width=256),
+    )
+    est_m = {r["k"]: r["estimate"] for r in cms_estimate(merged, keys, "k", depth=4, width=256).collect()}
+    assert est_m == truth
+
+    # unseen key estimates 0 (no counters hit) or a small collision count
+    ghost = spark.createDataFrame([("nope",)], "k string")
+    g = cms_estimate(sketch, ghost, "k", depth=4, width=256).collect()[0]["estimate"]
+    assert g == 0
+
+
 def test_ivf_topk_recall(spark):
     from crypto_price_data_pipeline_spark.operators.similarity import (
         cosine_topk,
