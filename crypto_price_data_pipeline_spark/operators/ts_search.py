@@ -1,0 +1,104 @@
+"""Time-series subsequence similarity search ([EXT] — the UCR-style
+z-normalized Euclidean motif query, the classic operator over exactly
+the price-tick shape this engine ingests).
+
+Find the k subsequences of a per-key ordered series closest to a query
+pattern, comparing SHAPE not level: each length-m window is
+z-normalized before the distance, so a spike at $10 matches a spike at
+$10,000.
+
+Spark-first shape: windows materialize via ``collect_list`` over a
+rows-frame (no self-join, no explode — one pass over the series per
+key, shuffle only on the partition key), then mean/std/z/distance are
+higher-order array functions staged as separate projections (NOTES.md:
+HOF lambdas re-evaluate captured subtrees — stage, don't inline). The
+final top-k is TakeOrderedAndProject.
+
+At 100 TB: the frame windowing is partition-local after the one
+(key, time)-sort shuffle — the same shuffle an as-of join needs — and
+m stays in the frame, never in row count. For corpus-vs-corpus motif
+joins, block by key + LSH over SAX words before this verify step.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def znorm(pattern: list[float]) -> list[float]:
+    """Z-normalize the query pattern driver-side (population std);
+    literals are inlined so both engines see identical doubles."""
+    m = len(pattern)
+    mu = sum(pattern) / m
+    var = sum((x - mu) ** 2 for x in pattern) / m
+    sd = math.sqrt(var)
+    if sd == 0:
+        raise ValueError("constant pattern has no shape to match")
+    return [(x - mu) / sd for x in pattern]
+
+
+def subsequence_search(
+    events: DataFrame,
+    pattern: list[float],
+    key_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k z-normalized matches of ``pattern`` per the whole table.
+
+    Returns (event_id, event_type, dist) where event_id is the window's
+    first row — ordered by distance with a unique-key tiebreak."""
+    m = len(pattern)
+    q = znorm(pattern)
+    ts, eid = order_cols
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts), F.col(eid))
+        .rowsBetween(Window.currentRow, m - 1)
+    )
+    win = events.select(
+        F.col(eid), F.col(key_col), F.collect_list(value_col).over(w).alias("w")
+    ).where(F.size("w") == m)
+    with_mu = win.select(
+        eid,
+        key_col,
+        "w",
+        (F.aggregate("w", F.lit(0.0), lambda a, x: a + x) / m).alias("mu"),
+    )
+    with_sd = with_mu.select(
+        eid,
+        key_col,
+        "w",
+        "mu",
+        F.sqrt(
+            F.aggregate(
+                F.transform("w", lambda x: (x - F.col("mu")) * (x - F.col("mu"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / m
+        ).alias("sd"),
+    ).where(F.col("sd") > 0)
+    qarr = F.array(*[F.lit(v) for v in q])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.transform("w", lambda x: (x - F.col("mu")) / F.col("sd")),
+                qarr,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        with_sd.select(eid, key_col, dist.alias("dist"))
+        .orderBy("dist", eid)
+        .limit(k)
+    )

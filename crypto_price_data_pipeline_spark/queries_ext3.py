@@ -533,6 +533,60 @@ ORDER BY n_name
 """
 
 
+# ------------------------------------------- time-series subsequence search
+
+
+_TS_PATTERN = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]  # a spike
+
+
+def q_ts_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """UCR-style subsequence similarity search: the 10 length-8 windows
+    of the per-type event series whose z-normalized shape is closest to
+    a spike pattern. Windows via collect_list rows-frames (one pass, no
+    self-join); every float op is an identically-ordered sequential
+    fold on both engines, so distances are bit-exact."""
+    from .operators.ts_search import subsequence_search
+
+    events = load_table(spark, sf, "events")
+    return subsequence_search(events, _TS_PATTERN, k=10)
+
+
+def _ts_sql() -> str:
+    from .operators.ts_search import znorm
+
+    q = znorm(_TS_PATTERN)
+    qlist = "[" + ", ".join(repr(v) for v in q) + "]"
+    return f"""
+WITH win AS (
+  SELECT event_id, event_type,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM events
+),
+fw AS (SELECT * FROM win WHERE len(w) = 8),
+m1 AS (
+  SELECT event_id, event_type, w,
+         list_reduce(list_prepend(0.0, w), (a, x) -> a + x) / 8 AS mu
+  FROM fw
+),
+m2 AS (
+  SELECT event_id, event_type, w, mu,
+         sqrt(list_reduce(list_prepend(0.0,
+                list_transform(w, x -> (x - mu) * (x - mu))), (a, x) -> a + x) / 8) AS sd
+  FROM m1
+),
+m3 AS (
+  SELECT event_id, event_type,
+         sqrt(list_reduce(list_prepend(0.0,
+                list_transform(range(1, 9),
+                  i -> ((w[i] - mu) / sd - ({qlist})[i]) * ((w[i] - mu) / sd - ({qlist})[i]))),
+              (a, x) -> a + x)) AS dist
+  FROM m2 WHERE sd > 0
+)
+SELECT event_id, event_type, dist FROM m3 ORDER BY dist, event_id LIMIT 10
+"""
+
+
 # ------------------------------------------------------ count-min sketch
 
 
@@ -1092,6 +1146,7 @@ FROM documents, LATERAL (
 
 
 EXT3_QUERIES = {
+    "q_ts_similarity": q_ts_similarity,
     "q_cms_counts": q_cms_counts,
     "q_continuous_agg": q_continuous_agg,
     "q_fingerprint_md5": q_fingerprint_md5,
@@ -1119,6 +1174,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "q_ts_similarity": _ts_sql(),
     "q_cms_counts": Q_CMS_COUNTS_SQL,
     "q_continuous_agg": Q_CONTINUOUS_AGG_SQL,
     "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,

@@ -264,6 +264,28 @@ def test_multimodal_sample_frames(spark):
     assert [(r["frame_idx"], r["frame_len"]) for r in by_media[3]] == [(0, 0)]
 
 
+def test_subsequence_search_finds_planted_spike(spark):
+    from crypto_price_data_pipeline_spark.operators.ts_search import (
+        subsequence_search,
+    )
+
+    # flat series with one planted spike shape at position 20
+    rows = []
+    for i in range(60):
+        v = 100.0 + (3000.0 if i == 23 else 0.0) + (i % 3) * 0.1  # noise
+        rows.append((i, "2024-01-01 10:%02d:00" % (i % 60), "btc", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    # spike pattern: the window starting at 20 has the spike at offset 3
+    top = subsequence_search(df, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert top[0]["event_id"] == 20
+    assert top[0]["dist"] < top[1]["dist"]
+    # shape match is level-invariant: distance is tiny despite the 3000x scale
+    assert top[0]["dist"] < 0.2
+
+
 def test_count_min_sketch(spark):
     from crypto_price_data_pipeline_spark.operators.sketch import (
         cms_build,
