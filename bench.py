@@ -42,6 +42,10 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q_array_funcs",
     "q_frame_sample",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_ts_similarity",
+    "q_cms_counts",
 ]
 
 
