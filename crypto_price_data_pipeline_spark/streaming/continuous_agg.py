@@ -110,7 +110,13 @@ def read_with_tail(
     Rows at or beyond the rollup's high-water bucket are aggregated
     from raw on the fly (they may still be mutating); everything older
     comes from the precomputed table. At scale the raw side's filter
-    prunes to the newest date partition."""
+    prunes to the newest date partition.
+
+    Staleness caveat (standard for continuous aggregates): raw events
+    that land in a bucket OLDER than the high-water mark between two
+    maintenance runs are not visible until the next merge — pair the
+    maintenance stream with a watermark that matches the source's
+    lateness bound if stronger freshness is required."""
     if os.path.exists(rollup_dir):
         rollup = spark.read.parquet(rollup_dir)
         hwm = rollup.agg(F.max("bucket_start")).collect()[0][0]
