@@ -43,7 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long of
     nanoseconds — normalize to micro-precision TimestampType (truncating
     like DuckDB does) so downstream operators see one timestamp type.
+
+    The conf is set here (runtime SQL conf, idempotent) rather than only
+    in the session factory so the read also works under an externally
+    provided SparkSession (e.g. the driver's harness).
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/` — float division loses microseconds on

@@ -15,20 +15,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_STREAM_DIRS: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.types as T
 
+    import atexit
+    import shutil
     import tempfile
 
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(path):
         # the parquet file source requires a directory; expose the single
-        # file through a symlink dir (testdata is read-only)
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(d, "events.parquet"))
+        # file through a symlink dir (testdata is read-only). One cached
+        # dir per source path, removed at interpreter exit — no leak.
+        d = _STREAM_DIRS.get(path)
+        if d is None or not os.path.isdir(d):
+            d = tempfile.mkdtemp(prefix="events_stream_")
+            os.symlink(path, os.path.join(d, "events.parquet"))
+            _STREAM_DIRS[path] = d
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
         src = d
     else:
         src = path
+    # nanos-parquet rescue must be set before the schema probe — this
+    # session may be externally provided (driver harness), not ours
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(src)
     if isinstance(schema["ts"].dataType, T.LongType):  # TIMESTAMP(NANOS) file
