@@ -33,15 +33,24 @@ def asof_join(
     tolerance_seconds: int | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.on <= left.on`` (direction="backward"), matching ``by`` keys.
+    """For each left row, attach the nearest right row matching ``by``
+    keys: the latest with ``right.on <= left.on`` (backward, default),
+    the earliest with ``right.on >= left.on`` (forward), or whichever
+    of the two is closer in time (nearest; ties resolve backward —
+    pd.merge_asof's rule).
 
     Right-side columns in ``value_cols`` are carried; ties on the time
-    column resolve to the *right* row (right sorts before left at equal
-    timestamps), matching pd.merge_asof's inclusive backward semantics.
+    column are inclusive in every direction (the right row at the exact
+    left timestamp matches), matching pd.merge_asof.
+
+    Plan shape is direction-independent: tag both sides, union, one
+    shuffle on ``by``, then carry values across with last/first
+    (ignorenulls) window functions — nearest just computes both carries
+    in the same window pass and picks per-row, so it costs two sorts of
+    the same unioned relation, never a join.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = by or []
     value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
 
@@ -57,29 +66,46 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs.select(lhs.columns))
 
-    w = (
+    # backward: right sorts BEFORE left at equal timestamps so the
+    # trailing window includes it; forward mirrors (right after left)
+    bw = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *unioned.columns,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in value_cols],
-        F.max(F.when(F.col("_is_left") == 0, F.col(on))).over(w).alias("_c_rt"),
+    fw = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = carried.where(F.col("_is_left") == 1)
-    if tolerance_seconds is not None:
-        within = (
-            F.col("_c_rt").isNotNull()
-            & (F.unix_timestamp(F.col(on)) - F.unix_timestamp("_c_rt") <= tolerance_seconds)
-        )
-        out = out.select(
-            *left.columns,
-            *[F.when(within, F.col(f"_c_{c}")).alias(c) for c in value_cols],
-        )
+    sel = list(unioned.columns)
+    if direction in ("backward", "nearest"):
+        sel += [F.last(f"_r_{c}", ignorenulls=True).over(bw).alias(f"_b_{c}") for c in value_cols]
+        sel.append(F.max(F.when(F.col("_is_left") == 0, F.col(on))).over(bw).alias("_b_rt"))
+    if direction in ("forward", "nearest"):
+        sel += [F.first(f"_r_{c}", ignorenulls=True).over(fw).alias(f"_f_{c}") for c in value_cols]
+        sel.append(F.min(F.when(F.col("_is_left") == 0, F.col(on))).over(fw).alias("_f_rt"))
+    out = unioned.select(*sel).where(F.col("_is_left") == 1)
+
+    # eligibility per side: a matched right timestamp exists and (when
+    # a tolerance is given) lies within it. Timestamp→double keeps
+    # sub-second precision (unix_timestamp truncates to seconds).
+    t = F.col(on).cast("double")
+    d_b = t - F.col("_b_rt").cast("double")
+    d_f = F.col("_f_rt").cast("double") - t
+    tol_ok = (lambda d: d <= F.lit(float(tolerance_seconds))) if tolerance_seconds is not None else (lambda d: F.lit(True))
+    if direction == "backward":
+        pick = lambda c: F.when(F.col("_b_rt").isNotNull() & tol_ok(d_b), F.col(f"_b_{c}"))  # noqa: E731
+    elif direction == "forward":
+        pick = lambda c: F.when(F.col("_f_rt").isNotNull() & tol_ok(d_f), F.col(f"_f_{c}"))  # noqa: E731
     else:
-        out = out.select(*left.columns, *[F.col(f"_c_{c}").alias(c) for c in value_cols])
-    return out
+        elig_b = F.col("_b_rt").isNotNull() & tol_ok(d_b)
+        elig_f = F.col("_f_rt").isNotNull() & tol_ok(d_f)
+        use_b = elig_b & (~elig_f | (d_b <= d_f))  # tie → backward
+        pick = lambda c: F.when(use_b, F.col(f"_b_{c}")).when(  # noqa: E731
+            elig_f, F.col(f"_f_{c}")
+        )
+    return out.select(*left.columns, *[pick(c).alias(c) for c in value_cols])
 
 
 def asof_join_pandas(
@@ -88,6 +114,7 @@ def asof_join_pandas(
     on: str,
     by: list[str],
     value_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """merge_asof per key group via applyInPandas (semantic cross-check)."""
     import pandas as pd
@@ -104,7 +131,7 @@ def asof_join_pandas(
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.sort_values(on)
         rpdf = rpdf.sort_values(on)[[on] + value_cols]
-        merged = pd.merge_asof(lpdf, rpdf, on=on, direction="backward")
+        merged = pd.merge_asof(lpdf, rpdf, on=on, direction=direction)
         return merged[l_cols + value_cols]
 
     return left.groupBy(*keys).cogroup(right.groupBy(*keys)).applyInPandas(merge, out_schema)

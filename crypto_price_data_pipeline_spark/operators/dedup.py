@@ -282,10 +282,38 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on each of four 16-bit bands
-    (any pair within Hamming distance 3 of 64 bits shares at least one
-    exact band — pigeonhole), then verify with ``bit_count(xor)``."""
+    """Near-dup pairs by SimHash banding, verified with ``bit_count(xor)``.
+
+    Pigeonhole recall guarantee: the fingerprint's low ``bands*bits``
+    (≤64) bits split into ``bands`` disjoint blocks; a pair within
+    Hamming distance ``bands-1`` (over the full 64 bits) has at most
+    ``bands-1`` differing bits landing in the blocks, so at least one
+    block matches exactly. Hence ``max_hamming <= bands - 1`` is
+    required for exact recall — the default 4×16 covers Hamming ≤3,
+    ``bands=6, bits=10`` covers Hamming ≤5.
+
+    Occupancy / cost model (size the banding to the corpus): with n
+    docs and uniform fingerprints, a band bucket holds ~n/2^bits docs
+    and candidate generation costs ~bands · n²/2^(bits+1) pairs. At
+    n=10⁶, 16-bit bands → ~15 docs/bucket (fine); at n=10⁹ → ~15k
+    docs/bucket → ~10¹³ pairs (not fine). Fixes at that scale: raise
+    ``bits`` and lower ``max_hamming`` accordingly (needs
+    bands*bits ≤ 64), add a cheap second blocking key (e.g. a length
+    bucket) to the join, or move to combination blocking (choose
+    bands-d of bands sub-blocks as a 'super-band' key), which trades
+    key replication for 2^(d·bits) sharper buckets.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole recall guarantee"
+        )
+    if bands * bits > 64:
+        raise ValueError("bands * bits must fit in the 64-bit fingerprint")
+    mask = (1 << bits) - 1
     sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
@@ -295,11 +323,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", bits * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
-                    for i in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("bb"),
@@ -316,6 +344,93 @@ def simhash_pairs(
             F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def minhash_then_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    block_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs at scale: MinHash-LSH candidates →
+    exact verify. The scale path for ``ngram_jaccard_pairs`` — exact
+    Jaccard is only ever computed on the banding candidates, never
+    block-wide, so pair work is candidate-proportional at any corpus
+    size instead of O(n²/|blocks|).
+
+    Recall: a pair at Jaccard s survives banding with probability
+    1-(1-s^r)^b (r = num_hashes/bands rows per band). The default
+    r=2, b=32 gives miss ≈ (1-s²)^32 — 0.4% at s=0.5, 4·10⁻⁷ at
+    s=0.7 — so at production thresholds the candidate set dominates
+    the exact pair set with near-certain recall; tighten r=1 (b=64)
+    only when pairs sitting exactly at a low threshold must not be
+    missed. ``block_cols`` (e.g. ["lang"]) additionally restricts
+    candidates to matching blocks, mirroring the blocked exact
+    operator's semantics.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard computed
+    on the exact k-shingle sets and filtered at ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    block_cols = list(block_cols or [])
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed)
+    if block_cols:
+        sig = sig.join(df.select(id_col, *block_cols), id_col)
+    sig = sig.persist()
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.size("_shingles").alias("_n"),
+        *block_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("_minhash", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_n", *block_cols, "bb.band", "bb.bucket")
+
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"), *block_cols, "band", "bucket"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"), *block_cols, "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket", *block_cols])
+        .where(F.col("id_a") < F.col("id_b"))
+        # lossless size-ratio prune (J <= min/max) before the dedup
+        # shuffle and the array join
+        .where(F.least("_n_a", "_n_b") >= F.lit(threshold) * F.greatest("_n_a", "_n_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sig.select(F.col(id_col).alias("_sid"), "_shingles")
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b"))
+        / F.size(F.array_union("_sh_a", "_sh_b"))
+    ).alias("jaccard")
+    return (
+        pairs.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shingles").alias("_sh_a")), "id_a")
+        .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shingles").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", jac)
+        .where(F.col("jaccard") >= threshold)
     )
 
 

