@@ -43,6 +43,7 @@ HEADLINE = [
     "q_array_funcs",
     "q_frame_sample",
     "q_ngram_jaccard",
+    "q_minhash_exact",
     "q_embedding_neardup",
     "q_ts_similarity",
     "q_cms_counts",
@@ -103,18 +104,48 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev_round, prev = _latest_prior_bench()
+    if prev is not None and prev.get("sf") == sf:
+        out["prev_round"] = prev_round
+        out["delta_vs_prev"] = {
+            name: round(t - prev["queries"][name], 3)
+            for name, t in timings.items()
+            if name in prev.get("queries", {})
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_prior_bench() -> tuple[int | None, dict | None]:
+    """Newest BENCH_r{N}.json in the repo root — the prior round's
+    numbers, so per-query regressions surface in this round's output
+    instead of requiring archaeology across files."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = None, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is None or n > best_n:
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+                # the driver wraps bench.py's JSON line under "parsed"
+                best_n, best = n, data.get("parsed", data)
+            except (OSError, json.JSONDecodeError):
+                continue
+    return best_n, best
 
 
 if __name__ == "__main__":

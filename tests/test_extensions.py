@@ -256,3 +256,32 @@ def test_pandas_udfs(spark):
     assert abs(rows["a"][0] - 10.0) < 1e-9  # sqrt(1*100)
     assert abs(rows["b"][0] - 6.0) < 1e-9  # sqrt(36)
     assert math.isfinite(rows["a"][1])
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """Exercise the JDBC sink + source against the Derby embedded engine
+    (ships in pyspark's jars) — an in-JVM stand-in for the reference's
+    Postgres warehouse append (bpi_crawler.py:173 to_sql)."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.io.sinks import jdbc_append
+    from crypto_price_data_pipeline_spark.io.sources import jdbc_read
+
+    url = "jdbc:derby:memory:graftdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "USD", 42.5), (2, "EUR", 39.1)], "id int, code string, rate double"
+    )
+    try:
+        # Spark maps StringType -> CLOB on Derby, which can't be compared
+        # in a pushed-down predicate; give the DDL an explicit VARCHAR
+        jdbc_append(
+            df, url, "rates", {**props, "createTableColumnTypes": "code VARCHAR(16)"}
+        )
+    except Exception as e:  # pragma: no cover - driver genuinely absent
+        pytest.skip(f"embedded Derby unavailable: {e}")
+    jdbc_append(df.where("id = 1"), url, "rates", props)  # append semantics
+    back = jdbc_read(spark, url, "rates", props)
+    assert back.count() == 3
+    assert back.where("code = 'USD'").count() == 2
+    assert {r["code"] for r in back.collect()} == {"USD", "EUR"}
