@@ -88,12 +88,24 @@ def asof_join(
     out = unioned.select(*sel).where(F.col("_is_left") == 1)
 
     # eligibility per side: a matched right timestamp exists and (when
-    # a tolerance is given) lies within it. Timestamp→double keeps
-    # sub-second precision (unix_timestamp truncates to seconds).
-    t = F.col(on).cast("double")
-    d_b = t - F.col("_b_rt").cast("double")
-    d_f = F.col("_f_rt").cast("double") - t
-    tol_ok = (lambda d: d <= F.lit(float(tolerance_seconds))) if tolerance_seconds is not None else (lambda d: F.lit(True))
+    # a tolerance is given) lies within it. Timestamps compare in
+    # integer microseconds — exact, so the nearest tie-break can't
+    # drift from an integer-arithmetic oracle (unix_timestamp truncates
+    # to seconds; double epoch has float rounding).
+    from pyspark.sql import types as T
+
+    if isinstance(left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)):
+        num, tol_lit = F.unix_micros, (
+            None if tolerance_seconds is None else F.lit(int(tolerance_seconds * 1_000_000))
+        )
+    else:
+        num, tol_lit = (lambda c: c.cast("double")), (
+            None if tolerance_seconds is None else F.lit(float(tolerance_seconds))
+        )
+    t = num(F.col(on))
+    d_b = t - num(F.col("_b_rt"))
+    d_f = num(F.col("_f_rt")) - t
+    tol_ok = (lambda d: d <= tol_lit) if tolerance_seconds is not None else (lambda d: F.lit(True))
     if direction == "backward":
         pick = lambda c: F.when(F.col("_b_rt").isNotNull() & tol_ok(d_b), F.col(f"_b_{c}"))  # noqa: E731
     elif direction == "forward":

@@ -517,6 +517,50 @@ ASOF LEFT JOIN (SELECT user_id, ts, value AS last_click_value
 """
 
 
+def _asof_direction_query(spark: SparkSession, sf: str, direction: str, out_col: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(_col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(_col("event_type") == "click").select(
+        "user_id", "ts", _col("value").alias(out_col)
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"], direction=direction)
+    return out.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+
+def q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: each purchase gets the next click value at or
+    after it (same union+window plan as backward, mirrored frame).
+    Oracle: correlated first-row-ahead subquery."""
+    return _asof_direction_query(spark, sf, "forward", "next_click_value")
+
+
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of: closest click either side, ties backward —
+    exercises the integer-microsecond distance compare."""
+    return _asof_direction_query(spark, sf, "nearest", "nearest_click_value")
+
+
+Q_ASOF_FORWARD_SQL = """
+SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.value,
+       (SELECT r.value FROM events r
+         WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts >= l.ts
+         ORDER BY r.ts LIMIT 1) AS next_click_value
+FROM events l WHERE l.event_type = 'purchase'
+"""
+
+Q_ASOF_NEAREST_SQL = """
+SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.value,
+       (SELECT r.value FROM events r
+         WHERE r.event_type = 'click' AND r.user_id = l.user_id
+         ORDER BY ABS(epoch_us(r.ts) - epoch_us(l.ts)) ASC, r.ts ASC LIMIT 1) AS nearest_click_value
+FROM events l WHERE l.event_type = 'purchase'
+"""
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap cut via lag + running sum, then
     per-user session/event counts."""
@@ -958,6 +1002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_above_brand_avg": q_above_brand_avg,
     "q_band_join": q_band_join,
     "q_asof_join": q_asof_join,
+    "q_asof_forward": q_asof_forward,
+    "q_asof_nearest": q_asof_nearest,
     "q_sessionize": q_sessionize,
     "q_time_bucket_ohlc": q_time_bucket_ohlc,
     "q_bpi_pipeline": q_bpi_pipeline,
@@ -995,6 +1041,8 @@ ORACLES: dict[str, str] = {
     "q_above_brand_avg": Q_ABOVE_AVG_SQL,
     "q_band_join": Q_BAND_JOIN_SQL,
     "q_asof_join": Q_ASOF_SQL,
+    "q_asof_forward": Q_ASOF_FORWARD_SQL,
+    "q_asof_nearest": Q_ASOF_NEAREST_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_time_bucket_ohlc": Q_OHLC_SQL,
     "q_bpi_pipeline": _bpi_oracle(),
