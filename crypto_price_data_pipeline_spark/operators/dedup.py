@@ -347,6 +347,70 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_combination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs via combination blocking — the 10⁹⁺-doc
+    form of ``simhash_pairs``.
+
+    The fingerprint splits into ``blocks`` sub-blocks of 64/blocks bits.
+    A pair within Hamming distance d has ≤d dirty sub-blocks, so some
+    (blocks-d)-subset of sub-blocks is clean on both sides — block on
+    every C(blocks, d) such subset (concatenated into one wide key)
+    and the pair collides on at least one. Same exact-recall guarantee
+    as banding, but each key carries (blocks-d)·(64/blocks) bits
+    instead of 64/bands: with blocks=8, d=3 that is 40-bit buckets
+    (occupancy n/2⁴⁰ — empty until n≈10¹²) at the cost of C(8,3)=56
+    key replicas per doc. Replication grows as C(blocks, d): use for
+    small Hamming radii (d ≤ 4); fall back to plain banding + a second
+    blocking key for loose radii.
+    """
+    from itertools import combinations
+
+    if not 0 < max_hamming < blocks:
+        raise ValueError("need 0 < max_hamming < blocks")
+    bits = 64 // blocks
+    mask = (1 << bits) - 1
+    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash")
+
+    def _block(i: int) -> Column:
+        return F.shiftright("simhash", bits * i).bitwiseAND(F.lit(mask))
+
+    combos = list(combinations(range(blocks), blocks - max_hamming))
+    banded = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("comb"),
+                        F.xxhash64(*[_block(i) for i in combo]).alias("bucket"),
+                    )
+                    for ci, combo in enumerate(combos)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.comb", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_h_a"), "comb", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_h_b"), "comb", "bucket")
+    return (
+        a.join(b, ["comb", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_then_exact(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -215,6 +215,26 @@ def test_simhash_banding_parameterized(spark):
         simhash_pairs(_docs(spark), max_hamming=3, bands=5, bits=16)
 
 
+def test_simhash_combination_blocking_equals_banding(spark):
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_combination,
+    )
+
+    docs = _docs(spark)
+    # both have exact recall at Hamming <=3, so pair sets must agree
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, bands=4, bits=16).collect()
+    }
+    combo = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_combination(docs, max_hamming=3, blocks=8).collect()
+    }
+    assert banded == combo
+    assert combo[(1, 4)] == 0  # exact dup pair always present
+
+
 def test_minhash_then_exact_equals_exhaustive(spark):
     from crypto_price_data_pipeline_spark.operators.dedup import (
         minhash_then_exact,
