@@ -139,3 +139,23 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         shutil.rmtree(wh, ignore_errors=True)
+
+def test_asof_nearest_single_shuffle(spark):
+    """nearest as-of computes both direction carries over the SAME hash
+    partitioning: one Exchange, two Sorts — never a second shuffle or a
+    join."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q_asof_nearest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_exact_no_cartesian(spark):
+    """The chained exact-Jaccard path must stay candidate-proportional:
+    only equi-joins (band/bucket and id joins), never a cross product."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_minhash_exact"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
