@@ -47,6 +47,8 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_ts_similarity",
     "q_cms_counts",
+    "q_pii_scrub",
+    "q_tfidf_terms",
 ]
 
 

@@ -100,6 +100,27 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(out_col, pred)
 
 
+# PII patterns chosen for identical semantics under Java regex (Spark)
+# and RE2 (DuckDB/Go scrubbers): no backreferences, no lookaround.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and E.164-style phone numbers
+    with placeholder tokens — the standard pre-training privacy pass.
+    Pure ``regexp_replace`` chain: JVM-side codegen, engine-portable
+    patterns (order matters: emails first so their digit runs can't be
+    half-eaten by the IP/phone rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic rolling-hash fingerprint of the token stream:
     fold h = rotl(h, 5) XOR xxhash64(token) (order-sensitive; equal

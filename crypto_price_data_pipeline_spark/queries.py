@@ -1065,6 +1065,7 @@ ORACLES: dict[str, str] = {
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from .queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
 from .queries_ext3 import EXT3_ORACLES, EXT3_QUERIES  # noqa: E402
+from .queries_ext4 import EXT4_ORACLES, EXT4_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
@@ -1072,3 +1073,5 @@ QUERIES.update(EXT2_QUERIES)
 ORACLES.update(EXT2_ORACLES)
 QUERIES.update(EXT3_QUERIES)
 ORACLES.update(EXT3_ORACLES)
+QUERIES.update(EXT4_QUERIES)
+ORACLES.update(EXT4_ORACLES)

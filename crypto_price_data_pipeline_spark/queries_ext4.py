@@ -1,0 +1,202 @@
+"""Fifth coverage wave: training-data-pipeline operations over the
+documents corpus — PII scrubbing, deterministic stratified sampling,
+length-distribution profiling, and TF-IDF term ranking.
+
+Registered into QUERIES/ORACLES by queries.py. Same determinism
+contract as queries.py. The PII query PLANTS deterministic PII into
+the (synthetic, PII-free) corpus on both engines so the oracle
+actually exercises the scrub patterns rather than passing on identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .io.sources import load_table
+
+
+# ----------------------------------------------------------- PII scrub
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy pass for pre-training corpora: plant a deterministic
+    email / IPv4 / phone per doc, then scrub with the engine-portable
+    regex chain (`operators.text.pii_scrub`). The oracle runs the same
+    plant + scrub in DuckDB (RE2) — bit-exact equality proves the
+    patterns behave identically across regex engines, which is the
+    portability property a multi-engine lakehouse needs."""
+    from .operators.text import pii_scrub
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +14155550199 ok"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id", pii_scrub("text").alias("text_clean")
+    ).orderBy("doc_id")
+
+
+Q_PII_SCRUB_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 call +14155550199 ok',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+\d{7,15}', '<PHONE>', 'g') AS text_clean
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------- stratified hash sampling
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: the same md5-prefix rule
+    applied within every language stratum keeps ~25% of each language
+    regardless of stratum skew — the reproducible way to carve
+    experiment subsets per domain/language at 100 TB (`df.sampleBy`
+    uses engine-local RNG and can never be reproduced elsewhere).
+    Returns the per-stratum sample sizes plus the sampled doc rows'
+    checksum so the oracle pins membership, not just counts."""
+    docs = load_table(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sample = docs.where(bucket.isin("0", "1", "2", "3"))
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------- length distribution
+
+
+def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus length profile: width-100-char buckets per language —
+    the standard pre-filter diagnostic before length cutoffs. Pure
+    map-side bucketing + one hash aggregate."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy(
+            "lang", (F.col("n_chars") / F.lit(100)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+Q_LENGTH_HISTOGRAM_SQL = """
+SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, n_chars // 100
+ORDER BY lang, bucket
+"""
+
+
+# --------------------------------------------------- TF-IDF term ranking
+
+
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 characteristic terms per language by a rational TF-IDF
+    (tf · n_docs/df — the log-free form keeps the score exact-rational
+    so it hash-matches across engines; ln is excluded from oracles by
+    the determinism contract). Two hash aggregates + a broadcast-sized
+    doc-frequency join + per-lang top-k window."""
+    docs = load_table(spark, sf, "documents")
+    from .operators.text import tokenize
+
+    words = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("term")
+    )
+    tf = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rnk")
+        .orderBy("lang", "rnk")
+    )
+
+
+Q_TFIDF_TERMS_SQL = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM words GROUP BY lang, term),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, tf.term AS term, tf, df,
+         tf * CAST((SELECT n_docs FROM n) AS DOUBLE) / df AS score
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT lang, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT lang, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+"""
+
+
+EXT4_QUERIES = {
+    "q_pii_scrub": q_pii_scrub,
+    "q_stratified_sample": q_stratified_sample,
+    "q_length_histogram": q_length_histogram,
+    "q_tfidf_terms": q_tfidf_terms,
+}
+
+EXT4_ORACLES = {
+    "q_pii_scrub": Q_PII_SCRUB_SQL,
+    "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "q_length_histogram": Q_LENGTH_HISTOGRAM_SQL,
+    "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
+}

