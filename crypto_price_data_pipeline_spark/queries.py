@@ -926,11 +926,12 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming blocking). rows-only."""
+    """SimHash near-dup pairs (banded Hamming blocking; 9 bands × 7
+    bits covers the Hamming-8 budget by pigeonhole). rows-only."""
     from .operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=8)
+    return simhash_pairs(docs, max_hamming=8, bands=9, bits=7)
 
 
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -187,11 +187,52 @@ FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
 """
 
 
+# ------------------------------------------------------ salted skew join
+
+
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated fact join: lineitem (skewed side, salted over 8
+    deterministic buckets) ⨝ orders (replicated ×8), then priority
+    revenue rollup. Salting is semantics-preserving, so the oracle is
+    the PLAIN join — equality proves the rewrite changes the physical
+    distribution only. This is the portable fallback for hot keys AQE
+    can't split (skewed broadcast or aggregation keys)."""
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    # join keys differ by name: align first (salted_join needs equal names)
+    li2 = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    joined = salted_join(li2, orders, on=["o_orderkey"], how="inner", salt_buckets=8)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(revenue.cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_SALTED_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 EXT4_QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_stratified_sample": q_stratified_sample,
     "q_length_histogram": q_length_histogram,
     "q_tfidf_terms": q_tfidf_terms,
+    "q_salted_join": q_salted_join,
 }
 
 EXT4_ORACLES = {
@@ -199,4 +240,5 @@ EXT4_ORACLES = {
     "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "q_length_histogram": Q_LENGTH_HISTOGRAM_SQL,
     "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
+    "q_salted_join": Q_SALTED_JOIN_SQL,
 }
