@@ -227,12 +227,39 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------ stream-stream join
+
+
+def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (purchase ↔ same-user clicks in the
+    prior hour) executed through real Structured Streaming machinery
+    (watermarked both sides, availableNow replay), rolled up per user.
+    Oracle: the equivalent batch interval join — full-replay streaming
+    ≡ batch is the correctness invariant."""
+    from .streaming.windows import stream_click_attribution
+
+    return stream_click_attribution(spark, sf, gap="1 hour")
+
+
+Q_STREAM_JOIN_SQL = """
+SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases,
+       CAST(SUM(CAST(c.value AS DECIMAL(38,6))) AS DOUBLE) AS click_value_sum
+FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.user_id ORDER BY user_id
+"""
+
+
 EXT4_QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_stratified_sample": q_stratified_sample,
     "q_length_histogram": q_length_histogram,
     "q_tfidf_terms": q_tfidf_terms,
     "q_salted_join": q_salted_join,
+    "q_stream_join": q_stream_join,
 }
 
 EXT4_ORACLES = {
@@ -241,4 +268,5 @@ EXT4_ORACLES = {
     "q_length_histogram": Q_LENGTH_HISTOGRAM_SQL,
     "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
     "q_salted_join": Q_SALTED_JOIN_SQL,
+    "q_stream_join": Q_STREAM_JOIN_SQL,
 }

@@ -122,6 +122,81 @@ def session_windows(
     )
 
 
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each purchase pairs with the same user's clicks in the preceding
+    ``gap``. Watermarks on BOTH sides bound the join state — without
+    them the engine would buffer each stream forever; with them click
+    state older than (watermark + gap) is evicted. This is the
+    Structured Streaming idiom for funnel/attribution joins; at scale
+    the state store keys by (user, time-bucket) and the interval
+    condition prunes the probe range."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {gap}"
+        ),
+        "inner",
+    ).drop("c_user")
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -> DataFrame:
+    """Run the purchase↔click interval join as a real streaming query
+    (availableNow → memory sink), then roll the joined pairs up per
+    user in batch. Replaying the whole table through the stream makes
+    the result equal the batch interval join, which the DuckDB oracle
+    checks."""
+    ev = _events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        gap=gap,
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_purchases"),
+            F.sum(F.col("click_value").cast("decimal(38,6)")).cast("double").alias("click_value_sum"),
+        )
+        .orderBy("user_id")
+    )
+    # materialize before the memory sink is dropped by later queries
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on the business key within the watermark horizon
     — the engine-level replacement for the reference's manual
