@@ -146,6 +146,15 @@ def compact_parquet(
     return n_files
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (overwrite) — interchange with Hive/Trino-flavored
+    lakes; same partition-layout contract as the parquet sinks."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """Literal-parity warehouse sink (reference: bpi_crawler.py:173
     pandas.to_sql append). Driver jar required; gated by caller."""

@@ -114,6 +114,13 @@ def read_text_corpus(spark: SparkSession, path: str, whole_file: bool = False) -
     return spark.read.text(path, wholetext=whole_file)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark) — same pushdown/pruning properties
+    as parquet; the interchange format when the upstream lake is
+    Hive/Trino-flavored."""
+    return spark.read.orc(path)
+
+
 def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict | None = None) -> DataFrame:
     """JDBC source (warehouse read-back). Needs the driver jar on the
     classpath; at scale add partitionColumn/lowerBound/upperBound/

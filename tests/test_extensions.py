@@ -285,3 +285,25 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     assert back.count() == 3
     assert back.where("code = 'USD'").count() == 2
     assert {r["code"] for r in back.collect()} == {"USD", "EUR"}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.io.sinks import write_orc
+    from crypto_price_data_pipeline_spark.io.sources import read_orc
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    filtered = back.where(F.col("part") == 2)
+    assert filtered.count() == 25
+    # partition pruning must reach the ORC scan
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
