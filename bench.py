@@ -81,6 +81,11 @@ def main() -> None:
     QUERIES["q_stream_ohlc"](spark, sf_dir).count()
     timings["stream_ohlc_e2e"] = round(time.time() - t0, 3)
 
+    # watermarked stream-stream interval join e2e (state stores both sides)
+    t0 = time.time()
+    QUERIES["q_stream_join"](spark, sf_dir).count()
+    timings["stream_join_e2e"] = round(time.time() - t0, 3)
+
     # written-sink path: snappy-parquet append of the enriched lineitem
     # projection (measures the write pipeline, not just scans)
     import shutil

