@@ -227,6 +227,112 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------- column profiling
+
+
+def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-profiling pass (null counts + exact distinct cardinality
+    per column) — the expectation-gate companion every ingest pipeline
+    runs before publishing a table. One aggregate over one scan
+    produces every column's stats; the long format comes from a
+    zero-shuffle stack on the 1-row result."""
+    orders = load_table(spark, sf, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"_d_{c}") for c in cols],
+    )
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _d_{c}" for c in cols
+    )
+    return (
+        agg.select(
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+            ),
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("col_name")
+    )
+
+
+Q_PROFILE_STATS_SQL = """
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice) FROM orders
+ORDER BY col_name
+"""
+
+
+# ------------------------------------------------------- SCD2 history
+
+
+def q_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension history from the event stream: per-user value
+    tier, versioned with effective_from/effective_to/is_current and
+    consecutive-duplicate suppression — one window shuffle, no
+    self-join (`operators.scd.scd2_history`). Snapshots are first
+    deduped to one per (user, ts) with MIN(tier) so window order is
+    total in both engines."""
+    from .operators.scd import scd2_history
+
+    ev = load_table(spark, sf, "events")
+    tier = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    snaps = (
+        ev.select("user_id", "ts", tier.alias("tier"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("tier").alias("tier"))
+    )
+    hist = scd2_history(snaps, ["user_id"], "ts", ["tier"])
+    return hist.select(
+        "user_id",
+        F.date_format("effective_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("effective_from"),
+        F.date_format("effective_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("effective_to"),
+        "tier",
+        "is_current",
+    ).orderBy("user_id", "effective_from")
+
+
+Q_SCD2_SQL = """
+WITH snaps AS (
+  SELECT user_id, ts,
+         MIN(CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 150 THEN 'mid' ELSE 'high' END) AS tier
+  FROM events GROUP BY user_id, ts
+),
+marked AS (
+  SELECT user_id, ts, tier,
+         CASE WHEN LAG(tier) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS DISTINCT FROM tier
+              THEN 1 ELSE 0 END AS newv
+  FROM snaps
+),
+vers AS (SELECT user_id, ts, tier FROM marked WHERE newv = 1)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+       tier,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM vers ORDER BY user_id, effective_from
+"""
+
+
 # ------------------------------------------------ stream-stream join
 
 
@@ -260,6 +366,8 @@ EXT4_QUERIES = {
     "q_tfidf_terms": q_tfidf_terms,
     "q_salted_join": q_salted_join,
     "q_stream_join": q_stream_join,
+    "q_scd2": q_scd2,
+    "q_profile_stats": q_profile_stats,
 }
 
 EXT4_ORACLES = {
@@ -269,4 +377,6 @@ EXT4_ORACLES = {
     "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
     "q_salted_join": Q_SALTED_JOIN_SQL,
     "q_stream_join": Q_STREAM_JOIN_SQL,
+    "q_scd2": Q_SCD2_SQL,
+    "q_profile_stats": Q_PROFILE_STATS_SQL,
 }

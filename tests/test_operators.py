@@ -487,3 +487,62 @@ def test_pii_scrub(spark):
     # dotted version strings: the leading 4 octets do match the IPv4
     # pattern (word boundary at the digit edge) — documented behavior
     assert "<EMAIL>" not in got[5]
+
+
+def test_scd2_history_suppresses_unchanged(spark):
+    from crypto_price_data_pipeline_spark.operators.scd import scd2_history
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "bronze"),
+            (1, "2024-01-02", "bronze"),   # unchanged → suppressed
+            (1, "2024-01-03", "silver"),
+            (1, "2024-01-04", "gold"),
+            (2, "2024-01-01", "gold"),
+        ],
+        "uid int, ts string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = [
+        (r["uid"], str(r["effective_from"])[:10],
+         None if r["effective_to"] is None else str(r["effective_to"])[:10],
+         r["tier"], r["is_current"])
+        for r in scd2_history(snaps, ["uid"], "ts", ["tier"])
+        .orderBy("uid", "effective_from")
+        .collect()
+    ]
+    assert rows == [
+        (1, "2024-01-01", "2024-01-03", "bronze", False),
+        (1, "2024-01-03", "2024-01-04", "silver", False),
+        (1, "2024-01-04", None, "gold", True),
+        (2, "2024-01-01", None, "gold", True),
+    ]
+    # without suppression every snapshot is a version
+    assert scd2_history(snaps, ["uid"], "ts", ["tier"], suppress_unchanged=False).count() == 5
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from crypto_price_data_pipeline_spark.operators.skew import salted_join
+
+    # 90% of rows share one hot key
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    out = salted_join(skewed, dim, on=["k"], salt_buckets=8)
+    plain = skewed.join(dim, "k")
+    assert out.count() == plain.count()  # semantics preserved
+    # the hot key's rows must occupy >1 salt bucket (i.e. >1 join task)
+    n_salts = (
+        skewed.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8)),
+        )
+        .where(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
