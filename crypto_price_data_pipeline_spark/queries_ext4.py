@@ -227,6 +227,127 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------- cluster representative selection
+
+
+def q_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup collapse, the full LLM-corpus pattern in one
+    query: embedding near-dup pairs → connected components → join the
+    documents table → keep ONE representative per cluster (longest
+    text, min-id tiebreak). Exercises the iterative component operator,
+    a cross-table id join, and deterministic per-group top-1 — oracle
+    recomputes everything incl. the transitive closure recursively."""
+    from .operators.components import connected_components
+    from .queries_ext import embedding_neardup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    pairs = embedding_neardup_pairs(spark, sf, threshold=0.3).select("id_a", "id_b")
+    comp = connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    ).withColumnRenamed("component", "cluster_id")
+    joined = comp.join(docs, comp["vec_id"] == docs["doc_id"])
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+Q_CLUSTER_REPRESENTATIVES_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 9) >= 0.3
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(n, l) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+clusters AS (SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n),
+members AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d ON d.doc_id = c.vec_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM members WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+# --------------------------------------------- token-budget corpus mix
+
+
+def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing selection: within each language take the
+    longest-first documents until a 5,000-token budget fills — the
+    greedy per-domain sampling step of training-corpus construction.
+    One window pass: running token total per lang, keep rows whose
+    PRIOR total is under budget (so the doc crossing the line is
+    included — standard greedy fill)."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf, "documents")
+    with_tok = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("n_tokens").over(w)
+    return (
+        with_tok.withColumn("running_tokens", run.cast("long"))
+        .where(F.col("running_tokens") - F.col("n_tokens") < 5000)
+        .orderBy("lang", F.col("n_chars").desc(), "doc_id")
+        .select("lang", "doc_id", "n_tokens", "running_tokens")
+    )
+
+
+Q_TOKEN_BUDGET_MIX_SQL = """
+WITH with_tok AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT lang, doc_id, n_chars, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_tokens
+  FROM with_tok
+)
+SELECT lang, doc_id, n_tokens, running_tokens
+FROM run WHERE running_tokens - n_tokens < 5000
+ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
 # --------------------------------------------------- column profiling
 
 
@@ -368,6 +489,8 @@ EXT4_QUERIES = {
     "q_stream_join": q_stream_join,
     "q_scd2": q_scd2,
     "q_profile_stats": q_profile_stats,
+    "q_cluster_representatives": q_cluster_representatives,
+    "q_token_budget_mix": q_token_budget_mix,
 }
 
 EXT4_ORACLES = {
@@ -379,4 +502,6 @@ EXT4_ORACLES = {
     "q_stream_join": Q_STREAM_JOIN_SQL,
     "q_scd2": Q_SCD2_SQL,
     "q_profile_stats": Q_PROFILE_STATS_SQL,
+    "q_cluster_representatives": Q_CLUSTER_REPRESENTATIVES_SQL,
+    "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
 }
