@@ -227,6 +227,45 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------ map higher-order fns
+
+
+def q_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-typed higher-order functions: per-user event-type counts
+    packed into a map (map_from_entries ∘ collect_list), doubled with
+    transform_values, pruned with map_filter, exploded back to rows.
+    The oracle computes the equivalent relational GROUP BY + HAVING —
+    equality proves the map pipeline preserves multiset semantics
+    (collect_list order never leaks: maps are unordered and the output
+    re-sorts)."""
+    ev = load_table(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    m2 = m.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * 2), lambda k, v: v >= 4
+        ).alias("m"),
+    )
+    return (
+        m2.select("user_id", F.explode("m").alias("event_type", "n2"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+Q_MAP_FUNCS_SQL = """
+SELECT user_id, event_type, COUNT(*) * 2 AS n2
+FROM events
+GROUP BY user_id, event_type
+HAVING COUNT(*) * 2 >= 4
+ORDER BY user_id, event_type
+"""
+
+
 # ------------------------------------- cluster representative selection
 
 
@@ -491,6 +530,7 @@ EXT4_QUERIES = {
     "q_profile_stats": q_profile_stats,
     "q_cluster_representatives": q_cluster_representatives,
     "q_token_budget_mix": q_token_budget_mix,
+    "q_map_funcs": q_map_funcs,
 }
 
 EXT4_ORACLES = {
@@ -504,4 +544,5 @@ EXT4_ORACLES = {
     "q_profile_stats": Q_PROFILE_STATS_SQL,
     "q_cluster_representatives": Q_CLUSTER_REPRESENTATIVES_SQL,
     "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
+    "q_map_funcs": Q_MAP_FUNCS_SQL,
 }
