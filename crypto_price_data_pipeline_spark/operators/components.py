@@ -28,33 +28,41 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "id",
     max_iter: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, component) with component = min node id reachable.
 
     ``nodes``: one column ``id_col`` (all ids, including isolated ones —
     they come back as singleton components). ``pairs``: columns
     (id_a, id_b), undirected.
+
+    ``num_partitions`` sizes every round's shuffle: the per-round cost
+    has a fixed term ∝ partitions × rounds (task launch, checkpoint
+    blocks), so size it to the GRAPH, not the cluster default — a few
+    for thousands of nodes, thousands for billions. None keeps the
+    session default (AQE still coalesces the joins, but checkpointed
+    round outputs keep their width).
     """
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("n"), F.col(id_col).alias("l")
-    ).localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("l"))
+    if num_partitions is not None:
+        edges = edges.repartition(num_partitions, "s")
+        labels = labels.repartition(num_partitions, "n")
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("l")).collect()[0][0]
 
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["s"] == labels["n"]).select(
             F.col("d").alias("n"), F.col("l")
         )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("n")
-            .agg(F.min("l").alias("l"))
-            .localCheckpoint(eager=True)
-        )
+        merged = labels.unionByName(msgs).groupBy("n").agg(F.min("l").alias("l"))
+        if num_partitions is not None:
+            merged = merged.coalesce(num_partitions)
+        labels = merged.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("l")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -926,12 +926,16 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming blocking; 9 bands × 7
-    bits covers the Hamming-8 budget by pigeonhole). rows-only."""
+    """SimHash near-dup pairs at the guaranteed-recall radius of the
+    default 4×16 banding (Hamming ≤3). A Hamming-8 budget would force
+    ≥9 bands of ≤7 bits whose 128-value buckets blow up candidate
+    pairs quadratically (measured 13s vs 1s at sf0.1) — at loose radii
+    use combination blocking or a second blocking key instead
+    (operators/dedup.py docstrings). rows-only."""
     from .operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=8, bands=9, bits=7)
+    return simhash_pairs(docs, max_hamming=3)
 
 
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -297,7 +297,9 @@ def q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     pairs = embedding_neardup_pairs(spark, sf, threshold=0.3).select("id_a", "id_b")
     nodes = emb.select(F.col("vec_id"))
-    return connected_components(nodes, pairs, id_col="vec_id").withColumnRenamed(
+    # partitions sized to the (small) embedding graph — see the
+    # operator docstring for the rounds × partitions fixed-cost math
+    return connected_components(nodes, pairs, id_col="vec_id", num_partitions=4).withColumnRenamed(
         "component", "cluster_id"
     )
 

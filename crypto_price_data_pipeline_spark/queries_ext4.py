@@ -283,7 +283,7 @@ def q_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pairs = embedding_neardup_pairs(spark, sf, threshold=0.3).select("id_a", "id_b")
     comp = connected_components(
-        emb.select("vec_id"), pairs, id_col="vec_id"
+        emb.select("vec_id"), pairs, id_col="vec_id", num_partitions=4
     ).withColumnRenamed("component", "cluster_id")
     joined = comp.join(docs, comp["vec_id"] == docs["doc_id"])
     w = Window.partitionBy("cluster_id").orderBy(
