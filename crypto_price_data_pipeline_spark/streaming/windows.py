@@ -123,37 +123,52 @@ def session_windows(
 
 
 def stream_stream_interval_join(
-    purchases: DataFrame,
-    clicks: DataFrame,
+    events: DataFrame,
     gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
+    left_type: str = "purchase",
+    right_type: str = "click",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    each purchase pairs with the same user's clicks in the preceding
+    """Stream-stream join with an event-time interval condition: each
+    purchase pairs with the same user's clicks in the preceding
     ``gap``. Watermarks on BOTH sides bound the join state — without
     them the engine would buffer each stream forever; with them click
     state older than (watermark + gap) is evicted. This is the
     Structured Streaming idiom for funnel/attribution joins; at scale
     the state store keys by (user, time-bucket) and the interval
-    condition prunes the probe range."""
-    c = clicks.select(
+    condition prunes the probe range.
+
+    The watermark is assigned on the SHARED stream before the
+    event-type filters split it. Watermark stats only reflect rows
+    flowing through the watermark node — filter first and a side whose
+    type stops arriving stalls the global watermark (= min over
+    nodes) forever, deadlocking outer-row emission.
+
+    ``how="left_outer"`` additionally emits unmatched purchases (null
+    click columns) — but only once the watermark passes the purchase's
+    join window, which happens one micro-batch later. Single-batch
+    replays never emit outer rows; the unit test drives three batches
+    via maxFilesPerTrigger to observe them."""
+    wm = events.withWatermark("ts", watermark)
+    c = wm.where(F.col("event_type") == right_type).select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
         F.col("value").alias("click_value"),
-    ).withWatermark("click_ts", watermark)
-    p = purchases.select(
+    )
+    p = wm.where(F.col("event_type") == left_type).select(
         "user_id",
         "event_id",
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
+    )
     return p.join(
         c,
         F.expr(
             f"user_id = c_user AND click_ts <= purchase_ts "
             f"AND click_ts >= purchase_ts - INTERVAL {gap}"
         ),
-        "inner",
+        how,
     ).drop("c_user")
 
 
@@ -164,11 +179,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hou
     the result equal the batch interval join, which the DuckDB oracle
     checks."""
     ev = _events_stream(spark, sf_dir)
-    joined = stream_stream_interval_join(
-        ev.where(F.col("event_type") == "purchase"),
-        ev.where(F.col("event_type") == "click"),
-        gap=gap,
-    )
+    joined = stream_stream_interval_join(ev, gap=gap)
     name = f"attr_{uuid.uuid4().hex[:8]}"
     # stream-stream join state (one store per partition, both sides)
     # dominates wall time at test scale — 2 partitions is 5.7× faster

@@ -187,3 +187,68 @@ def test_session_windows(spark, tmp_path):
     rows = spark.table("sess_out").collect()
     # two sessions: [10:00,10:10] and [12:00]
     assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
+def test_stream_stream_left_outer_join_emits_after_watermark(spark, tmp_path):
+    """Outer rows of a stream-stream join only emit once the watermark
+    passes their join window — drive two micro-batches so the second
+    batch's events advance the watermark over the first's purchases."""
+    import os
+
+    from crypto_price_data_pipeline_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    src = tmp_path / "ev"
+    src.mkdir()
+    early = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 1, "click", 5.0),
+            (2, "2024-01-01 10:00:00", 1, "purchase", 50.0),  # matches click 1
+            (3, "2024-01-01 10:05:00", 2, "purchase", 70.0),  # no click → outer row
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late = spark.createDataFrame(
+        [(4, "2024-01-02 00:00:00", 3, "click", 1.0)], schema  # advances watermark
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # outer rows evict one batch AFTER the watermark passes them, so a
+    # third batch is needed for batch 2's watermark to take effect
+    later = spark.createDataFrame(
+        [(5, "2024-01-02 01:00:00", 3, "click", 1.0)], schema
+    ).withColumn("ts", F.to_timestamp("ts"))
+    early.coalesce(1).write.parquet(str(src / "b1"))
+    late.coalesce(1).write.parquet(str(src / "b2"))
+    later.coalesce(1).write.parquet(str(src / "b3"))
+    # file source orders batches by modification time: pin b1 oldest
+    for i, d in enumerate(("b1", "b2", "b3")):
+        for f in (src / d).glob("*.parquet"):
+            os.utime(f, (1700000000 + i * 1000, 1700000000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    joined = stream_stream_interval_join(
+        stream, gap="1 hour", watermark="30 minutes", how="left_outer"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_outer")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = {r["event_id"]: r for r in spark.table("ss_outer").collect()}
+    assert rows[2]["click_value"] == 5.0  # matched pair
+    assert rows[3]["click_value"] is None  # outer row emitted after watermark
