@@ -20,6 +20,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two table snapshots: one row per
+    changed key with change_type ∈ {insert, delete, update}.
+
+    The emulation of a lakehouse CDF read for plain-parquet tables:
+    one full-outer join on the key, null-safe column compare for
+    updates. At 100 TB both snapshots shuffle once on the key —
+    partition both tables by ingest date and diff partition-by-
+    partition to prune unchanged history.
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c not in key_cols]
+    # presence markers travel with the values so one full-outer join
+    # decides side membership even when every attribute is NULL
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    return (
+        joined.select(
+            *key_cols,
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+            .alias("change_type"),
+        )
+        .where(F.col("change_type").isNotNull())
+    )
+
+
 def scd2_history(
     snapshots: DataFrame,
     key_cols: list[str],

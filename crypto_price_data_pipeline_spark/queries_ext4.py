@@ -227,6 +227,128 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------- snapshot diff (CDF)
+
+
+def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-feed between two synthetic snapshots of orders
+    (`operators.scd.table_diff`): the "old" snapshot drops a key range
+    (→ inserts) and the "new" one perturbs totals for another range
+    (→ updates) and drops a third (→ deletes). One full-outer join,
+    presence decided by side markers so NULL attributes can't
+    misclassify."""
+    from .operators.scd import table_diff
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 != 0)  # new inserts: %10==0
+    new = orders.where(F.col("o_orderkey") % 7 != 0).withColumn(  # deletes: %7==0
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return (
+        table_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+        .orderBy("o_orderkey")
+    )
+
+
+Q_TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+            WHEN new.o_orderkey IS NULL THEN 'delete'
+            WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+              OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'update'
+       END AS change_type
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+           WHEN new.o_orderkey IS NULL THEN 'delete'
+           WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+             OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'update'
+      END IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------- fuzzy matching
+
+
+def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance entity resolution: match misspelled country names
+    against the nation dimension with levenshtein ≤ 2 (classic DP
+    metric, identical in both engines). The dirty side is tiny →
+    broadcast nested-loop is the right plan; at scale pre-block on
+    (first char, length band) to keep candidates linear."""
+    nation = load_table(spark, sf, "nation")
+    dirty = spark.createDataFrame(
+        [("NATION_1",), ("NATON_3",), ("NATION_22X",), ("XATION_7",), ("NOSUCHLAND",)],
+        "dirty_name string",
+    )
+    return (
+        dirty.crossJoin(F.broadcast(nation.select("n_nationkey", "n_name")))
+        .withColumn("dist", F.levenshtein("dirty_name", "n_name"))
+        .where(F.col("dist") <= 2)
+        .select("dirty_name", "n_name", "dist")
+        .orderBy("dirty_name", "n_name")
+    )
+
+
+Q_FUZZY_MATCH_SQL = """
+SELECT dirty_name, n_name, CAST(levenshtein(dirty_name, n_name) AS INTEGER) AS dist
+FROM (VALUES ('NATION_1'), ('NATON_3'), ('NATION_22X'), ('XATION_7'), ('NOSUCHLAND')) d(dirty_name)
+CROSS JOIN nation
+WHERE levenshtein(dirty_name, n_name) <= 2
+ORDER BY dirty_name, n_name
+"""
+
+
+# ------------------------------------------------- int8 quantization
+
+
+def q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (`operators.similarity.quantize_int8`) summarized per vector
+    (scale + code checksum/extrema, so the oracle compares scalars
+    instead of cross-engine array dtypes). Truncation toward zero is
+    explicit on both engines (Spark int cast ≡ DuckDB trunc)."""
+    from .operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.select("vec_id", *quantize_int8("embedding"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    ).orderBy("vec_id")
+
+
+Q_QUANTIZE_EMBEDDINGS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(trunc(x * 127.0 /
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS INTEGER)) AS codes
+  FROM embeddings
+)
+SELECT vec_id, ROUND(scale, 9) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       list_min(codes) AS code_min, list_max(codes) AS code_max
+FROM q ORDER BY vec_id
+"""
+
+
 # ------------------------------------------------ map higher-order fns
 
 
@@ -531,6 +653,9 @@ EXT4_QUERIES = {
     "q_cluster_representatives": q_cluster_representatives,
     "q_token_budget_mix": q_token_budget_mix,
     "q_map_funcs": q_map_funcs,
+    "q_quantize_embeddings": q_quantize_embeddings,
+    "q_table_diff": q_table_diff,
+    "q_fuzzy_match": q_fuzzy_match,
 }
 
 EXT4_ORACLES = {
@@ -545,4 +670,7 @@ EXT4_ORACLES = {
     "q_cluster_representatives": Q_CLUSTER_REPRESENTATIVES_SQL,
     "q_token_budget_mix": Q_TOKEN_BUDGET_MIX_SQL,
     "q_map_funcs": Q_MAP_FUNCS_SQL,
+    "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
+    "q_table_diff": Q_TABLE_DIFF_SQL,
+    "q_fuzzy_match": Q_FUZZY_MATCH_SQL,
 }

@@ -34,3 +34,25 @@ def test_merge_upsert(spark, tmp_path):
     assert merge_upsert(spark, v2, path, keys=["id"]) == 3
     rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0, 4.0, -8.0])],
+        "id int, embedding array<double>",
+    )
+    out = df.select("id", "embedding", *quantize_int8("embedding")).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[1]["codes"] == [63, -127, 31]  # trunc toward zero
+    assert rows[1]["scale"] == 1.0
+    assert rows[2]["codes"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+    # dequantize error bounded by scale/127 per component
+    for r in out:
+        if r["scale"] == 0:
+            continue
+        for orig, code in zip(r["embedding"], r["codes"]):
+            assert abs(orig - code * r["scale"] / 127.0) <= r["scale"] / 127.0 + 1e-12
