@@ -159,3 +159,24 @@ def test_minhash_exact_no_cartesian(spark):
 
     plan = _plan(QUERIES["q_minhash_exact"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_window_shuffle(spark):
+    """SCD2 history must stay one (key, ts) sort-shuffle — a self-join
+    formulation would double the exchanges."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q_scd2"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # dedup agg + window may each partition by user_id but only hash ways
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # groupBy + window
+
+
+def test_tfidf_doc_freq_broadcast(spark):
+    """The doc-frequency side of TF-IDF is vocabulary-sized — it must
+    broadcast, never shuffle the term-frequency side for the join."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_tfidf_terms"](spark, SF))
+    assert "BroadcastHashJoin" in plan
