@@ -227,6 +227,105 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------- chunk-level dedup
+
+
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-granularity dedup statistics: every doc splits into
+    fixed 32-token chunks (the unit LLM pipelines dedup at when
+    whole-doc dedup is too coarse), chunks hash portably (md5 over the
+    joined tokens), and per-language stats report how much of the
+    corpus is chunk-duplicated. One explode + two hash aggregates."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf, "documents")
+    k = 32
+    # drop zero-token docs BEFORE chunk indexing: Spark's sequence(0,-1)
+    # yields a DESCENDING [0,-1] rather than an empty array
+    toked = docs.select("doc_id", "lang", tokenize("text").alias("_t")).where(
+        F.size("_t") > 0
+    )
+    chunks = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("_t") / k).cast("int") - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i * k + 1, k))),
+            )
+        ).alias("chunk_hash"),
+    )
+    per_chunk = chunks.groupBy("lang", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    return (
+        per_chunk.groupBy("lang")
+        .agg(
+            F.sum("n_occ").alias("total_chunks"),
+            F.count(F.lit(1)).alias("distinct_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("n_occ") - 1).otherwise(0)).alias(
+                "redundant_chunks"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_CHUNK_DEDUP_SQL = """
+WITH toked AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(t[i*32+1 : i*32+32], ' ')) AS chunk_hash
+  FROM toked, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS i
+  ) ix
+  WHERE len(t) > 0  -- mirrors the Spark side's zero-token guard
+),
+per_chunk AS (
+  SELECT lang, chunk_hash, COUNT(*) AS n_occ FROM chunks GROUP BY lang, chunk_hash
+)
+SELECT lang, CAST(SUM(n_occ) AS BIGINT) AS total_chunks,
+       COUNT(*) AS distinct_chunks,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN n_occ - 1 ELSE 0 END) AS BIGINT) AS redundant_chunks
+FROM per_chunk GROUP BY lang ORDER BY lang
+"""
+
+
+# -------------------------------------- chained stateful stream funnel
+
+
+def q_stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Chained stateful streaming (stream-stream join → tumbling daily
+    agg in one append-mode query). Emitted = windows closed by the
+    final watermark (max event ts − 2h) — the oracle applies the same
+    closure rule to the batch interval join."""
+    from .streaming.windows import stream_funnel_daily
+
+    return stream_funnel_daily(spark, sf)
+
+
+Q_STREAM_FUNNEL_SQL = """
+WITH pairs AS (
+  SELECT p.ts AS purchase_ts
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT strftime(date_trunc('day', purchase_ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_pairs
+FROM pairs
+WHERE date_trunc('day', purchase_ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+GROUP BY date_trunc('day', purchase_ts)
+ORDER BY day
+"""
+
+
 # ------------------------------------------------- snapshot diff (CDF)
 
 
@@ -656,6 +755,8 @@ EXT4_QUERIES = {
     "q_quantize_embeddings": q_quantize_embeddings,
     "q_table_diff": q_table_diff,
     "q_fuzzy_match": q_fuzzy_match,
+    "q_stream_funnel": q_stream_funnel,
+    "q_chunk_dedup": q_chunk_dedup,
 }
 
 EXT4_ORACLES = {
@@ -673,4 +774,6 @@ EXT4_ORACLES = {
     "q_quantize_embeddings": Q_QUANTIZE_EMBEDDINGS_SQL,
     "q_table_diff": Q_TABLE_DIFF_SQL,
     "q_fuzzy_match": Q_FUZZY_MATCH_SQL,
+    "q_stream_funnel": Q_STREAM_FUNNEL_SQL,
+    "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
 }

@@ -212,6 +212,39 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hou
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+def stream_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators in ONE streaming query (Spark 4):
+    stream-stream interval join → tumbling 1-day aggregation of the
+    joined pairs, append mode. Only windows the final watermark has
+    closed emit — the deterministic rule the oracle reproduces
+    (window_end ≤ max(ts) − watermark horizon). Exercises multi-
+    stateful pipelining: join state and window state coexist in one
+    query, each bounded by the shared watermark."""
+    ev = _events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(ev, gap="1 hour", watermark="2 hours")
+    agg = joined.groupBy(F.window("purchase_ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n_pairs"
+    ).orderBy("day")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup on the business key within the watermark horizon
     — the engine-level replacement for the reference's manual
