@@ -227,6 +227,60 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------- crypto price indicators
+
+
+def q_crypto_indicators(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA / MACD price indicators — the reference's domain (crypto
+    price series) computed the Spark-first way: one groupBy collects
+    each key's ordered series, then the recursive EMA folds run as
+    per-row `aggregate` HOFs (identical left-fold order on both
+    engines → bit-exact doubles, no window O(n²) prefix recompute).
+    MACD = EMA(α=2/13) − EMA(α=2/27) over the per-user event series."""
+    ev = load_table(spark, sf, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ).alias("xs")
+    )
+    vals = F.transform(F.col("xs"), lambda x: x["value"])
+
+    def ema(alpha: float):
+        return F.aggregate(
+            vals,
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                x * F.lit(alpha) + acc * F.lit(1.0 - alpha)
+            ),
+        )
+
+    ema12, ema26 = ema(2.0 / 13.0), ema(2.0 / 27.0)
+    return ordered.select(
+        "user_id",
+        F.size("xs").alias("n_ticks"),
+        F.round(ema(0.5), 6).alias("ewma_fast"),
+        F.round(ema12, 6).alias("ema12"),
+        F.round(ema26, 6).alias("ema26"),
+        F.round(ema12 - ema26, 6).alias("macd"),
+    ).orderBy("user_id")
+
+
+Q_CRYPTO_INDICATORS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ARRAY_AGG(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INTEGER) AS n_ticks,
+       ROUND(list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5), 6) AS ewma_fast,
+       ROUND(list_reduce(vals, (acc, x) -> x * (2.0/13.0) + acc * (1 - 2.0/13.0)), 6) AS ema12,
+       ROUND(list_reduce(vals, (acc, x) -> x * (2.0/27.0) + acc * (1 - 2.0/27.0)), 6) AS ema26,
+       ROUND(list_reduce(vals, (acc, x) -> x * (2.0/13.0) + acc * (1 - 2.0/13.0))
+             - list_reduce(vals, (acc, x) -> x * (2.0/27.0) + acc * (1 - 2.0/27.0)), 6) AS macd
+FROM ordered ORDER BY user_id
+"""
+
+
 # ------------------------------------------------- chunk-level dedup
 
 
@@ -757,6 +811,7 @@ EXT4_QUERIES = {
     "q_fuzzy_match": q_fuzzy_match,
     "q_stream_funnel": q_stream_funnel,
     "q_chunk_dedup": q_chunk_dedup,
+    "q_crypto_indicators": q_crypto_indicators,
 }
 
 EXT4_ORACLES = {
@@ -776,4 +831,5 @@ EXT4_ORACLES = {
     "q_fuzzy_match": Q_FUZZY_MATCH_SQL,
     "q_stream_funnel": Q_STREAM_FUNNEL_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
+    "q_crypto_indicators": Q_CRYPTO_INDICATORS_SQL,
 }
