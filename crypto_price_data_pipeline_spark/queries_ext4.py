@@ -281,6 +281,38 @@ FROM ordered ORDER BY user_id
 """
 
 
+def q_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Max drawdown per user: running peak via an expanding window max,
+    drawdown = value − peak, aggregate min. One (key, time) sort
+    shuffle; subtraction-only arithmetic keeps the oracle bit-exact."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = ev.select(
+        "user_id", (F.col("value") - F.max("value").over(w)).alias("drawdown")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(F.min("drawdown").alias("max_drawdown"))
+        .orderBy("user_id")
+    )
+
+
+Q_DRAWDOWN_SQL = """
+SELECT user_id, MIN(drawdown) AS max_drawdown
+FROM (
+  SELECT user_id,
+         value - MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drawdown
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ------------------------------------------------- chunk-level dedup
 
 
@@ -812,6 +844,7 @@ EXT4_QUERIES = {
     "q_stream_funnel": q_stream_funnel,
     "q_chunk_dedup": q_chunk_dedup,
     "q_crypto_indicators": q_crypto_indicators,
+    "q_drawdown": q_drawdown,
 }
 
 EXT4_ORACLES = {
@@ -832,4 +865,5 @@ EXT4_ORACLES = {
     "q_stream_funnel": Q_STREAM_FUNNEL_SQL,
     "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
     "q_crypto_indicators": Q_CRYPTO_INDICATORS_SQL,
+    "q_drawdown": Q_DRAWDOWN_SQL,
 }
