@@ -642,33 +642,33 @@ def q_continuous_agg(spark: SparkSession, sf: str) -> DataFrame:
     reader. The oracle is the plain GROUP BY — the pattern's invariant
     is that incremental maintenance + tail union ≡ one-shot
     aggregation."""
+    import atexit
     import shutil
     import tempfile
 
     from .streaming.continuous_agg import read_with_tail, start_continuous_rollup
 
     events = load_table(spark, sf, "events")
+    # the rollup dir must outlive this call (the result is lazy — no
+    # driver-side collect); removed at interpreter exit like the other
+    # streaming wrapper sinks
     work = tempfile.mkdtemp(prefix="contagg_")
-    try:
-        raw_dir = f"{work}/raw"
-        events.write.parquet(raw_dir)
-        schema = spark.read.parquet(raw_dir).schema
-        q = start_continuous_rollup(
-            spark, raw_dir, f"{work}/rollup", f"{work}/ckpt", schema
-        )
-        q.awaitTermination()
-        out = read_with_tail(spark, f"{work}/rollup", events).select(
-            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-            "event_type",
-            "n",
-            "sum_value",
-            "min_value",
-            "max_value",
-        )
-        # materialize before the temp rollup dir disappears
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    raw_dir = f"{work}/raw"
+    events.write.parquet(raw_dir)
+    schema = spark.read.parquet(raw_dir).schema
+    q = start_continuous_rollup(
+        spark, raw_dir, f"{work}/rollup", f"{work}/ckpt", schema
+    )
+    q.awaitTermination()
+    return read_with_tail(spark, f"{work}/rollup", events).select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
 
 
 Q_CONTINUOUS_AGG_SQL = """

@@ -8,14 +8,52 @@ cadence maps onto. File sources stand in for the HTTP poll in tests
 
 from __future__ import annotations
 
+import atexit
 import os
-import uuid
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 _STREAM_DIRS: dict[str, str] = {}
+
+
+def _run_to_parquet(df: DataFrame, mode: str = "append") -> str:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    managed parquet directory and return that directory.
+
+    This is the scale-safe materialization for the batch-facing wrapper
+    queries: the sink write is executor-side and distributed, unlike a
+    memory sink (driver-resident rows) or a ``collect()`` round-trip —
+    at 100× windows×keys the result never funnels through the driver.
+    Append mode uses the native parquet file sink; complete mode (not
+    supported by file sinks) goes through a ``foreachBatch`` overwrite,
+    which for an availableNow replay runs exactly one final batch.
+    Directories are removed at interpreter exit, keeping the returned
+    DataFrame readable for the caller's lifetime."""
+    work = tempfile.mkdtemp(prefix="stream_sink_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    data, ckpt = os.path.join(work, "data"), os.path.join(work, "ckpt")
+    if mode == "append":
+        writer = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+        )
+    else:
+        writer = (
+            df.writeStream.outputMode(mode)
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("overwrite").parquet(data)
+            )
+            .option("checkpointLocation", ckpt)
+        )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return data
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,8 +116,12 @@ def tumbling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query (availableNow + complete mode → memory sink), then
     return the final result. Because the file source replays the whole
     table and complete mode emits all windows, the result equals the
-    batch hourly aggregation — which the DuckDB oracle checks."""
-    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    batch hourly aggregation — which the DuckDB oracle checks.
+
+    NOTE: ``spark.sql.shuffle.partitions`` is session-global; it is
+    lowered for the duration of the streaming query and restored in a
+    ``finally`` — don't run concurrent queries on this session inside
+    that window."""
     agg = windowed_agg(_events_stream(spark, sf_dir))
     # a streaming agg materializes one state store PER shuffle partition
     # (checkpoint dirs, maintenance threads); size partitions to the
@@ -88,17 +130,10 @@ def tumbling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        data = _run_to_parquet(agg, mode="complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).select(
+    return spark.read.schema(agg.schema).parquet(data).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",
@@ -106,8 +141,6 @@ def tumbling_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
-    # materialize before the memory sink is dropped by later queries
-    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def session_windows(
@@ -177,10 +210,14 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hou
     (availableNow → memory sink), then roll the joined pairs up per
     user in batch. Replaying the whole table through the stream makes
     the result equal the batch interval join, which the DuckDB oracle
-    checks."""
+    checks.
+
+    NOTE: ``spark.sql.shuffle.partitions`` is session-global; it is
+    lowered for the duration of the streaming query and restored in a
+    ``finally`` — don't run concurrent queries on this session inside
+    that window."""
     ev = _events_stream(spark, sf_dir)
     joined = stream_stream_interval_join(ev, gap=gap)
-    name = f"attr_{uuid.uuid4().hex[:8]}"
     # stream-stream join state (one store per partition, both sides)
     # dominates wall time at test scale — 2 partitions is 5.7× faster
     # than 8 here (measured sf0.1: 1.5s vs 8.3s). At production key
@@ -188,18 +225,11 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hou
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        data = _run_to_parquet(joined, mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = (
-        spark.table(name)
+    return (
+        spark.read.schema(joined.schema).parquet(data)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -208,8 +238,6 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str, gap: str = "1 hou
         )
         .orderBy("user_id")
     )
-    # materialize before the memory sink is dropped by later queries
-    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def stream_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,24 +253,15 @@ def stream_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(F.window("purchase_ts", "1 day").alias("w")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    name = f"funnel_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        data = _run_to_parquet(agg, mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).select(
+    return spark.read.schema(agg.schema).parquet(data).select(
         F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n_pairs"
     ).orderBy("day")
-    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
