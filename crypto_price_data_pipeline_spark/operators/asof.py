@@ -48,21 +48,36 @@ def asof_join(
     (ignorenulls) window functions — nearest just computes both carries
     in the same window pass and picks per-row, so it costs two sorts of
     the same unioned relation, never a join.
+
+    All value columns plus the right timestamp travel as ONE struct
+    through a single last/first carry, so the attached values always
+    come from the same right row the tolerance/nearest decision is made
+    on — a right row with a NULL value column attaches that NULL
+    (pd.merge_asof semantics), never a value scavenged from an earlier
+    row.
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = by or []
     value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
 
+    r_struct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+        + [T.StructField("__rt", right.schema[on].dataType, True)]
+    )
     lhs = left.select(
         *left.columns,
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct).alias("_r"),
     )
     rhs = right.select(
         *[F.col(c) if c in set(by) | {on} else F.lit(None).cast(left.schema[c].dataType).alias(c) if c in left.columns else F.lit(None).alias(c) for c in left.columns],
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols], F.col(on).alias("__rt")
+        ).alias("_r"),
     )
     unioned = lhs.unionByName(rhs.select(lhs.columns))
 
@@ -78,13 +93,13 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_is_left").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # the struct is non-null for every right row (even all-NULL value
+    # fields), so ignorenulls skips exactly the interleaved left rows
     sel = list(unioned.columns)
     if direction in ("backward", "nearest"):
-        sel += [F.last(f"_r_{c}", ignorenulls=True).over(bw).alias(f"_b_{c}") for c in value_cols]
-        sel.append(F.max(F.when(F.col("_is_left") == 0, F.col(on))).over(bw).alias("_b_rt"))
+        sel.append(F.last("_r", ignorenulls=True).over(bw).alias("_b"))
     if direction in ("forward", "nearest"):
-        sel += [F.first(f"_r_{c}", ignorenulls=True).over(fw).alias(f"_f_{c}") for c in value_cols]
-        sel.append(F.min(F.when(F.col("_is_left") == 0, F.col(on))).over(fw).alias("_f_rt"))
+        sel.append(F.first("_r", ignorenulls=True).over(fw).alias("_f"))
     out = unioned.select(*sel).where(F.col("_is_left") == 1)
 
     # eligibility per side: a matched right timestamp exists and (when
@@ -92,8 +107,6 @@ def asof_join(
     # integer microseconds — exact, so the nearest tie-break can't
     # drift from an integer-arithmetic oracle (unix_timestamp truncates
     # to seconds; double epoch has float rounding).
-    from pyspark.sql import types as T
-
     if isinstance(left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)):
         num, tol_lit = F.unix_micros, (
             None if tolerance_seconds is None else F.lit(int(tolerance_seconds * 1_000_000))
@@ -103,19 +116,21 @@ def asof_join(
             None if tolerance_seconds is None else F.lit(float(tolerance_seconds))
         )
     t = num(F.col(on))
-    d_b = t - num(F.col("_b_rt"))
-    d_f = num(F.col("_f_rt")) - t
+    b_rt = F.col("_b").getField("__rt")
+    f_rt = F.col("_f").getField("__rt")
+    d_b = t - num(b_rt)
+    d_f = num(f_rt) - t
     tol_ok = (lambda d: d <= tol_lit) if tolerance_seconds is not None else (lambda d: F.lit(True))
     if direction == "backward":
-        pick = lambda c: F.when(F.col("_b_rt").isNotNull() & tol_ok(d_b), F.col(f"_b_{c}"))  # noqa: E731
+        pick = lambda c: F.when(b_rt.isNotNull() & tol_ok(d_b), F.col("_b").getField(c))  # noqa: E731
     elif direction == "forward":
-        pick = lambda c: F.when(F.col("_f_rt").isNotNull() & tol_ok(d_f), F.col(f"_f_{c}"))  # noqa: E731
+        pick = lambda c: F.when(f_rt.isNotNull() & tol_ok(d_f), F.col("_f").getField(c))  # noqa: E731
     else:
-        elig_b = F.col("_b_rt").isNotNull() & tol_ok(d_b)
-        elig_f = F.col("_f_rt").isNotNull() & tol_ok(d_f)
+        elig_b = b_rt.isNotNull() & tol_ok(d_b)
+        elig_f = f_rt.isNotNull() & tol_ok(d_f)
         use_b = elig_b & (~elig_f | (d_b <= d_f))  # tie → backward
-        pick = lambda c: F.when(use_b, F.col(f"_b_{c}")).when(  # noqa: E731
-            elig_f, F.col(f"_f_{c}")
+        pick = lambda c: F.when(use_b, F.col("_b").getField(c)).when(  # noqa: E731
+            elig_f, F.col("_f").getField(c)
         )
     return out.select(*left.columns, *[pick(c).alias(c) for c in value_cols])
 

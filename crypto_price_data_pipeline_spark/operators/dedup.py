@@ -167,6 +167,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs verified by exact shingle Jaccard.
 
@@ -179,12 +180,20 @@ def minhash_lsh_pairs(
     the (large) shingle arrays are joined in exclusively for the
     candidate pairs that survive banding, so the heavy shuffle is
     proportional to the candidate set, not candidates × shingle size.
+
+    With ``materialize=True`` (default) the pair set is computed
+    eagerly (localCheckpoint) so the signature cache — which pins the
+    shingle+minhash arrays in executor memory — is released before
+    returning; the small pair result replaces the large cached input.
+    Pass ``materialize=False`` to keep the plan lazy (e.g. for plan
+    inspection), in which case the caller owns the signature cache for
+    the session's lifetime. At warehouse scale, write signatures to a
+    parquet/Delta table instead of caching.
     """
     rows_per_band = num_hashes // bands
     # persist: the signature table feeds the banding pass AND both
     # sides of the verification join — without it the explode+agg
-    # signature computation re-runs three times. At warehouse scale,
-    # write signatures to a parquet/Delta table instead.
+    # signature computation re-runs three times.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).persist()
     banded = sig.select(
         F.col(id_col).alias("_id"),
@@ -220,12 +229,18 @@ def minhash_lsh_pairs(
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
     ).alias("jaccard")
-    return (
+    out = (
         pairs.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shingles").alias("_sh_a")), "id_a")
         .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shingles").alias("_sh_b")), "id_b")
         .select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= threshold)
     )
+    if not materialize:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
 
 
 def minhash_dedup(
@@ -421,12 +436,18 @@ def minhash_then_exact(
     bands: int = 32,
     block_cols: list[str] | None = None,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at scale: MinHash-LSH candidates →
     exact verify. The scale path for ``ngram_jaccard_pairs`` — exact
     Jaccard is only ever computed on the banding candidates, never
     block-wide, so pair work is candidate-proportional at any corpus
     size instead of O(n²/|blocks|).
+
+    ``materialize`` as in :func:`minhash_lsh_pairs`: the default
+    eagerly computes the pair set and releases the signature cache;
+    ``materialize=False`` keeps the plan lazy and leaves the cache to
+    the caller.
 
     Recall: a pair at Jaccard s survives banding with probability
     1-(1-s^r)^b (r = num_hashes/bands rows per band). The default
@@ -490,12 +511,18 @@ def minhash_then_exact(
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
     ).alias("jaccard")
-    return (
+    out = (
         pairs.join(sets.select(F.col("_sid").alias("id_a"), F.col("_shingles").alias("_sh_a")), "id_a")
         .join(sets.select(F.col("_sid").alias("id_b"), F.col("_shingles").alias("_sh_b")), "id_b")
         .select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= threshold)
     )
+    if not materialize:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -202,12 +202,17 @@ def quantize_int8(emb_col: Column | str, out_scale: str = "scale") -> list[Colum
     embeddings. Pure higher-order functions (one array_max + one
     transform per row, no shuffle, no Python). Returns [codes, scale]
     columns; dequantize as code·scale/127. Zero vectors quantize to
-    all-zero codes with scale 0.
+    all-zero codes with scale 0. Codes are ``array<tinyint>`` — the
+    [-127, 127] range is guaranteed by construction, so the 4× saving
+    is realized at rest, not just notionally.
     """
     c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
     absmax = F.array_max(F.transform(c, lambda x: F.abs(x))).cast("double")
     codes = F.when(
         absmax > 0,
-        F.transform(c, lambda x: (x.cast("double") * 127.0 / absmax).cast("int")),
-    ).otherwise(F.transform(c, lambda x: F.lit(0)))
+        F.transform(
+            c,
+            lambda x: (x.cast("double") * 127.0 / absmax).cast("int").cast("tinyint"),
+        ),
+    ).otherwise(F.transform(c, lambda x: F.lit(0).cast("tinyint")))
     return [codes.alias("codes"), absmax.alias(out_scale)]

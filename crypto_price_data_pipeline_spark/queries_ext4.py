@@ -512,9 +512,9 @@ def q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return q.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias("code_sum"),
-        F.array_min("codes").alias("code_min"),
-        F.array_max("codes").alias("code_max"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
     ).orderBy("vec_id")
 
 

@@ -39,6 +39,26 @@ def test_asof_join_matches_merge_asof(spark):
     assert got == via_pandas
 
 
+def test_asof_null_value_column_keeps_row_integrity(spark):
+    """A matched right row with a NULL value column attaches that NULL
+    (pd.merge_asof semantics) — the carry must not scavenge the value
+    from an earlier right row whose other columns weren't matched."""
+    from crypto_price_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00")], "user_id int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 10.0, "old"),
+         (1, "2024-01-01 10:00:00", None, "new")],
+        "user_id int, ts string, ref double, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = asof_join(
+        left, right, on="ts", by=["user_id"], value_cols=["ref", "tag"]
+    ).collect()[0]
+    assert row["tag"] == "new" and row["ref"] is None  # not 10.0 from "old"
+
+
 def test_asof_tolerance(spark):
     from crypto_price_data_pipeline_spark.operators.asof import asof_join
 

@@ -154,10 +154,16 @@ def test_asof_nearest_single_shuffle(spark):
 
 def test_minhash_exact_no_cartesian(spark):
     """The chained exact-Jaccard path must stay candidate-proportional:
-    only equi-joins (band/bucket and id joins), never a cross product."""
-    from crypto_price_data_pipeline_spark.queries import QUERIES
+    only equi-joins (band/bucket and id joins), never a cross product.
+    Built with materialize=False — the registry query eagerly
+    checkpoints (to release the signature cache), which would hide the
+    join plan behind a checkpoint scan."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import minhash_then_exact
 
-    plan = _plan(QUERIES["q_minhash_exact"](spark, SF))
+    docs = load_table(spark, SF, "documents")
+    df = minhash_then_exact(docs, threshold=0.3, bands=32, materialize=False)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
