@@ -1,6 +1,6 @@
 from .asof import asof_join
 from .range_join import band_join
-from .dedup import exact_dedup, minhash_signatures, minhash_lsh_pairs, minhash_dedup, simhash, simhash_pairs
+from .dedup import exact_dedup, minhash_signatures, minhash_lsh_pairs, minhash_dedup, simhash, simhash_pairs, simhash_md5, simhash_md5_pairs
 from .similarity import cosine_topk, hyperplane_lsh_buckets, lsh_cosine_topk, ivf_build, ivf_topk
 from .text import tokenize, token_count, quality_scores, language_id, fingerprint
 from .components import connected_components, dedup_keep_component_min
@@ -15,6 +15,8 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "simhash_pairs",
+    "simhash_md5",
+    "simhash_md5_pairs",
     "cosine_topk",
     "hyperplane_lsh_buckets",
     "lsh_cosine_topk",

@@ -426,6 +426,105 @@ def simhash_pairs_combination(
     )
 
 
+def simhash_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "simhash32",
+) -> DataFrame:
+    """32-bit SimHash whose token hashes are md5-derived, so any engine
+    with md5 reproduces the fingerprint bit-for-bit — the cross-engine
+    twin of ``simhash`` (xxhash64 tokens, Spark-only), mirroring the
+    ``fingerprint``/``fingerprint_md5`` split in operators/text.py.
+
+    Token hash = first 8 hex chars of md5(token) as an unsigned 32-bit
+    integer (conv base16→10); votes and assembly are identical to
+    ``simhash`` but over 32 bit positions. Same explode → 32
+    conditional-sum hash-aggregate scale shape (map-side combine keeps
+    the shuffle ≈ |docs|); the md5-per-token string hash costs ~2× the
+    xxhash64 long path — use this for cross-system verification, the
+    64-bit twin for pure-Spark dedup."""
+    hashed = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(32)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(32):
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), fp.alias(out_col))
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs on the 32-bit md5 SimHash via banding, verified
+    with bit_count(xor). Same pigeonhole guarantee as ``simhash_pairs``
+    (max_hamming ≤ bands-1 ⇒ exact recall within the radius), so the
+    result is deterministically THE set of pairs at Hamming ≤
+    ``max_hamming`` — which a cross-engine oracle can reproduce with an
+    exhaustive self-join. 8-bit buckets are coarser than the 64-bit
+    twin's 16-bit ones (occupancy n/256 per band): fine for verify-
+    sized corpora; at production n use the 64-bit twin for blocking and
+    this one only to cross-check fingerprints."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole recall guarantee"
+        )
+    if bands * bits > 32:
+        raise ValueError("bands * bits must fit in the 32-bit fingerprint")
+    mask = (1 << bits) - 1
+    sh = simhash_md5(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash32")
+    banded = sh.select(
+        "_id",
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash32", bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash32", "bb.band", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_then_exact(
     df: DataFrame,
     id_col: str = "doc_id",

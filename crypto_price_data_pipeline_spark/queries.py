@@ -1080,3 +1080,7 @@ QUERIES.update(EXT3_QUERIES)
 ORACLES.update(EXT3_ORACLES)
 QUERIES.update(EXT4_QUERIES)
 ORACLES.update(EXT4_ORACLES)
+from .queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
+
+QUERIES.update(EXT5_QUERIES)
+ORACLES.update(EXT5_ORACLES)

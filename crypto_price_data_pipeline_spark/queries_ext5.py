@@ -1,0 +1,84 @@
+"""Sixth coverage wave (round 3): cross-engine-verifiable SimHash,
+date-partitioned staging reads with partition pruning, and ANN recall
+reporting.
+
+Registered into QUERIES/ORACLES by queries.py. Same determinism
+contract as queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.sources import load_table
+
+
+# ------------------------------------------------- md5-bit SimHash
+
+
+def q_simhash_md5_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs on the 32-bit md5-derived SimHash
+    (`operators.dedup.simhash_md5_pairs`). Unlike the xxhash64 twin
+    (rows-only checked — xxhash64 has no DuckDB equivalent), every stage
+    here is engine-portable: md5 token hashes → bit votes → fingerprint
+    → Hamming ≤ 3 pairs. Banding with the pigeonhole guarantee
+    (4 bands × 8 bits ≥ Hamming 3 + 1) makes the banded result
+    deterministically equal the exhaustive pair set, which the oracle
+    computes with a plain self-join — so the green row verifies the
+    banding mechanics AND the fingerprint values at once."""
+    from .operators.dedup import simhash_md5_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        simhash_md5_pairs(docs, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_md5_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS sh FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+Q_SIMHASH_MD5_SQL = _simhash_md5_oracle()
+
+
+EXT5_QUERIES = {
+    "q_simhash_md5_pairs": q_simhash_md5_pairs,
+}
+
+EXT5_ORACLES = {
+    "q_simhash_md5_pairs": Q_SIMHASH_MD5_SQL,
+}

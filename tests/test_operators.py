@@ -217,6 +217,30 @@ def test_simhash_near_dups(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_md5_banding_equals_exhaustive(spark):
+    """The 32-bit md5 SimHash banding (pigeonhole: 4×8 covers Hamming
+    ≤3) must return exactly the exhaustive Hamming ≤3 pair set."""
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        simhash_md5,
+        simhash_md5_pairs,
+    )
+
+    fp = {r["doc_id"]: r["simhash32"] for r in simhash_md5(_docs(spark)).collect()}
+    exhaustive = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_md5_pairs(_docs(spark), max_hamming=3).collect()
+    }
+    assert banded == exhaustive
+    assert banded[(1, 4)] == 0  # identical docs → identical fingerprints
+    assert all(v < 1 << 32 and v >= 0 for v in fp.values())
+
+
 def test_simhash_banding_parameterized(spark):
     import pytest
 
