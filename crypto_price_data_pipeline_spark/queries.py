@@ -882,6 +882,23 @@ ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
 LIMIT 10
 """
 
+# The ANN queries return the exact top-10 plus an in-plan recall-floor
+# boolean; the oracle asserts the floor held by emitting literal TRUE
+# (see _ann_with_recall).
+Q_ANN_RECALL_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 9) AS cosine_sim_r9,
+       TRUE AS recall_ok
+FROM embeddings, q
+ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+LIMIT 10
+"""
+
 
 # -------------------------------------- no-oracle (rows-only) entries
 
@@ -938,26 +955,61 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+def _ann_with_recall(exact: DataFrame, ann: DataFrame, k: int, floor: float) -> DataFrame:
+    """Exact top-k rows + a recall@k floor assertion, all in-plan.
+
+    The output hash covers the (oracled) exact rows AND ``recall_ok``:
+    the oracle emits literal TRUE, so an ANN regression below the floor
+    flips the column and fails the row — the approximate path is gated
+    by the correctness check without the oracle having to reproduce
+    LSH/k-means. Both sides are ≤k rows, so the joins broadcast."""
+    hits = exact.join(
+        F.broadcast(ann.select("vec_id", F.lit(1).alias("_hit"))), "vec_id", "left"
+    )
+    recall = hits.agg(
+        (F.coalesce(F.sum("_hit"), F.lit(0)) / F.lit(float(k))).alias("_recall")
+    )
+    return (
+        hits.crossJoin(F.broadcast(recall))
+        .select(
+            "vec_id",
+            F.round("cosine_sim", 9).alias("cosine_sim_r9"),
+            (F.col("_recall") >= floor).alias("recall_ok"),
+        )
+        .orderBy(F.col("cosine_sim_r9").desc(), "vec_id")
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN cosine top-10 via sign-random-projection LSH buckets
-    (approximate → rows-only; exact recall is measured in tests)."""
-    from .operators.similarity import hyperplane_lsh_buckets, lsh_cosine_topk
+    (6 bits, multiprobe Hamming ≤2 → 22/64 buckets probed), reported as
+    the exact top-10 (bit-exact oracle) + an in-plan recall@10 ≥ 0.5
+    assertion against that ground truth. The synthetic near-isotropic
+    embeddings are ANN-hostile (measured recall 0.6–0.8 across sf);
+    real clustered corpora probe fewer buckets for more recall."""
+    from .operators.similarity import cosine_topk, hyperplane_lsh_buckets, lsh_cosine_topk
 
     emb = load_table(spark, sf, "embeddings")
     query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
     bucketed = hyperplane_lsh_buckets(emb, dim=len(query), bits=6)
-    return lsh_cosine_topk(bucketed, query, k=10, bits=6)
+    ann = lsh_cosine_topk(bucketed, query, k=10, bits=6, probe_radius=2)
+    return _ann_with_recall(exact, ann, k=10, floor=0.5)
 
 
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN cosine top-10 via an IVF index (k-means coarse quantizer,
-    n_probe nearest lists, exact re-rank). Approximate → rows-only."""
-    from .operators.similarity import ivf_build, ivf_topk
+    8 lists, 5 probed, exact re-rank), reported as the exact top-10
+    (bit-exact oracle) + an in-plan recall@10 ≥ 0.5 assertion
+    (measured 0.8 across sf on the synthetic corpus)."""
+    from .operators.similarity import cosine_topk, ivf_build, ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
     query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
     assigned, centroids = ivf_build(emb, n_lists=8)
-    return ivf_topk(assigned, centroids, query, k=10, n_probe=3)
+    ann = ivf_topk(assigned, centroids, query, k=10, n_probe=5)
+    return _ann_with_recall(exact, ann, k=10, floor=0.5)
 
 
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -1060,10 +1112,14 @@ ORACLES: dict[str, str] = {
     "q_embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "q_stream_ohlc": Q_STREAM_OHLC_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
-    # q_simhash_pairs / q_lsh_topk / q_fingerprints: intentionally no
-    # oracle (signature bits are xxhash64-valued / ANN probe order —
-    # rows-only check). q_minhash_pairs DOES carry one: its output is
-    # the exact-Jaccard pair set (see its docstring on recall).
+    "q_lsh_topk": Q_ANN_RECALL_SQL,
+    "q_ivf_topk": Q_ANN_RECALL_SQL,
+    # q_simhash_pairs / q_fingerprints: intentionally no oracle
+    # (signature bits are xxhash64-valued — rows-only check); their
+    # cross-engine md5 twins (q_simhash_md5_pairs, q_fingerprint_md5)
+    # carry bit-exact oracles. q_minhash_pairs DOES carry one: its
+    # output is the exact-Jaccard pair set (see its docstring on
+    # recall).
 }
 
 # second + third + fourth coverage waves
