@@ -46,6 +46,23 @@ def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _gate_corpus_size(df: DataFrame, cap: int | None, op: str, scale_alt: str) -> None:
+    """Refuse an explicitly-quadratic baseline above ``cap`` rows.
+
+    The probe is ``limit(cap+1).count()`` — bounded work regardless of
+    corpus size (Spark stops feeding partitions once the limit is
+    hit), so the gate itself can't become the scan it guards against.
+    """
+    if cap is None:
+        return
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{op} is a quadratic-within-block baseline and is capped at "
+            f"{cap} rows; use {scale_alt} at this scale, or pass the cap "
+            "override explicitly after sizing the blocks"
+        )
+
+
 TOKEN_SPLIT_ASCII = r"[^a-z0-9]+"  # fast path (no unicode property tables)
 TOKEN_SPLIT_UNICODE = r"[^\p{L}\p{N}]+"  # full unicode letters/digits
 
@@ -631,10 +648,19 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked pairs (the non-probabilistic
     baseline the MinHash path approximates). ``block_cols`` bounds the
     pair blowup (e.g. ["lang"]); omit only on small corpora.
+
+    GATED: still quadratic within a block, so this baseline refuses
+    corpora above ``max_docs`` (default 100k — worst case ~10¹⁰ raw
+    pairs before the size-ratio prune) instead of silently planning an
+    intractable join; use :func:`minhash_then_exact` (same result,
+    candidate-proportional work) at scale, or pass ``max_docs=None``
+    after sizing the blocks yourself. The probe costs one
+    limit-bounded count, never a full scan.
 
     Plan shape: candidate ID pairs are generated inside the (cheap,
     id-only) block self-join, REPARTITIONED to full parallelism, and
@@ -643,6 +669,7 @@ def ngram_jaccard_pairs(
     once per partner and (b) serialize the Jaccard compute onto
     |distinct block keys| partitions — with a low-cardinality key like
     lang, that is 5 tasks no matter how big the cluster."""
+    _gate_corpus_size(df, max_docs, "ngram_jaccard_pairs", "minhash_then_exact")
     shingled = (
         with_shingles(df, id_col, text_col, k)
         .withColumnRenamed("_shingles", "_sh")

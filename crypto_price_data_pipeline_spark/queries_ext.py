@@ -280,10 +280,18 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_neardup_pairs(spark, sf, threshold=0.35)
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf: str, threshold: float) -> DataFrame:
+def embedding_neardup_pairs(
+    spark: SparkSession, sf: str, threshold: float, max_vectors: int | None = 1_000_000
+) -> DataFrame:
     """Blocked cosine pairs (id_a, id_b, cosine_sim_r9 ≥ threshold) —
     shared by the near-dup query and the clustering query. See
-    q_embedding_neardup for the plan-shape rationale."""
+    q_embedding_neardup for the plan-shape rationale.
+
+    GATED like ngram_jaccard_pairs: quadratic within a label block, so
+    it refuses corpora above ``max_vectors`` — bucket by an LSH key
+    (operators.similarity.hyperplane_lsh_buckets) and pair within
+    buckets instead at that scale, or pass ``max_vectors=None``."""
+    from .operators.dedup import _gate_corpus_size
     from .operators.similarity import _dot
 
     emb = load_table(spark, sf, "embeddings").select(
@@ -291,6 +299,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str, threshold: float) -> D
         "label",
         F.col("embedding").alias("_e"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_norm"),
+    )
+    _gate_corpus_size(
+        emb, max_vectors, "embedding_neardup_pairs", "LSH-bucketed pairing"
     )
     ids = emb.select(F.col("vec_id").alias("_id"), "label")
     pairs = (

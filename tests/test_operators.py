@@ -279,6 +279,27 @@ def test_simhash_combination_blocking_equals_banding(spark):
     assert combo[(1, 4)] == 0  # exact dup pair always present
 
 
+def test_exhaustive_baselines_gated_by_corpus_size(spark):
+    """The explicitly-quadratic baselines must refuse oversized corpora
+    BEFORE any pair join is planned — the scale paths (minhash_then_exact,
+    LSH bucketing) are the only routes past the cap."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from crypto_price_data_pipeline_spark.queries_ext import embedding_neardup_pairs
+
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(_docs(spark), max_docs=2)
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_neardup_pairs(
+            spark, "/root/testdata/sf0.001", threshold=0.35, max_vectors=2
+        )
+    # under the cap the plan builds as before
+    assert ngram_jaccard_pairs(_docs(spark), max_docs=100).columns == [
+        "id_a", "id_b", "jaccard",
+    ]
+
+
 def test_minhash_then_exact_equals_exhaustive(spark):
     from crypto_price_data_pipeline_spark.operators.dedup import (
         minhash_then_exact,
