@@ -1,0 +1,112 @@
+"""Bounded-memory per-key series folds (scale hardening for the
+indicator queries).
+
+The bit-exact EMA/MACD query (queries_ext4.q_crypto_indicators)
+collects each key's FULL ordered series into one array and left-folds
+it with an `aggregate` HOF — deterministic and oracle-matching, but a
+single hot key with an unbounded series materializes the whole array
+in one executor row. Contract for that path: series length per key
+must fit one task's memory (~10⁷ points of (ts, id, double) ≈ 300 MB —
+enforce upstream or use this module).
+
+``ema_by_key_chunked`` is the unbounded-key variant. The EMA recurrence
+acc' = x·α + acc·(1−α) applied over a chunk is an AFFINE map
+f(acc) = acc·d + c with d = (1−α)^len and c = the chunk folded from 0.
+Affine maps compose associatively, so:
+
+  1. number rows per key (one sort shuffle — the same shuffle the
+     exact path pays),
+  2. bound each collected array by ``chunk_size`` rows
+     (groupBy (key, chunk)),
+  3. fold the ≤ n/chunk_size chunk summaries per key in chunk order.
+
+Every array is bounded: chunk_size values in step 2, n/chunk_size
+summary structs in step 3 — a 10⁹-point key at chunk_size 2¹⁶ holds
+512 KB in step 2 and ~15k summaries in step 3. All JVM higher-order
+functions; no Python, no full-series row anywhere.
+
+Numerics: composition reassociates floating-point ops, so results can
+differ from the single-fold path in the last ulps (relative ~1e-12
+observed) — use the exact path when bit-reproducibility against a
+serial oracle is required and the series bound is enforceable;
+document the tolerance otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ema_fold(vals: Column, alpha: float) -> Column:
+    """Bit-exact serial EMA left-fold over an array column: NULL init,
+    first element seeds the accumulator (pandas ewm adjust=False
+    semantics)."""
+    return F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            x * F.lit(alpha) + acc * F.lit(1.0 - alpha)
+        ),
+    )
+
+
+def ema_by_key_chunked(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    chunk_size: int = 1 << 16,
+    out_col: str = "ema",
+) -> DataFrame:
+    """EMA per key over an arbitrarily long series with per-task memory
+    bounded by ``chunk_size`` (see module docstring for the affine
+    decomposition). Returns (key, n_ticks, out_col)."""
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    )
+    chunked = df.select(
+        key_col, F.col(value_col).cast("double").alias("_v"), rn.alias("_rn")
+    ).withColumn("_chunk", ((F.col("_rn") - 1) / F.lit(chunk_size)).cast("long"))
+
+    # per-chunk summary: ordered values fold to (c, d); chunk 0 also
+    # records its seeded (NULL-init) fold so the series start behaves
+    # exactly like the serial path
+    per_chunk = chunked.groupBy(key_col, "_chunk").agg(
+        F.array_sort(F.collect_list(F.struct("_rn", "_v"))).alias("_xs")
+    )
+    vals = F.transform("_xs", lambda s: s["_v"])
+    contribution = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: x * F.lit(alpha) + acc * F.lit(1.0 - alpha),
+    )
+    decay = F.aggregate(
+        vals, F.lit(1.0), lambda acc, _: acc * F.lit(1.0 - alpha)
+    )
+    summaries = per_chunk.select(
+        key_col,
+        "_chunk",
+        F.size("_xs").alias("_n"),
+        contribution.alias("_c"),
+        decay.alias("_d"),
+        ema_fold(vals, alpha).alias("_seeded"),
+    )
+
+    # compose the ≤ n/chunk_size affine maps in chunk order
+    folded = summaries.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_chunk", "_n", "_c", "_d", "_seeded"))
+        ).alias("_ss"),
+        F.sum("_n").alias("n_ticks"),
+    )
+    acc = F.aggregate(
+        F.col("_ss"),
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["_seeded"]).otherwise(
+            acc * s["_d"] + s["_c"]
+        ),
+    )
+    return folded.select(key_col, "n_ticks", acc.alias(out_col))

@@ -236,7 +236,13 @@ def q_crypto_indicators(spark: SparkSession, sf: str) -> DataFrame:
     each key's ordered series, then the recursive EMA folds run as
     per-row `aggregate` HOFs (identical left-fold order on both
     engines → bit-exact doubles, no window O(n²) prefix recompute).
-    MACD = EMA(α=2/13) − EMA(α=2/27) over the per-user event series."""
+    MACD = EMA(α=2/13) − EMA(α=2/27) over the per-user event series.
+
+    Series-length contract: each key's full series materializes as one
+    array row, so per-key length must fit task memory (~10⁷ points).
+    For unbounded keys use operators.series.ema_by_key_chunked — same
+    EMA to ~1e-12 relative (fp reassociation), arrays bounded by
+    chunk_size at any series length."""
     ev = load_table(spark, sf, "events")
     ordered = ev.groupBy("user_id").agg(
         F.array_sort(

@@ -75,10 +75,49 @@ ORDER BY id_a, id_b
 Q_SIMHASH_MD5_SQL = _simhash_md5_oracle()
 
 
+# ------------------------------------------------- chunked series fold
+
+
+def q_ema_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    """EMA per user via the bounded-memory chunked fold
+    (`operators.series.ema_by_key_chunked`, chunk_size forced below the
+    per-user series length so multiple chunks actually compose). The
+    oracle folds serially — agreement at 4 decimals verifies the
+    affine chunk composition against the serial recurrence (they
+    differ only by fp reassociation, ~1e-12 relative; rounding
+    tolerance chosen so a boundary flip is ~1e-8 improbable per
+    value)."""
+    from .operators.series import ema_by_key_chunked
+
+    ev = load_table(spark, sf, "events")
+    out = ema_by_key_chunked(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.25, chunk_size=16
+    )
+    return out.select(
+        "user_id",
+        F.col("n_ticks").cast("int").alias("n_ticks"),
+        F.round("ema", 4).alias("ema_r4"),
+    ).orderBy("user_id")
+
+
+Q_EMA_CHUNKED_SQL = """
+WITH ordered AS (
+  SELECT user_id, ARRAY_AGG(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INTEGER) AS n_ticks,
+       ROUND(list_reduce(vals, (acc, x) -> x * 0.25 + acc * 0.75), 4) AS ema_r4
+FROM ordered ORDER BY user_id
+"""
+
+
 EXT5_QUERIES = {
     "q_simhash_md5_pairs": q_simhash_md5_pairs,
+    "q_ema_chunked": q_ema_chunked,
 }
 
 EXT5_ORACLES = {
     "q_simhash_md5_pairs": Q_SIMHASH_MD5_SQL,
+    "q_ema_chunked": Q_EMA_CHUNKED_SQL,
 }

@@ -279,6 +279,42 @@ def test_simhash_combination_blocking_equals_banding(spark):
     assert combo[(1, 4)] == 0  # exact dup pair always present
 
 
+def test_ema_chunked_matches_serial_fold(spark):
+    """Affine-composed chunked EMA ≡ serial fold to fp-reassociation
+    tolerance, at chunk boundaries of every phase (chunk_size smaller
+    than, equal to, and larger than the series)."""
+    from crypto_price_data_pipeline_spark.operators.series import ema_by_key_chunked
+
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, i int, v double"
+    )
+    acc = None
+    for v in vals:
+        acc = v if acc is None else v * 0.25 + acc * 0.75
+    for cs in (2, 7, 100):
+        row = ema_by_key_chunked(
+            df, "k", ["i"], "v", alpha=0.25, chunk_size=cs
+        ).collect()[0]
+        assert row["n_ticks"] == len(vals)
+        assert abs(row["ema"] - acc) <= 1e-12 * abs(acc)
+
+
+def test_ema_chunked_million_point_key(spark):
+    """A single 1M-point key folds with arrays bounded by chunk_size —
+    no OOM-driven config changes, result matches the closed-form EMA of
+    a constant series exactly."""
+    from crypto_price_data_pipeline_spark.operators.series import ema_by_key_chunked
+
+    df = (
+        spark.range(1_000_000)
+        .select(F.lit(1).alias("k"), F.col("id").alias("i"), F.lit(2.5).alias("v"))
+    )
+    row = ema_by_key_chunked(df, "k", ["i"], "v", alpha=0.1, chunk_size=1 << 12).collect()[0]
+    assert row["n_ticks"] == 1_000_000
+    assert abs(row["ema"] - 2.5) < 1e-9  # EMA of a constant is the constant
+
+
 def test_exhaustive_baselines_gated_by_corpus_size(spark):
     """The explicitly-quadratic baselines must refuse oversized corpora
     BEFORE any pair join is planned — the scale paths (minhash_then_exact,
