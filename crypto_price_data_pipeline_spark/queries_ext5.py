@@ -75,6 +75,73 @@ ORDER BY id_a, id_b
 Q_SIMHASH_MD5_SQL = _simhash_md5_oracle()
 
 
+# ------------------------------------- date-partitioned staging table
+
+
+def partitioned_staging_dir(spark: SparkSession, sf: str) -> str:
+    """Write the events table as a dt=yyyy-MM-dd partitioned staging
+    directory (io.sinks.overwrite_parquet partition_by path) and return
+    the directory — the layout every 100 TB staging table should have
+    so date-ranged readers get partition pruning instead of full scans.
+    One dir per (process, sf), built on first use, removed at exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = f"_staging_{sf.replace('/', '_')}"
+    cached = _STAGING_DIRS.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    from .io.sinks import overwrite_parquet
+
+    ev = load_table(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="staging_dt_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    overwrite_parquet(
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd")),
+        d,
+        partition_by=["dt"],
+    )
+    _STAGING_DIRS[key] = d
+    return d
+
+
+_STAGING_DIRS: dict[str, str] = {}
+
+
+def q_partitioned_staging(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-ranged rollup over the dt-partitioned staging table. The dt
+    predicate is a PARTITION filter — the scan plans only the 3 of 30
+    date directories (tests/test_plans.py asserts PartitionFilters and
+    an empty data-filter set) — the access pattern that turns a 100 TB
+    staging scan into a 10 TB one. The oracle computes the same rollup
+    from the raw events table, proving the partitioned round-trip
+    loses nothing."""
+    staged = spark.read.parquet(partitioned_staging_dir(spark, sf))
+    # partition-type inference reads the dt dirs back as DATE; cast to
+    # string for the cross-engine compare
+    return (
+        staged.where((F.col("dt") >= "2024-01-10") & (F.col("dt") <= "2024-01-12"))
+        .groupBy(F.col("dt").cast("string").alias("dt"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("dt", "event_type")
+    )
+
+
+Q_PARTITIONED_STAGING_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------- chunked series fold
 
 
@@ -115,9 +182,11 @@ FROM ordered ORDER BY user_id
 EXT5_QUERIES = {
     "q_simhash_md5_pairs": q_simhash_md5_pairs,
     "q_ema_chunked": q_ema_chunked,
+    "q_partitioned_staging": q_partitioned_staging,
 }
 
 EXT5_ORACLES = {
     "q_simhash_md5_pairs": Q_SIMHASH_MD5_SQL,
     "q_ema_chunked": Q_EMA_CHUNKED_SQL,
+    "q_partitioned_staging": Q_PARTITIONED_STAGING_SQL,
 }

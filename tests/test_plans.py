@@ -186,3 +186,35 @@ def test_tfidf_doc_freq_broadcast(spark):
 
     plan = _plan(QUERIES["q_tfidf_terms"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_staging_pruning(spark):
+    """The dt-partitioned staging read must prune at the partition
+    level: the dt range lands in PartitionFilters (directory pruning,
+    no data read outside the range), not in the row-level data filters;
+    and a join against a filtered date dim must plan dynamic partition
+    pruning (the runtime analogue for ranges known only after the dim
+    scan)."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+    from crypto_price_data_pipeline_spark.queries_ext5 import partitioned_staging_dir
+
+    plan = _plan(QUERIES["q_partitioned_staging"](spark, SF))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dt" in pf and ">= 2024-01-10" in pf  # predicate reached the dirs
+    # the whole range became directory pruning — no row-level filter
+    # remains (the PushedFilters line vanishes when empty)
+    assert "PushedFilters" not in plan or "PushedFilters: []" in plan
+
+    # DPP: dim-driven date restriction becomes a dynamicpruning
+    # subquery on the partitioned scan
+    staged = spark.read.parquet(partitioned_staging_dir(spark, SF))
+    dim = spark.createDataFrame(
+        [("2024-01-05", "t"), ("2024-01-06", "t")], "d_dt string, tag string"
+    ).select(F.col("d_dt").cast("date").alias("d_dt"), "tag")
+    joined = (
+        staged.join(dim.where(F.col("tag") == "t"), staged["dt"] == dim["d_dt"])
+        .groupBy("dt")
+        .count()
+    )
+    dpp_plan = _plan(joined)
+    assert "dynamicpruning" in dpp_plan.lower()
