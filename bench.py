@@ -49,6 +49,9 @@ HEADLINE = [
     "q_cms_counts",
     "q_pii_scrub",
     "q_tfidf_terms",
+    "q_simhash_md5_pairs",
+    "q_ema_chunked",
+    "q_partitioned_staging",
 ]
 
 

@@ -179,14 +179,120 @@ FROM ordered ORDER BY user_id
 """
 
 
+# ------------------------------------------------- exact percentiles
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 / p99) of the
+    extended price per return flag — the `percentile` aggregate (exact,
+    sort-based) rather than `percentile_approx`, because the oracle
+    needs a deterministic value. Both engines use the same linear
+    interpolation (R-7); results compare at 6 decimals. At 100 TB
+    prefer approx_percentile (one-pass sketch, no per-group sort
+    buffer) wherever a ±ε answer is acceptable."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ------------------------------------------------- CSV round-trip
+
+
+def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source/sink coverage: events → CSV (header, explicitly
+    formatted timestamps — never writer-default tz rendering) → read
+    back with a declared schema (schema-on-read, no inference job) →
+    hourly rollup. The oracle aggregates the raw events table, so the
+    round-trip is proven lossless for string/timestamp/double columns.
+    At scale, CSV is an ingest format only — the first job should land
+    it as partitioned parquet (q_partitioned_staging's layout)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _CSV_DIRS.get(sf)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="events_csv_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ev = load_table(spark, sf, "events")
+        (
+            ev.select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+                "event_type",
+                "value",
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(d)
+        )
+        _CSV_DIRS[sf] = d
+    back = (
+        spark.read.schema("event_id long, ts_s string, event_type string, value double")
+        .option("header", True)
+        .csv(d)
+        .select(
+            "event_id",
+            F.to_timestamp("ts_s", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    return (
+        back.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+_CSV_DIRS: dict[str, str] = {}
+
+
+Q_CSV_ROUNDTRIP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXT5_QUERIES = {
     "q_simhash_md5_pairs": q_simhash_md5_pairs,
     "q_ema_chunked": q_ema_chunked,
     "q_partitioned_staging": q_partitioned_staging,
+    "q_percentiles": q_percentiles,
+    "q_csv_roundtrip": q_csv_roundtrip,
 }
 
 EXT5_ORACLES = {
     "q_simhash_md5_pairs": Q_SIMHASH_MD5_SQL,
     "q_ema_chunked": Q_EMA_CHUNKED_SQL,
     "q_partitioned_staging": Q_PARTITIONED_STAGING_SQL,
+    "q_percentiles": Q_PERCENTILES_SQL,
+    "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
 }
