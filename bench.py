@@ -52,6 +52,9 @@ HEADLINE = [
     "q_simhash_md5_pairs",
     "q_ema_chunked",
     "q_partitioned_staging",
+    "q_percentiles",
+    "q_csv_roundtrip",
+    "q_contamination",
 ]
 
 

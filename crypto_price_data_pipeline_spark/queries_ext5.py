@@ -179,6 +179,130 @@ FROM ordered ORDER BY user_id
 """
 
 
+# ------------------------------------------- test-set contamination
+
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: for every eval-set document, the
+    training document with the highest 5-gram containment
+    (|shared eval 5-grams| / |eval 5-grams|) — the pre-training hygiene
+    check that catches test data leaked into the corpus.
+
+    The synthetic corpus has no real leakage, so contamination is
+    PLANTED deterministically (the q_pii_scrub pattern): docs with
+    doc_id % 97 == 0 form the eval set, and each takes the first ~30
+    tokens of training doc doc_id+1 — the oracle replants identically,
+    so the expected answer is (eval, doc_id+1, containment 1.0) and
+    the check is non-vacuous end to end.
+
+    Scale shape: the eval side is the small side by construction —
+    its exploded distinct grams broadcast to the training-gram explode
+    (shuffle ∝ matching grams only, never the corpus); the final
+    argmax is one hash aggregate + per-eval top-1 window. String
+    5-grams (not xxhash64) keep it engine-portable."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != "")
+
+    def grams(tok_col, k=5):
+        return F.when(
+            F.size(tok_col) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok_col) - k + 1),
+                    lambda i: F.array_join(F.slice(tok_col, i, k), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(tok_col, " ")))
+
+    tokenized = docs.select("doc_id", toks.alias("_t"))
+    train = tokenized.where(F.col("doc_id") % 97 != 0)
+    # plant: eval text = first 30 tokens of training doc (doc_id + 1)
+    donor = tokenized.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.slice("_t", 1, 30).alias("_t")
+    )
+    evals = (
+        tokenized.where(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+        .join(donor, "doc_id")
+    )
+
+    e_grams = evals.select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(grams(F.col("_t"))).alias("gram"),
+        F.size(grams(F.col("_t"))).alias("n_eval_grams"),
+    )
+    t_grams = train.select(
+        F.col("doc_id").alias("train_id"), F.explode(grams(F.col("_t"))).alias("gram")
+    )
+    shared = (
+        t_grams.join(F.broadcast(e_grams), "gram")
+        .groupBy("eval_id", "train_id", "n_eval_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("eval_id").orderBy(
+        (F.col("n_shared") / F.col("n_eval_grams")).desc(), F.col("train_id").asc()
+    )
+    return (
+        shared.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(F.col("n_shared") / F.col("n_eval_grams"), 6).alias("containment"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+Q_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+),
+train AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 97 <> 0),
+donor AS (
+  SELECT doc_id - 1 AS doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(range(1, greatest(len(list_slice(t, 1, 30)) - 3, 1)),
+                     i -> array_to_string(list_slice(t, 1, 30)[i:i+4], ' ')))
+              ELSE [array_to_string(list_slice(t, 1, 30), ' ')] END AS g
+  FROM toks
+),
+evals AS (
+  SELECT d.doc_id AS eval_id, d.g
+  FROM donor d JOIN grams orig ON orig.doc_id = d.doc_id
+  WHERE d.doc_id % 97 = 0
+),
+e_expl AS (SELECT eval_id, len(g) AS n_eval_grams, unnest(g) AS gram FROM evals),
+t_expl AS (SELECT train_id, unnest(g) AS gram FROM train),
+shared AS (
+  SELECT eval_id, train_id, n_eval_grams, COUNT(*) AS n_shared
+  FROM e_expl JOIN t_expl USING (gram)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT eval_id, train_id,
+         ROUND(CAST(n_shared AS DOUBLE) / n_eval_grams, 6) AS containment,
+         ROW_NUMBER() OVER (PARTITION BY eval_id
+                            ORDER BY CAST(n_shared AS DOUBLE) / n_eval_grams DESC,
+                                     train_id ASC) AS rn
+  FROM shared
+)
+SELECT eval_id, train_id, containment FROM ranked WHERE rn = 1 ORDER BY eval_id
+"""
+
+
 # ------------------------------------------------- exact percentiles
 
 
@@ -287,6 +411,7 @@ EXT5_QUERIES = {
     "q_partitioned_staging": q_partitioned_staging,
     "q_percentiles": q_percentiles,
     "q_csv_roundtrip": q_csv_roundtrip,
+    "q_contamination": q_contamination,
 }
 
 EXT5_ORACLES = {
@@ -295,4 +420,5 @@ EXT5_ORACLES = {
     "q_partitioned_staging": Q_PARTITIONED_STAGING_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+    "q_contamination": Q_CONTAMINATION_SQL,
 }
