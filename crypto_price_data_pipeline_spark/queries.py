@@ -882,6 +882,22 @@ ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
 LIMIT 10
 """
 
+# xxhash64-fingerprint values are Spark-only, but the doc-partition
+# they induce is checkable: the oracle derives the same group
+# representatives from the portable md5-chain fingerprint.
+Q_FINGERPRINTS_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend('fp0', list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')),
+           (acc, x) -> md5(acc || x)
+         ) AS fp
+  FROM documents
+)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS group_rep
+FROM fp ORDER BY doc_id
+"""
+
 # The ANN queries return the exact top-10 plus an in-plan recall-floor
 # boolean; the oracle asserts the floor held by emitting literal TRUE
 # (see _ann_with_recall).
@@ -1013,11 +1029,27 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling-hash document fingerprints (xxhash64-based → rows-only)."""
+    """Rolling-hash document fingerprints. The xxhash64 VALUES are
+    engine-specific, but the fingerprint's semantic content — the
+    partition it induces on the corpus (which docs share a
+    fingerprint) — is not: the row reports each doc's fingerprint-group
+    representative (min doc_id sharing its fingerprint), which the
+    oracle reproduces from the md5-chain twin. A bit-exact match proves
+    both fingerprints induce the SAME duplicate-grouping (true absent
+    64-bit collisions), turning the last hash-value-only check into a
+    verified one. Raw values (when needed for joins) come from
+    ``text.fingerprint`` directly."""
+    from pyspark.sql.window import Window
+
     from .operators.text import fingerprint
 
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+    rep = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+        .select("doc_id", rep.alias("group_rep"))
+        .orderBy("doc_id")
+    )
 
 
 def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
@@ -1114,10 +1146,11 @@ ORACLES: dict[str, str] = {
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
     "q_lsh_topk": Q_ANN_RECALL_SQL,
     "q_ivf_topk": Q_ANN_RECALL_SQL,
-    # q_simhash_pairs / q_fingerprints: intentionally no oracle
-    # (signature bits are xxhash64-valued — rows-only check); their
-    # cross-engine md5 twins (q_simhash_md5_pairs, q_fingerprint_md5)
-    # carry bit-exact oracles. q_minhash_pairs DOES carry one: its
+    "q_fingerprints": Q_FINGERPRINTS_SQL,
+    # q_simhash_pairs: intentionally no oracle (the xxhash64 projection
+    # genuinely differs from the md5 twin's, so even its pair set is
+    # engine-specific); its cross-engine twin q_simhash_md5_pairs
+    # carries the bit-exact oracle. q_minhash_pairs DOES carry one: its
     # output is the exact-Jaccard pair set (see its docstring on
     # recall).
 }
