@@ -179,6 +179,105 @@ FROM ordered ORDER BY user_id
 """
 
 
+# ---------------------------------------------------- unpivot / melt
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshaping (`DataFrame.unpivot`, the inverse of
+    q_pivot): per-flag measure columns melt into (flag, measure, value)
+    rows — the Expand-based plan that keeps reshaping one pass with no
+    join or union of scans. Oracle is the portable UNION ALL form."""
+    li = load_table(spark, sf, "lineitem")
+    dec_sum = lambda c: F.sum(F.col(c).cast("decimal(38,6)")).cast("double")  # noqa: E731
+    wide = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+        dec_sum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")
+
+
+Q_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+ORDER BY l_returnflag, measure
+"""
+
+
+# -------------------------------------------------- UDTF (LATERAL)
+
+
+def q_udtf_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF surface, driver-verified: a LATERAL table function
+    chunks each document into 32-token pieces and emits
+    (chunk_idx, chunk_tokens, chunk_md5) rows; the oracle rebuilds the
+    identical rows with DuckDB list ops. Complements the pure-DataFrame
+    chunker (q_chunk_dedup) the way the pandas as-of path complements
+    the window one — the UDTF is the escape hatch for genuinely
+    imperative per-row expansion, and this row proves that surface
+    produces bit-identical results, not just 'some rows'. Python
+    row-at-a-time: use the HOF chunker in hot paths."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk_tokens: int, chunk_md5: string")
+    class ChunkDoc:
+        def eval(self, text):
+            import hashlib
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(0, len(toks), 32):
+                chunk = toks[i : i + 32]
+                yield (
+                    i // 32,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    try:
+        return spark.sql(
+            """
+            SELECT d.doc_id, t.chunk_idx, t.chunk_tokens, t.chunk_md5
+            FROM _udtf_docs d, LATERAL chunk_doc(d.text) t
+            ORDER BY d.doc_id, t.chunk_idx
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("_udtf_docs")
+
+
+Q_UDTF_CHUNKS_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(len(t[i*32+1 : i*32+32]) AS INT) AS chunk_tokens,
+       md5(array_to_string(t[i*32+1 : i*32+32], ' ')) AS chunk_md5
+FROM toked, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS i
+) ix
+WHERE len(t) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # ------------------------------------------- test-set contamination
 
 
@@ -412,6 +511,8 @@ EXT5_QUERIES = {
     "q_percentiles": q_percentiles,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_contamination": q_contamination,
+    "q_udtf_chunks": q_udtf_chunks,
+    "q_unpivot": q_unpivot,
 }
 
 EXT5_ORACLES = {
@@ -421,4 +522,6 @@ EXT5_ORACLES = {
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_contamination": Q_CONTAMINATION_SQL,
+    "q_udtf_chunks": Q_UDTF_CHUNKS_SQL,
+    "q_unpivot": Q_UNPIVOT_SQL,
 }
