@@ -489,27 +489,37 @@ def simhash_md5_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 4,
-    bits: int = 8,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs on the 32-bit md5 SimHash via banding, verified
-    with bit_count(xor). Same pigeonhole guarantee as ``simhash_pairs``
-    (max_hamming ≤ bands-1 ⇒ exact recall within the radius), so the
-    result is deterministically THE set of pairs at Hamming ≤
-    ``max_hamming`` — which a cross-engine oracle can reproduce with an
-    exhaustive self-join. 8-bit buckets are coarser than the 64-bit
-    twin's 16-bit ones (occupancy n/256 per band): fine for verify-
-    sized corpora; at production n use the 64-bit twin for blocking and
-    this one only to cross-check fingerprints."""
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
-            "for the pigeonhole recall guarantee"
-        )
-    if bands * bits > 32:
-        raise ValueError("bands * bits must fit in the 32-bit fingerprint")
+    """Near-dup pairs on the 32-bit md5 SimHash via COMBINATION
+    blocking, verified with bit_count(xor). The fingerprint splits into
+    ``blocks`` sub-blocks of 32/blocks bits; a pair within Hamming
+    ``max_hamming`` has some (blocks − max_hamming)-subset of clean
+    sub-blocks, so blocking on every such C(blocks, d) subset key
+    preserves exact recall (same pigeonhole as banding) — the result is
+    deterministically THE pair set at the radius, which a cross-engine
+    oracle reproduces with an exhaustive self-join.
+
+    Combination keys are the right shape in only 32 bits: plain
+    4-band × 8-bit banding has bucket occupancy n/256 per band, which
+    is ~28M candidate pairs at n=60k (measured 3.0s); the default
+    C(8,5)=56 keys carry 20 bits each (occupancy n/2²⁰), collapsing
+    candidates to near-true-pairs-only (measured 1.3s — and the gap
+    widens quadratically with n)."""
+    from itertools import combinations
+
+    if not 0 < max_hamming < blocks:
+        raise ValueError("need 0 < max_hamming < blocks")
+    if 32 % blocks:
+        raise ValueError("blocks must divide 32")
+    bits = 32 // blocks
     mask = (1 << bits) - 1
     sh = simhash_md5(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash32")
+
+    def _block(i: int) -> Column:
+        return F.shiftright("simhash32", bits * i).bitwiseAND(F.lit(mask))
+
+    combos = list(combinations(range(blocks), blocks - max_hamming))
     banded = sh.select(
         "_id",
         "simhash32",
@@ -517,20 +527,18 @@ def simhash_md5_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash32", bits * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
+                        F.lit(ci).alias("comb"),
+                        F.xxhash64(*[_block(i) for i in combo]).alias("bucket"),
                     )
-                    for i in range(bands)
+                    for ci, combo in enumerate(combos)
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "simhash32", "bb.band", "bb.bucket")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "band", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "band", "bucket")
+    ).select("_id", "simhash32", "bb.comb", "bb.bucket")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "comb", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "comb", "bucket")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["comb", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select(
