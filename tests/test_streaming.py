@@ -252,3 +252,28 @@ def test_stream_stream_left_outer_join_emits_after_watermark(spark, tmp_path):
     rows = {r["event_id"]: r for r in spark.table("ss_outer").collect()}
     assert rows[2]["click_value"] == 5.0  # matched pair
     assert rows[3]["click_value"] is None  # outer row emitted after watermark
+
+
+def test_run_to_parquet_empty_result_reads_back(spark, tmp_path):
+    """An availableNow stream whose filters drop every row writes no
+    parquet files; the wrapper pattern (read with the streaming DF's
+    schema) must return an empty frame, not an inference error."""
+    import pyspark.sql.functions as F
+
+    from crypto_price_data_pipeline_spark.streaming.windows import _run_to_parquet
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(str(src / "p"))
+    schema = spark.read.parquet(str(src / "p")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .where(F.col("event_type") == "no_such_type")
+    )
+    data = _run_to_parquet(stream, mode="append")
+    out = spark.read.schema(stream.schema).parquet(data)
+    assert out.count() == 0 and out.columns == [f.name for f in schema.fields]
