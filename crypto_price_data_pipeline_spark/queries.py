@@ -1173,3 +1173,7 @@ from .queries_ext5 import EXT5_ORACLES, EXT5_QUERIES  # noqa: E402
 
 QUERIES.update(EXT5_QUERIES)
 ORACLES.update(EXT5_ORACLES)
+from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
+
+QUERIES.update(EXT6_QUERIES)
+ORACLES.update(EXT6_ORACLES)

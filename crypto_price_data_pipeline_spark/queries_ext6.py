@@ -1,0 +1,193 @@
+"""Sixth coverage wave: training-run data-prep mechanics — sequence
+packing (concat-and-chunk), deterministic train/val/test hash splits,
+and per-day content novelty (incremental-dedup accounting).
+
+Registered into QUERIES/ORACLES by queries.py; same determinism
+contract (integer arithmetic or int/int doubles only, md5 as the
+cross-engine hash, string-formatted dates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.sources import load_table
+from .operators.packing import pack_sequences
+from .operators.text import tokenize
+
+SEQ_LEN = 128
+
+
+# ----------------------------------------------------- sequence packing
+
+
+def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack the documents corpus into 128-token training sequences
+    (concat in doc_id order, chunk every 128 tokens) and report, per
+    sequence: docs starting in it, their token mass, and how many
+    straddle into the next sequence. The offsets come from the
+    two-phase distributed prefix sum in operators/packing.py — no
+    single-partition window anywhere in the plan (asserted in
+    tests/test_packing.py). Oracle recomputes the same layout with a
+    plain window cumsum, which DuckDB can do single-node."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(tokenize("text")).alias("n_tok")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", SEQ_LEN)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_started"),
+            F.sum(
+                F.when(F.col("end_seq_id") > F.col("seq_id"), 1).otherwise(0)
+            ).alias("n_boundary_crossers"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+Q_SEQ_PACKING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks WHERE n_tok > 0
+)
+SELECT CAST(off // {SEQ_LEN} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+       CAST(SUM(CASE WHEN (off + n_tok - 1) // {SEQ_LEN} > off // {SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_crossers,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM off
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ------------------------------------------------ deterministic splits
+
+
+def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 of the stable doc id
+    (first hex nibble: 12/16 train, 2/16 val, 2/16 test) — the
+    reproducible split rule for 100 TB corpora: no RNG, no shuffle of
+    the data itself, any engine recomputes identical membership. The
+    oracle pins membership via id checksums, not just sizes."""
+    docs = load_table(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin("e", "f"), "test")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "doc_id",
+            "n_chars",
+            F.size(tokenize("text")).alias("n_tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+Q_TRAIN_SPLIT_SQL = r"""
+WITH tagged AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+
+# --------------------------------------------------- content novelty
+
+
+def q_novelty_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-dedup accounting: per ingest day, how many events
+    arrived, how many distinct content hashes they carried, and how
+    many of those hashes were seen for the FIRST time that day. This
+    is the dedup-rate dashboard an ongoing crawl maintains — at scale
+    it is two hash-keyed shuffles (hash→min-day, day→counts), no
+    global state. Content hash is md5 over (event_type, props), both
+    non-null varchar, so the hash is engine-portable."""
+    ev = load_table(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.md5(F.concat_ws("|", "event_type", "props")).alias("h"),
+    )
+    firsts = ev.groupBy("h").agg(F.min("d").alias("first_day"))
+    daily = ev.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    news = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        daily.join(news, "d", "left")
+        .select(
+            "d",
+            "n_events",
+            "n_distinct",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .orderBy("d")
+    )
+
+
+Q_NOVELTY_RATE_SQL = """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS d, md5(event_type || '|' || props) AS h
+  FROM events
+),
+firsts AS (SELECT h AS hh, MIN(d) AS first_day FROM h GROUP BY h),
+daily AS (
+  SELECT d, COUNT(*) AS n_events, COUNT(DISTINCT h) AS n_distinct
+  FROM h GROUP BY d
+),
+news AS (SELECT first_day AS d, COUNT(*) AS n_new FROM firsts GROUP BY first_day)
+SELECT daily.d AS d, n_events, n_distinct, COALESCE(n_new, 0) AS n_new
+FROM daily LEFT JOIN news ON daily.d = news.d
+ORDER BY d
+"""
+
+
+EXT6_QUERIES = {
+    "q_seq_packing": q_seq_packing,
+    "q_train_split": q_train_split,
+    "q_novelty_rate": q_novelty_rate,
+}
+
+EXT6_ORACLES = {
+    "q_seq_packing": Q_SEQ_PACKING_SQL,
+    "q_train_split": Q_TRAIN_SPLIT_SQL,
+    "q_novelty_rate": Q_NOVELTY_RATE_SQL,
+}
