@@ -713,3 +713,59 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    block_cols: list[str] | None = None,
+    max_docs: int | None = 100_000,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs:
+    ``|A∩B| / min(|A|,|B|)`` over k-word shingle sets — the detector
+    for SUBSUMED documents (boilerplate-wrapped copies, excerpt pages,
+    quote farms) that Jaccard structurally misses: a short doc fully
+    contained in a long one has overlap 1.0 but Jaccard ≈ |A|/|B| → 0.
+
+    Same blocked plan shape as :func:`ngram_jaccard_pairs` (id-only
+    block join → repartition to full parallelism → array join by id),
+    same corpus-size gate — but WITHOUT the size-ratio prefilter: that
+    prune is exactly the asymmetric-pair region containment exists to
+    keep. Gated quadratic baseline; the LSH scale path applies
+    unchanged (band on MinHash, verify with overlap instead of
+    Jaccard).
+    """
+    _gate_corpus_size(df, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
+    shingled = (
+        with_shingles(df, id_col, text_col, k)
+        .withColumnRenamed("_shingles", "_sh")
+        .withColumnRenamed(id_col, "_sid")
+    )
+    ids = df.select(F.col(id_col).alias("_id"), *(block_cols or []))
+    a = ids.select(F.col("_id").alias("id_a"), *(block_cols or []))
+    b = ids.select(F.col("_id").alias("id_b"), *(block_cols or []))
+    pairs = (
+        (a.join(b, block_cols) if block_cols else a.crossJoin(b))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_part, "id_a").select("id_a", "id_b")
+    ov = (
+        F.size(F.array_intersect("_sh_a", "_sh_b"))
+        / F.least(F.size("_sh_a"), F.size("_sh_b"))
+    ).alias("overlap")
+    return (
+        pairs.join(
+            shingled.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a")),
+            "id_a",
+        )
+        .join(
+            shingled.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", ov)
+        .where(F.col("overlap") >= threshold)
+    )

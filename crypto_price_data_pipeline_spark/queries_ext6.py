@@ -180,14 +180,59 @@ ORDER BY d
 """
 
 
+# ------------------------------------------- containment near-dup
+
+
+def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs, language-
+    blocked: |A∩B| / min(|A|,|B|) over word-3-gram shingle sets — the
+    subsumed-document detector (excerpts, boilerplate-wrapped copies)
+    that Jaccard structurally misses. Spark shingles via xxhash64
+    longs, the oracle via string shingles; overlap is invariant to any
+    injective shingle encoding, and int/int division is bit-exact on
+    both engines."""
+    from .operators.dedup import ngram_overlap_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_overlap_pairs(
+        docs, block_cols=["lang"], k=3, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+Q_NGRAM_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / least(len(a.sh), len(b.sh)) AS overlap
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / least(len(a.sh), len(b.sh)) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
     "q_novelty_rate": q_novelty_rate,
+    "q_ngram_overlap": q_ngram_overlap,
 }
 
 EXT6_ORACLES = {
     "q_seq_packing": Q_SEQ_PACKING_SQL,
     "q_train_split": Q_TRAIN_SPLIT_SQL,
     "q_novelty_rate": Q_NOVELTY_RATE_SQL,
+    "q_ngram_overlap": Q_NGRAM_OVERLAP_SQL,
 }
