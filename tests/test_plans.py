@@ -218,3 +218,42 @@ def test_partitioned_staging_pruning(spark):
     )
     dpp_plan = _plan(joined)
     assert "dynamicpruning" in dpp_plan.lower()
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level filtering: when a selective dimension filter
+    feeds a shuffle join, the optimizer must inject a bloom filter on
+    the fact-side scan (`bloom_filter_might_contain`), pruning shuffle
+    input before it moves — the difference between shuffling 100 TB
+    and shuffling the matching fraction. Pinned here with the
+    thresholds a real deployment would set; confs are restored so the
+    shared session is unaffected."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "0")  # fact side is tiny at test SF
+        spark.conf.set(keys[2], "-1")  # force the shuffle join being guarded
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
