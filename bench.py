@@ -55,6 +55,10 @@ HEADLINE = [
     "q_percentiles",
     "q_csv_roundtrip",
     "q_contamination",
+    "q_seq_packing",
+    "q_train_split",
+    "q_novelty_rate",
+    "q_ngram_overlap",
 ]
 
 
