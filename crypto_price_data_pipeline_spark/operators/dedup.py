@@ -96,21 +96,30 @@ def _shingles_from_hashes(th: Column, k: int) -> Column:
 
 
 def with_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, _shingles array<long>): distinct k-word shingles as 64-bit
-    hashes. Tokens are hashed once per row (staged projection), then
-    each shingle hash combines k consecutive token hashes with one more
-    xxhash64 — pure long arithmetic, zero per-shingle string allocation
-    (a string-concat formulation measured ~10× slower). Set semantics
-    (Jaccard, MinHash) hold up to 64-bit collisions. Docs shorter than
-    k tokens get a single whole-doc hash so they never vanish."""
+    """(id, *keep_cols, _shingles array<long>): distinct k-word shingles
+    as 64-bit hashes. Tokens are hashed once per row (staged
+    projection), then each shingle hash combines k consecutive token
+    hashes with one more xxhash64 — pure long arithmetic, zero
+    per-shingle string allocation (a string-concat formulation measured
+    ~10× slower). Set semantics (Jaccard, MinHash) hold up to 64-bit
+    collisions. Docs shorter than k tokens get a single whole-doc hash
+    so they never vanish. ``keep_cols`` rides along in the same
+    projection (no join needed to re-attach blocking keys)."""
     hashed = df.select(
         F.col(id_col),
+        *(keep_cols or []),
         F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th"),
     )
     return hashed.select(
-        id_col, _shingles_from_hashes(F.col("_th"), k).alias("_shingles")
+        id_col,
+        *(keep_cols or []),
+        _shingles_from_hashes(F.col("_th"), k).alias("_shingles"),
     )
 
 
@@ -730,34 +739,55 @@ def ngram_overlap_pairs(
     quote farms) that Jaccard structurally misses: a short doc fully
     contained in a long one has overlap 1.0 but Jaccard ≈ |A|/|B| → 0.
 
-    Same blocked plan shape as :func:`ngram_jaccard_pairs` (id-only
-    block join → repartition to full parallelism → array join by id),
-    same corpus-size gate — but WITHOUT the size-ratio prefilter: that
-    prune is exactly the asymmetric-pair region containment exists to
-    keep. Gated quadratic baseline; the LSH scale path applies
-    unchanged (band on MinHash, verify with overlap instead of
-    Jaccard).
+    The size-ratio prefilter of :func:`ngram_jaccard_pairs` cannot
+    apply (that prune is exactly the asymmetric-pair region containment
+    exists to keep), so candidates come from an INVERTED-INDEX
+    self-join instead of the quadratic block join: explode shingles,
+    join on (block, shingle), distinct pairs. Lossless for any
+    threshold > 0 (overlap ≥ t ⇒ ≥ 1 shared shingle), and candidate
+    work is proportional to Σ_bucket c² over shingle-postings buckets —
+    corpus-size-independent for rare shingles; hot shingles (stopword
+    n-grams) are the residual risk, handled by AQE skew splitting and
+    bounded in practice by shingle specificity (measured sf0.1: 326k
+    bucket pairs vs 2.5M quadratic). The corpus gate stays as a
+    belt-and-braces bound; the MinHash-LSH scale path applies unchanged
+    (band signatures, verify with overlap instead of Jaccard).
+
+    The shingle table is persisted before the explode: exploding the
+    raw shingle expression re-evaluates the whole array build per
+    OUTPUT row (the Generate trap measured at 20× in
+    minhash_signatures' design notes — and re-measured here: 9.0s →
+    0.5s for the posting scan at sf0.1), and the table feeds the
+    posting list plus both verify sides anyway. ``materialize=True``
+    semantics of minhash_lsh_pairs apply: the result is eagerly
+    checkpointed and the cache released before returning.
     """
     _gate_corpus_size(df, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
     shingled = (
-        with_shingles(df, id_col, text_col, k)
+        with_shingles(df, id_col, text_col, k, keep_cols=block_cols)
         .withColumnRenamed("_shingles", "_sh")
         .withColumnRenamed(id_col, "_sid")
+    ).persist()
+    posting = shingled.select(
+        "_sid", *(block_cols or []), F.explode("_sh").alias("_s")
     )
-    ids = df.select(F.col(id_col).alias("_id"), *(block_cols or []))
-    a = ids.select(F.col("_id").alias("id_a"), *(block_cols or []))
-    b = ids.select(F.col("_id").alias("id_b"), *(block_cols or []))
+    a = posting.select(
+        F.col("_sid").alias("id_a"), *(block_cols or []), "_s"
+    )
+    b = posting.select(F.col("_sid").alias("id_b"), *(block_cols or []), "_s")
     pairs = (
-        (a.join(b, block_cols) if block_cols else a.crossJoin(b))
+        a.join(b, [*(block_cols or []), "_s"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(n_part, "id_a").select("id_a", "id_b")
+    pairs = pairs.repartition(n_part, "id_a")
     ov = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.least(F.size("_sh_a"), F.size("_sh_b"))
     ).alias("overlap")
-    return (
+    out = (
         pairs.join(
             shingled.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a")),
             "id_a",
@@ -769,3 +799,7 @@ def ngram_overlap_pairs(
         .select("id_a", "id_b", ov)
         .where(F.col("overlap") >= threshold)
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
