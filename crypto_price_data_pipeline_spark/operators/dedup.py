@@ -184,6 +184,49 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    keep_cols: list[Column | str] | None = None,
+) -> DataFrame:
+    """LSH band postings (_id, band, bucket) from a signature table:
+    each signature slices into ``bands`` rows-per-band groups, each
+    group hashing to one 64-bit bucket. ``sig`` must be a materialized
+    (persisted or stored) table — exploding over a freshly-built
+    ``_minhash`` expression re-evaluates the signature build per output
+    row (the Generate trap). The postings table IS the incremental LSH
+    index: appended to a store, new batches join it directly without
+    re-banding history (streaming/dedup_stream.py)."""
+    rows_per_band = num_hashes // bands
+    keep = list(keep_cols or [])
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        *keep,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("_minhash", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    )
+    return banded.select(
+        *[c for c in banded.columns if c != "bb"], "bb.band", "bb.bucket"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -216,31 +259,11 @@ def minhash_lsh_pairs(
     the session's lifetime. At warehouse scale, write signatures to a
     parquet/Delta table instead of caching.
     """
-    rows_per_band = num_hashes // bands
     # persist: the signature table feeds the banding pass AND both
     # sides of the verification join — without it the explode+agg
     # signature computation re-runs three times.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).persist()
-    banded = sig.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("_minhash", b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = band_buckets(sig, id_col, num_hashes, bands)
 
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
@@ -595,34 +618,18 @@ def minhash_then_exact(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard computed
     on the exact k-shingle sets and filtered at ``threshold``.
     """
-    rows_per_band = num_hashes // bands
     block_cols = list(block_cols or [])
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed)
     if block_cols:
         sig = sig.join(df.select(id_col, *block_cols), id_col)
     sig = sig.persist()
-    banded = sig.select(
-        F.col(id_col).alias("_id"),
-        F.size("_shingles").alias("_n"),
-        *block_cols,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("_minhash", b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "_n", *block_cols, "bb.band", "bb.bucket")
+    banded = band_buckets(
+        sig,
+        id_col,
+        num_hashes,
+        bands,
+        keep_cols=[F.size("_shingles").alias("_n"), *block_cols],
+    )
 
     a = banded.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"), *block_cols, "band", "bucket"
