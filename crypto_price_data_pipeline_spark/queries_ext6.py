@@ -223,11 +223,79 @@ ORDER BY id_a, id_b
 """
 
 
+
+# ------------------------------------------- streaming incremental dedup
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup dedup through REAL streaming machinery:
+    the corpus replays as 4 micro-batches (file source, id order), each
+    batch MinHash-signs itself, LSH-probes the persistent postings
+    store built by earlier batches, verifies candidates with exact
+    shingle Jaccard, and appends survivors — see
+    streaming/dedup_stream.py. Because every seen doc's signature is
+    stored (dropped ones included), the final survivor set equals the
+    batch anti-join rule ("dup of any smaller-id doc at J ≥ 0.4"),
+    which the exhaustive DuckDB oracle computes corpus-wide. Recall
+    pinning (cf. q_minhash_exact): every dropped pair on this corpus
+    sits at J ≥ 0.9, where r=2×b=32 banding miss probability is
+    ~1e-23 — a changed corpus/seed could in principle surface a
+    near-threshold pair the banding misses; diagnose a future mismatch
+    as LSH recall, not an operator bug. Output aggregates per lang
+    (count + id/char checksums) to pin membership compactly."""
+    from .streaming.dedup_stream import stream_minhash_dedup
+
+    docs = load_table(spark, sf, "documents")
+    surv = stream_minhash_dedup(
+        spark, docs, keep_cols=["lang", "n_chars"], threshold=0.4, n_chunks=4
+    )
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STREAM_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+)
+SELECT lang, COUNT(*) AS n_survivors,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM sh
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
     "q_novelty_rate": q_novelty_rate,
     "q_ngram_overlap": q_ngram_overlap,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 EXT6_ORACLES = {
@@ -235,4 +303,5 @@ EXT6_ORACLES = {
     "q_train_split": Q_TRAIN_SPLIT_SQL,
     "q_novelty_rate": Q_NOVELTY_RATE_SQL,
     "q_ngram_overlap": Q_NGRAM_OVERLAP_SQL,
+    "q_stream_dedup": Q_STREAM_DEDUP_SQL,
 }
