@@ -290,12 +290,37 @@ ORDER BY lang
 """
 
 
+
+# ------------------------------------------- stream-static enrichment
+
+
+def q_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static broadcast join through real streaming machinery:
+    events replay as a stream, each micro-batch joins the static
+    customer dimension map-side (broadcast), and the enriched rows
+    land in a parquet sink — full-replay streaming ≡ batch join is the
+    correctness invariant the oracle checks."""
+    from .streaming.windows import stream_static_enrich
+
+    return stream_static_enrich(spark, sf)
+
+
+Q_STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
     "q_novelty_rate": q_novelty_rate,
     "q_ngram_overlap": q_ngram_overlap,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_enrich": q_stream_enrich,
 }
 
 EXT6_ORACLES = {
@@ -304,4 +329,5 @@ EXT6_ORACLES = {
     "q_novelty_rate": Q_NOVELTY_RATE_SQL,
     "q_ngram_overlap": Q_NGRAM_OVERLAP_SQL,
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
+    "q_stream_enrich": Q_STREAM_ENRICH_SQL,
 }

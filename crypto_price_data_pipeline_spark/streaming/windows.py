@@ -271,3 +271,33 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch
+    against a static dimension (customer → market segment), broadcast
+    so each batch joins map-side with zero shuffle. The static side is
+    re-planned per batch by Structured Streaming — the standard way a
+    stream picks up slowly-changing reference data without restarts.
+    Replayed availableNow into a parquet sink; the batch-facing rollup
+    (segment × event_type counts + value sums) is what the DuckDB
+    oracle reproduces with a plain join."""
+    from ..io.sources import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id", "left").select(
+        "event_id", "event_type", "value", "c_mktsegment"
+    )
+    data = _run_to_parquet(enriched, mode="append")
+    return (
+        spark.read.schema(enriched.schema).parquet(data)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
