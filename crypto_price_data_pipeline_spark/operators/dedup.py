@@ -676,59 +676,77 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked pairs (the non-probabilistic
     baseline the MinHash path approximates). ``block_cols`` bounds the
-    pair blowup (e.g. ["lang"]); omit only on small corpora.
+    candidate blowup (e.g. ["lang"]); omit only on small corpora.
 
-    GATED: still quadratic within a block, so this baseline refuses
-    corpora above ``max_docs`` (default 100k — worst case ~10¹⁰ raw
-    pairs before the size-ratio prune) instead of silently planning an
-    intractable join; use :func:`minhash_then_exact` (same result,
-    candidate-proportional work) at scale, or pass ``max_docs=None``
-    after sizing the blocks yourself. The probe costs one
-    limit-bounded count, never a full scan.
+    COUNT-BASED set-similarity join (same identity as
+    :func:`ngram_overlap_pairs`): the shingle arrays are distinct
+    sets, so posting-join hits per id pair count ``|A∩B|`` exactly and
+    ``J = c / (|A| + |B| - c)`` — one inverted-index self-join on
+    (block, shingle) plus one pair-keyed count aggregate. The lossless
+    size-ratio prune (J(A,B) ≤ min/max) applies as a join predicate on
+    the carried set sizes, dropping most candidate postings before the
+    aggregate. No quadratic block join, no array shuffle, no
+    array_intersect. (History: the round-1 formulation joined arrays
+    inside the block join and serialized onto |block keys| partitions;
+    the round-3 array-verify form shipped shingle arrays for every
+    candidate pair. This form measures 3.2s vs 2.4s at sf0.1 — the
+    quadratic form wins at toy scale because its id-only block join is
+    cheap and the size-ratio prune kills 2.5M candidates early — but
+    candidate work here is ~326k posting pairs instead of 2.5M
+    id pairs, and at 100× the corpus the quadratic form's 25B pairs
+    are infeasible while posting pairs grow ~linearly. Scale wins.)
 
-    Plan shape: candidate ID pairs are generated inside the (cheap,
-    id-only) block self-join, REPARTITIONED to full parallelism, and
-    only then joined against the shingle arrays by id. Joining the
-    arrays inside the block join instead would (a) ship every array
-    once per partner and (b) serialize the Jaccard compute onto
-    |distinct block keys| partitions — with a low-cardinality key like
-    lang, that is 5 tasks no matter how big the cluster."""
+    GATED: still worst-case quadratic within a hot shingle bucket, so
+    the baseline refuses corpora above ``max_docs`` (limit-bounded
+    probe) — use :func:`minhash_then_exact` (same result,
+    LSH-candidate-proportional work) at scale, or pass
+    ``max_docs=None`` after sizing the blocks yourself.
+
+    Exploding a freshly-built shingle expression re-evaluates the
+    array per output row (the Generate trap), so the shingle table is
+    persisted first and released after an eager checkpoint.
+    """
     _gate_corpus_size(df, max_docs, "ngram_jaccard_pairs", "minhash_then_exact")
     shingled = (
-        with_shingles(df, id_col, text_col, k)
+        with_shingles(df, id_col, text_col, k, keep_cols=block_cols)
         .withColumnRenamed("_shingles", "_sh")
         .withColumnRenamed(id_col, "_sid")
+    ).persist()
+    posting = shingled.select(
+        "_sid", *(block_cols or []), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
-    # shingle-count side table: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
-    # pairs whose size ratio is below the threshold can be dropped
-    # BEFORE the array join — lossless, and at threshold 0.4 it removes
-    # the majority of candidate pairs
-    sizes = shingled.select(F.col("_sid").alias("_zid"), F.size("_sh").alias("_n"))
-    ids = df.select(F.col(id_col).alias("_id"), *(block_cols or [])).join(
-        sizes, F.col("_id") == F.col("_zid")
-    ).select("_id", *(block_cols or []), "_n")
-    a = ids.select(F.col("_id").alias("id_a"), F.col("_n").alias("_n_a"), *(block_cols or []))
-    b = ids.select(F.col("_id").alias("id_b"), F.col("_n").alias("_n_b"), *(block_cols or []))
-    pairs = (
-        (a.join(b, block_cols) if block_cols else a.crossJoin(b))
+    a = posting.select(
+        F.col("_sid").alias("id_a"), F.col("_n").alias("_n_a"), *(block_cols or []), "_s"
+    )
+    b = posting.select(
+        F.col("_sid").alias("id_b"), F.col("_n").alias("_n_b"), *(block_cols or []), "_s"
+    )
+    out = (
+        a.join(b, [*(block_cols or []), "_s"])
         .where(F.col("id_a") < F.col("id_b"))
+        # lossless size-ratio prune: J <= min(|A|,|B|)/max(|A|,|B|)
         .where(
-            F.least("_n_a", "_n_b")
-            >= F.lit(threshold) * F.greatest("_n_a", "_n_b")
+            F.least("_n_a", "_n_b") >= F.lit(threshold) * F.greatest("_n_a", "_n_b")
         )
-    )
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(n_part, "id_a").select("id_a", "id_b")
-    jac = (
-        F.size(F.array_intersect("_sh_a", "_sh_b"))
-        / F.size(F.array_union("_sh_a", "_sh_b"))
-    ).alias("jaccard")
-    return (
-        pairs.join(shingled.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(shingled.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select("id_a", "id_b", jac)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("_n_a").alias("_na"),
+            F.first("_n_b").alias("_nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))).alias(
+                "jaccard"
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
 
 
 def ngram_overlap_pairs(
@@ -746,28 +764,34 @@ def ngram_overlap_pairs(
     quote farms) that Jaccard structurally misses: a short doc fully
     contained in a long one has overlap 1.0 but Jaccard ≈ |A|/|B| → 0.
 
-    The size-ratio prefilter of :func:`ngram_jaccard_pairs` cannot
-    apply (that prune is exactly the asymmetric-pair region containment
-    exists to keep), so candidates come from an INVERTED-INDEX
-    self-join instead of the quadratic block join: explode shingles,
-    join on (block, shingle), distinct pairs. Lossless for any
-    threshold > 0 (overlap ≥ t ⇒ ≥ 1 shared shingle), and candidate
-    work is proportional to Σ_bucket c² over shingle-postings buckets —
-    corpus-size-independent for rare shingles; hot shingles (stopword
-    n-grams) are the residual risk, handled by AQE skew splitting and
-    bounded in practice by shingle specificity (measured sf0.1: 326k
-    bucket pairs vs 2.5M quadratic). The corpus gate stays as a
-    belt-and-braces bound; the MinHash-LSH scale path applies unchanged
-    (band signatures, verify with overlap instead of Jaccard).
+    COUNT-BASED set-similarity join (the AllPairs/PPJoin family's core
+    identity): because the shingle arrays are distinct sets, the number
+    of posting-join hits per id pair IS ``|A∩B|`` exactly — so the
+    operator is one inverted-index self-join on (block, shingle) plus
+    one pair-keyed count aggregate, with set sizes carried on the
+    postings. No candidate `distinct`, no array re-join, no
+    array_intersect: the arrays never travel through a shuffle at all.
+    (The previous array-verify formulation measured 4.3s at sf0.1;
+    this one 3.3s — the arrays and their shuffles are gone; what
+    remains is the posting join itself.) Exactness: intersection counted from distinct
+    postings, overlap is int/int division — bit-identical to the
+    set-algebra form.
+
+    Scale shape: candidate work is Σ_bucket c² over shingle-postings
+    buckets — corpus-size-independent for rare shingles; hot shingles
+    (stopword n-grams) are the residual skew risk, split by AQE. The
+    size-ratio prefilter of :func:`ngram_jaccard_pairs` deliberately
+    does NOT apply (that prune is exactly the asymmetric-pair region
+    containment exists to keep). The corpus gate stays as a
+    belt-and-braces bound; the MinHash-LSH scale path applies
+    unchanged (band signatures, verify with overlap).
 
     The shingle table is persisted before the explode: exploding the
     raw shingle expression re-evaluates the whole array build per
     OUTPUT row (the Generate trap measured at 20× in
-    minhash_signatures' design notes — and re-measured here: 9.0s →
-    0.5s for the posting scan at sf0.1), and the table feeds the
-    posting list plus both verify sides anyway. ``materialize=True``
-    semantics of minhash_lsh_pairs apply: the result is eagerly
-    checkpointed and the cache released before returning.
+    minhash_signatures' design notes — 9.0s → 0.5s for this posting
+    scan at sf0.1). The result is eagerly checkpointed and the cache
+    released before returning (minhash_lsh_pairs semantics).
     """
     _gate_corpus_size(df, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
     shingled = (
@@ -776,34 +800,28 @@ def ngram_overlap_pairs(
         .withColumnRenamed(id_col, "_sid")
     ).persist()
     posting = shingled.select(
-        "_sid", *(block_cols or []), F.explode("_sh").alias("_s")
+        "_sid", *(block_cols or []), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
     a = posting.select(
-        F.col("_sid").alias("id_a"), *(block_cols or []), "_s"
+        F.col("_sid").alias("id_a"), F.col("_n").alias("_n_a"), *(block_cols or []), "_s"
     )
-    b = posting.select(F.col("_sid").alias("id_b"), *(block_cols or []), "_s")
-    pairs = (
+    b = posting.select(
+        F.col("_sid").alias("id_b"), F.col("_n").alias("_n_b"), *(block_cols or []), "_s"
+    )
+    out = (
         a.join(b, [*(block_cols or []), "_s"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(n_part, "id_a")
-    ov = (
-        F.size(F.array_intersect("_sh_a", "_sh_b"))
-        / F.least(F.size("_sh_a"), F.size("_sh_b"))
-    ).alias("overlap")
-    out = (
-        pairs.join(
-            shingled.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a")),
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("_n_a").alias("_na"),
+            F.first("_n_b").alias("_nb"),
+        )
+        .select(
             "id_a",
-        )
-        .join(
-            shingled.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b")),
             "id_b",
+            (F.col("_c") / F.least("_na", "_nb")).alias("overlap"),
         )
-        .select("id_a", "id_b", ov)
         .where(F.col("overlap") >= threshold)
     )
     try:
