@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .io.sources import load_table
 from .operators.packing import pack_sequences
@@ -314,6 +315,84 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+# ------------------------------------------------- time-bucket gapfill
+
+
+def q_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style ``time_bucket_gapfill`` + LOCF: hourly buckets
+    per event type over the full observed range, missing hours
+    materialized from a generated grid (sequence + explode against the
+    tiny type dim — broadcast, no shuffle) and carried forward with
+    ``last(ignorenulls)``. The average rides as decimal-sum ÷ count
+    double division (identical operands both engines). Leading gaps
+    before a type's first observation stay NULL by LOCF definition."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v"),
+    )
+    bounds = ev.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_GAPFILL_SQL = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+),
+hourly AS (
+  SELECT event_type, h, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM ev GROUP BY 1, 2
+),
+b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b) g
+)
+SELECT g.event_type AS event_type,
+       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(hourly.n_events, 0) AS n_events,
+       LAST_VALUE(hourly.avg_v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       hourly.n_events IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h
+ORDER BY 1, 2
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
@@ -321,6 +400,7 @@ EXT6_QUERIES = {
     "q_ngram_overlap": q_ngram_overlap,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
+    "q_gapfill": q_gapfill,
 }
 
 EXT6_ORACLES = {
@@ -330,4 +410,5 @@ EXT6_ORACLES = {
     "q_ngram_overlap": Q_NGRAM_OVERLAP_SQL,
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_enrich": Q_STREAM_ENRICH_SQL,
+    "q_gapfill": Q_GAPFILL_SQL,
 }
