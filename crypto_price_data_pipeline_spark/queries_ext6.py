@@ -393,6 +393,127 @@ ORDER BY 1, 2
 """
 
 
+
+def q_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill by LINEAR interpolation (the ``interpolate()`` of
+    hypertable rollups): observed hourly averages anchor a lerp across
+    each gap — prev/next anchors arrive via ignorenulls last/first
+    struct windows (value + its epoch-hour travel together, so the
+    slope uses the matched anchor row), and the blend factor is
+    int/int epoch-hour arithmetic; every engine-side float op is
+    +,-,*,/ on identical operands, hence bit-exact. Rows outside a
+    type's observed range (no anchor on one side) interpolate to the
+    available anchor; both-sides-missing stays NULL."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v"),
+    )
+    grid = (
+        ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+        )
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    eh = (F.unix_timestamp("h") / 3600).cast("long")
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        eh.alias("_eh"),
+        "avg_v",
+        F.when(
+            F.col("avg_v").isNotNull(),
+            F.struct((F.unix_timestamp("h") / 3600).cast("long").alias("eh"), F.col("avg_v").alias("v")),
+        ).alias("_obs"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("_eh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("_eh")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev, nxt = (
+        F.last("_obs", ignorenulls=True).over(back),
+        F.first("_obs", ignorenulls=True).over(fwd),
+    )
+    lerp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(prev.isNull(), nxt["v"])
+        .when(nxt.isNull(), prev["v"])
+        .otherwise(
+            prev["v"]
+            + (nxt["v"] - prev["v"])
+            * ((F.col("_eh") - prev["eh"]) / (nxt["eh"] - prev["eh"]))
+        )
+    )
+    return (
+        joined.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("avg_v").isNull().alias("is_gap"),
+            lerp.alias("value_interp"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_INTERPOLATE_SQL = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+),
+hourly AS (
+  SELECT event_type, h,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM ev GROUP BY 1, 2
+),
+b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b) g
+),
+j AS (
+  SELECT g.event_type, g.h,
+         CAST(epoch(g.h) / 3600 AS BIGINT) AS eh,
+         hourly.avg_v,
+         CASE WHEN hourly.avg_v IS NOT NULL
+              THEN struct_pack(eh := CAST(epoch(g.h) / 3600 AS BIGINT), v := hourly.avg_v)
+         END AS obs
+  FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h
+),
+w AS (
+  SELECT event_type, h, eh, avg_v,
+         LAST_VALUE(obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY eh
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         FIRST_VALUE(obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY eh
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM j
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       avg_v IS NULL AS is_gap,
+       CASE WHEN avg_v IS NOT NULL THEN avg_v
+            WHEN prev IS NULL THEN nxt.v
+            WHEN nxt IS NULL THEN prev.v
+            ELSE prev.v + (nxt.v - prev.v)
+                 * (CAST(eh - prev.eh AS DOUBLE) / (nxt.eh - prev.eh))
+       END AS value_interp
+FROM w
+ORDER BY 1, 2
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
@@ -401,6 +522,7 @@ EXT6_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
     "q_gapfill": q_gapfill,
+    "q_interpolate": q_interpolate,
 }
 
 EXT6_ORACLES = {
@@ -411,4 +533,5 @@ EXT6_ORACLES = {
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_enrich": Q_STREAM_ENRICH_SQL,
     "q_gapfill": Q_GAPFILL_SQL,
+    "q_interpolate": Q_INTERPOLATE_SQL,
 }
