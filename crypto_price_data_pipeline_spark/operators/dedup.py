@@ -398,16 +398,19 @@ def simhash_pairs(
     ).select("_id", "simhash", "bb.band", "bb.bucket")
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_h_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_h_b"), "band", "bucket")
+    # hamming filter BEFORE dropDuplicates: bit_count(xor) is free inside
+    # the join's codegen stage, so the dedup shuffle carries only true
+    # pairs (× band multiplicity) instead of every bucket candidate.
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -462,16 +465,17 @@ def simhash_pairs_combination(
     ).select("_id", "simhash", "bb.comb", "bb.bucket")
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_h_a"), "comb", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_h_b"), "comb", "bucket")
+    # hamming filter before the dedup shuffle (see simhash_pairs)
     return (
         a.join(b, ["comb", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -490,15 +494,23 @@ def simhash_md5(
     integer (conv base16→10); votes and assembly are identical to
     ``simhash`` but over 32 bit positions. Same explode → 32
     conditional-sum hash-aggregate scale shape (map-side combine keeps
-    the shuffle ≈ |docs|); the md5-per-token string hash costs ~2× the
-    xxhash64 long path — use this for cross-system verification, the
-    64-bit twin for pure-Spark dedup."""
-    hashed = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
-    ).select(
-        id_col,
+    the shuffle ≈ |docs|); use this for cross-system verification, the
+    64-bit twin for pure-Spark dedup.
+
+    The md5 runs once per DISTINCT token, not per occurrence: token
+    occurrences follow a Zipf law, so hashing the vocabulary and
+    broadcast-joining it back cuts the md5 work by the corpus'
+    occurrence/vocabulary ratio (~10× on the test corpus) while leaving
+    the fingerprint bit-identical. The broadcast assumes a bounded
+    vocabulary (word tokens — millions of entries at worst), which holds
+    for the verification corpus this twin exists for; the xxhash64
+    production twin needs no vocabulary table at all."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
+    vocab = toks.select("_t").distinct().select(
+        "_t",
         F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
     )
+    hashed = toks.join(F.broadcast(vocab), "_t").select(id_col, "_h")
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
@@ -569,16 +581,17 @@ def simhash_md5_pairs(
     ).select("_id", "simhash32", "bb.comb", "bb.bucket")
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "comb", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "comb", "bucket")
+    # hamming filter before the dedup shuffle (see simhash_pairs)
     return (
         a.join(b, ["comb", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

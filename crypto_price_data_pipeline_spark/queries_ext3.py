@@ -1092,21 +1092,30 @@ def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """ArrayType surface: collect_set/sort_array/size/contains/slice plus
     the transform & filter higher-order functions (all JVM-side codegen —
     no Python in the loop). Sorted int arrays keep every result
-    order-deterministic on both engines."""
+    order-deterministic on both engines.
+
+    Array outputs are serialized to comma-joined strings AFTER the HOF
+    pipeline (array_join ↔ DuckDB array_to_string) so the driver's pandas
+    canonicalizer — which cannot sort list-typed cells — can hash the
+    rows; the HOFs themselves still run on real ArrayType columns."""
     li = load_table(spark, sf, "lineitem")
     statuses = F.sort_array(F.collect_set("l_linestatus"))
     linenos = F.sort_array(F.collect_set("l_linenumber"))
+
+    def join_ints(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return (
         li.groupBy("l_returnflag")
         .agg(statuses.alias("statuses"), linenos.alias("linenos"))
         .select(
             "l_returnflag",
-            "statuses",
+            F.array_join("statuses", ",").alias("statuses_csv"),
             F.size("statuses").alias("n_statuses"),
             F.array_contains("statuses", "O").alias("has_open"),
-            F.slice("linenos", 1, 3).alias("first_linenos"),
-            F.transform("linenos", lambda x: x * 2).alias("doubled"),
-            F.filter("linenos", lambda x: x % 2 == 0).alias("evens"),
+            join_ints(F.slice("linenos", 1, 3)).alias("first_linenos"),
+            join_ints(F.transform("linenos", lambda x: x * 2)).alias("doubled"),
+            join_ints(F.filter("linenos", lambda x: x % 2 == 0)).alias("evens"),
         )
         .orderBy("l_returnflag")
     )
@@ -1114,12 +1123,12 @@ def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
 Q_ARRAY_FUNCS_SQL = """
 SELECT l_returnflag,
-       statuses,
+       array_to_string(statuses, ',') AS statuses_csv,
        CAST(len(statuses) AS INTEGER) AS n_statuses,
        list_contains(statuses, 'O') AS has_open,
-       linenos[1:3] AS first_linenos,
-       list_transform(linenos, x -> x * 2) AS doubled,
-       list_filter(linenos, x -> x % 2 = 0) AS evens
+       array_to_string(linenos[1:3], ',') AS first_linenos,
+       array_to_string(list_transform(linenos, x -> x * 2), ',') AS doubled,
+       array_to_string(list_filter(linenos, x -> x % 2 = 0), ',') AS evens
 FROM (
   SELECT l_returnflag,
          list_sort(list(DISTINCT l_linestatus)) AS statuses,
