@@ -52,6 +52,81 @@ def ema_fold(vals: Column, alpha: float) -> Column:
     )
 
 
+def emas_by_key_chunked(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alphas: dict[str, float],
+    chunk_size: int = 1 << 16,
+) -> DataFrame:
+    """Several EMAs per key (``{out_col: alpha}``) over arbitrarily long
+    series, ONE sort shuffle total: the (key, chunk) collect and the
+    per-key summary fold are shared, and each alpha adds only three
+    HOF expressions per chunk row (see module docstring for the affine
+    decomposition). Per-task memory is bounded by ``chunk_size`` at any
+    series length. When a key's whole series fits a single chunk the
+    composed fold degenerates to the seeded serial fold, so the result
+    is BIT-exact vs. a serial oracle; multi-chunk composition agrees to
+    ~1e-12 relative (fp reassociation). Returns
+    (key, n_ticks, *alphas.keys())."""
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    )
+    chunked = df.select(
+        key_col, F.col(value_col).cast("double").alias("_v"), rn.alias("_rn")
+    ).withColumn("_chunk", ((F.col("_rn") - 1) / F.lit(chunk_size)).cast("long"))
+
+    # per-chunk summary: ordered values fold to (c, d) per alpha;
+    # chunk 0 also records its seeded (NULL-init) fold so the series
+    # start behaves exactly like the serial path
+    per_chunk = chunked.groupBy(key_col, "_chunk").agg(
+        F.array_sort(F.collect_list(F.struct("_rn", "_v"))).alias("_xs")
+    )
+    vals = F.transform("_xs", lambda s: s["_v"])
+    # PySpark HOF lambdas must take exactly the arity of the merge
+    # function — closures (not default args) carry the per-alpha value
+    def _step(a: float):
+        return lambda acc, x: x * F.lit(a) + acc * F.lit(1.0 - a)
+
+    def _decay_step(a: float):
+        return lambda acc, _: acc * F.lit(1.0 - a)
+
+    summary_cols = []
+    for name, alpha in alphas.items():
+        contribution = F.aggregate(vals, F.lit(0.0), _step(alpha))
+        decay = F.aggregate(vals, F.lit(1.0), _decay_step(alpha))
+        summary_cols += [
+            contribution.alias(f"_c_{name}"),
+            decay.alias(f"_d_{name}"),
+            ema_fold(vals, alpha).alias(f"_seeded_{name}"),
+        ]
+    summaries = per_chunk.select(
+        key_col, "_chunk", F.size("_xs").alias("_n"), *summary_cols
+    )
+
+    # compose the ≤ n/chunk_size affine maps in chunk order
+    per_alpha_fields = [
+        f"_{p}_{name}" for name in alphas for p in ("c", "d", "seeded")
+    ]
+    folded = summaries.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_chunk", "_n", *per_alpha_fields))
+        ).alias("_ss"),
+        F.sum("_n").alias("n_ticks"),
+    )
+    def _compose(n: str):
+        return lambda acc, s: F.when(acc.isNull(), s[f"_seeded_{n}"]).otherwise(
+            acc * s[f"_d_{n}"] + s[f"_c_{n}"]
+        )
+
+    out_cols = []
+    for name in alphas:
+        acc = F.aggregate(F.col("_ss"), F.lit(None).cast("double"), _compose(name))
+        out_cols.append(acc.alias(name))
+    return folded.select(key_col, "n_ticks", *out_cols)
+
+
 def ema_by_key_chunked(
     df: DataFrame,
     key_col: str,
@@ -62,51 +137,8 @@ def ema_by_key_chunked(
     out_col: str = "ema",
 ) -> DataFrame:
     """EMA per key over an arbitrarily long series with per-task memory
-    bounded by ``chunk_size`` (see module docstring for the affine
-    decomposition). Returns (key, n_ticks, out_col)."""
-    rn = F.row_number().over(
-        Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    bounded by ``chunk_size`` (single-alpha wrapper over
+    ``emas_by_key_chunked``). Returns (key, n_ticks, out_col)."""
+    return emas_by_key_chunked(
+        df, key_col, order_cols, value_col, {out_col: alpha}, chunk_size
     )
-    chunked = df.select(
-        key_col, F.col(value_col).cast("double").alias("_v"), rn.alias("_rn")
-    ).withColumn("_chunk", ((F.col("_rn") - 1) / F.lit(chunk_size)).cast("long"))
-
-    # per-chunk summary: ordered values fold to (c, d); chunk 0 also
-    # records its seeded (NULL-init) fold so the series start behaves
-    # exactly like the serial path
-    per_chunk = chunked.groupBy(key_col, "_chunk").agg(
-        F.array_sort(F.collect_list(F.struct("_rn", "_v"))).alias("_xs")
-    )
-    vals = F.transform("_xs", lambda s: s["_v"])
-    contribution = F.aggregate(
-        vals,
-        F.lit(0.0),
-        lambda acc, x: x * F.lit(alpha) + acc * F.lit(1.0 - alpha),
-    )
-    decay = F.aggregate(
-        vals, F.lit(1.0), lambda acc, _: acc * F.lit(1.0 - alpha)
-    )
-    summaries = per_chunk.select(
-        key_col,
-        "_chunk",
-        F.size("_xs").alias("_n"),
-        contribution.alias("_c"),
-        decay.alias("_d"),
-        ema_fold(vals, alpha).alias("_seeded"),
-    )
-
-    # compose the ≤ n/chunk_size affine maps in chunk order
-    folded = summaries.groupBy(key_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("_chunk", "_n", "_c", "_d", "_seeded"))
-        ).alias("_ss"),
-        F.sum("_n").alias("n_ticks"),
-    )
-    acc = F.aggregate(
-        F.col("_ss"),
-        F.lit(None).cast("double"),
-        lambda acc, s: F.when(acc.isNull(), s["_seeded"]).otherwise(
-            acc * s["_d"] + s["_c"]
-        ),
-    )
-    return folded.select(key_col, "n_ticks", acc.alias(out_col))

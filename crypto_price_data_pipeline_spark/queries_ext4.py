@@ -232,42 +232,36 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 def q_crypto_indicators(spark: SparkSession, sf: str) -> DataFrame:
     """EWMA / MACD price indicators — the reference's domain (crypto
-    price series) computed the Spark-first way: one groupBy collects
-    each key's ordered series, then the recursive EMA folds run as
-    per-row `aggregate` HOFs (identical left-fold order on both
-    engines → bit-exact doubles, no window O(n²) prefix recompute).
+    price series) computed with the BOUNDED-memory chunked fold
+    (operators.series.emas_by_key_chunked): one sort shuffle numbers
+    each key's series, per-(key, chunk) arrays are capped at chunk_size
+    rows, and the EMA recurrences compose as affine maps across chunks
+    — so a hot key of any length never materializes a full-series row.
+    All three alphas (EWMA α=.5, EMA12, EMA26) share the single shuffle;
     MACD = EMA(α=2/13) − EMA(α=2/27) over the per-user event series.
 
-    Series-length contract: each key's full series materializes as one
-    array row, so per-key length must fit task memory (~10⁷ points).
-    For unbounded keys use operators.series.ema_by_key_chunked — same
-    EMA to ~1e-12 relative (fp reassociation), arrays bounded by
-    chunk_size at any series length."""
+    Numerics: a key whose series fits one chunk (every key at oracle
+    scales; chunk_size = 2¹⁶) takes the seeded serial-fold branch, so
+    results are BIT-exact vs. the serial left-fold oracle; keys longer
+    than chunk_size compose affine summaries and agree to ~1e-12
+    relative (fp reassociation — see operators/series.py)."""
+    from .operators.series import emas_by_key_chunked
+
     ev = load_table(spark, sf, "events")
-    ordered = ev.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
-        ).alias("xs")
-    )
-    vals = F.transform(F.col("xs"), lambda x: x["value"])
-
-    def ema(alpha: float):
-        return F.aggregate(
-            vals,
-            F.lit(None).cast("double"),
-            lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                x * F.lit(alpha) + acc * F.lit(1.0 - alpha)
-            ),
-        )
-
-    ema12, ema26 = ema(2.0 / 13.0), ema(2.0 / 27.0)
-    return ordered.select(
+    out = emas_by_key_chunked(
+        ev,
         "user_id",
-        F.size("xs").alias("n_ticks"),
-        F.round(ema(0.5), 6).alias("ewma_fast"),
-        F.round(ema12, 6).alias("ema12"),
-        F.round(ema26, 6).alias("ema26"),
-        F.round(ema12 - ema26, 6).alias("macd"),
+        ["ts", "event_id"],
+        "value",
+        {"ewma_fast": 0.5, "ema12": 2.0 / 13.0, "ema26": 2.0 / 27.0},
+    )
+    return out.select(
+        "user_id",
+        F.col("n_ticks").cast("int").alias("n_ticks"),
+        F.round("ewma_fast", 6).alias("ewma_fast"),
+        F.round("ema12", 6).alias("ema12"),
+        F.round("ema26", 6).alias("ema26"),
+        F.round(F.col("ema12") - F.col("ema26"), 6).alias("macd"),
     ).orderBy("user_id")
 
 
