@@ -978,21 +978,30 @@ def _ann_with_recall(exact: DataFrame, ann: DataFrame, k: int, floor: float) -> 
     the oracle emits literal TRUE, so an ANN regression below the floor
     flips the column and fails the row — the approximate path is gated
     by the correctness check without the oracle having to reproduce
-    LSH/k-means. Both sides are ≤k rows, so the joins broadcast."""
+    LSH/k-means. Both sides are ≤k rows, so the joins broadcast.
+
+    Ordering runs on the UNROUNDED cosine (tiebreak vec_id) before the
+    rounded column is projected, matching the oracle's sort on raw
+    cosine even when two sims collide at 9 decimals; the recall
+    denominator is min(k, |exact|) so a corpus smaller than k can still
+    reach recall 1.0 instead of being capped at |exact|/k."""
     hits = exact.join(
         F.broadcast(ann.select("vec_id", F.lit(1).alias("_hit"))), "vec_id", "left"
     )
     recall = hits.agg(
-        (F.coalesce(F.sum("_hit"), F.lit(0)) / F.lit(float(k))).alias("_recall")
+        (
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            / F.least(F.lit(float(k)), F.count(F.lit(1)).cast("double"))
+        ).alias("_recall")
     )
     return (
         hits.crossJoin(F.broadcast(recall))
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
         .select(
             "vec_id",
             F.round("cosine_sim", 9).alias("cosine_sim_r9"),
             (F.col("_recall") >= floor).alias("recall_ok"),
         )
-        .orderBy(F.col("cosine_sim_r9").desc(), "vec_id")
     )
 
 

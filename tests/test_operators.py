@@ -393,6 +393,27 @@ def test_cosine_topk_and_lsh_recall(spark):
     assert approx[0] == 0
 
 
+def test_ann_recall_sub_k_corpus(spark):
+    """A corpus smaller than k must be able to reach recall 1.0: the
+    denominator is min(k, |exact|), not the literal k (a 3-row corpus
+    with a perfect ANN used to score 3/10 and flip recall_ok)."""
+    from crypto_price_data_pipeline_spark.operators.similarity import cosine_topk
+    from crypto_price_data_pipeline_spark.queries import _ann_with_recall
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=10)
+    out = _ann_with_recall(exact, exact, k=10, floor=0.5).collect()
+    assert len(out) == 3
+    assert all(r["recall_ok"] for r in out)
+    # rows come out ordered by raw cosine desc, vec_id
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+
+
 def test_text_functions(spark):
     from crypto_price_data_pipeline_spark.operators.text import (
         fingerprint,
