@@ -49,11 +49,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     provided SparkSession (e.g. the driver's harness).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Testdata regenerated with plain timestamp[us] (isAdjustedToUTC=false)
+    # reads as TIMESTAMP_NTZ under Spark 4's default inference, which
+    # breaks watermarks (`withWatermark` requires TIMESTAMP) and
+    # `unix_micros`. Disable NTZ inference so unannotated parquet
+    # timestamps surface as TimestampType (UTC instants — the session tz
+    # is pinned to UTC, so values match the DuckDB oracle's naive reads).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/` — float division loses microseconds on
         # int64 nanos (> 2^53)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Defensive: if NTZ still leaked through (externally built session
+    # overriding the conf between reads), cast top-level NTZ columns to
+    # TimestampType so every downstream operator sees one timestamp type.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

@@ -55,10 +55,34 @@ def with_global_offsets(
     ``weight_col`` in ascending ``order_col`` order (first row gets 0),
     computed with the two-phase distributed prefix sum above.
 
-    ``order_col`` must be numeric with distinct values (it defines the
-    global concatenation order — doc ids, row numbers, hashes).
+    ``order_col`` must be numeric, non-NULL, and distinct (it defines
+    the global concatenation order — doc ids, row numbers, hashes).
+    Violations RAISE instead of silently corrupting the packing: a NULL
+    order would drop corpus rows through the bucket join, and duplicate
+    order values make per-row offsets nondeterministic across runs.
+    The guard rides the stats pass that already scans the corpus once
+    (count/countDistinct fold into the same partial-agg stage as
+    min/max — no extra shuffle beyond the aggregate's own).
     """
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    lo, hi, n_rows, n_nonnull, n_distinct = df.agg(
+        F.min(order_col),
+        F.max(order_col),
+        F.count(F.lit(1)),
+        F.count(order_col),
+        F.countDistinct(order_col),
+    ).first()
+    if n_nonnull < n_rows:
+        raise ValueError(
+            f"with_global_offsets: {n_rows - n_nonnull} row(s) have NULL "
+            f"{order_col!r}; the global concatenation order is undefined — "
+            "assign a non-NULL order key (e.g. monotonically_increasing_id)"
+        )
+    if n_distinct < n_nonnull:
+        raise ValueError(
+            f"with_global_offsets: {order_col!r} has {n_nonnull - n_distinct} "
+            "duplicate value(s); offsets would be nondeterministic — use a "
+            "unique order key or add a tiebreak column"
+        )
     if lo is None:
         return df.withColumn(offset_col, F.lit(None).cast("long"))
     span = max(int(hi) - int(lo) + 1, 1)

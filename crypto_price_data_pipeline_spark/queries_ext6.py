@@ -307,7 +307,7 @@ def q_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q_STREAM_ENRICH_SQL = """
-SELECT c.c_mktsegment AS c_mktsegment, e.event_type AS event_type,
+SELECT COALESCE(c.c_mktsegment, '') AS c_mktsegment, e.event_type AS event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

@@ -47,6 +47,11 @@ def get_spark(
         # vectorized reader rejects; read as long and convert in the
         # source layer (io.sources normalizes back to TimestampType).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Unannotated parquet timestamps (timestamp[us], no tz) must read
+        # as TimestampType (UTC instant), not TIMESTAMP_NTZ — watermarks
+        # and unix_micros require TIMESTAMP, and the session tz is UTC so
+        # the values match the DuckDB oracle either way.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         # 128 MiB input splits: big enough to amortize task overhead at
         # 100 TB (≈800k tasks), small enough to fit executor memory.

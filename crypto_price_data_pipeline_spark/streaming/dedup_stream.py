@@ -46,8 +46,104 @@ from pyspark.sql import functions as F
 from ..operators.dedup import band_buckets, minhash_signatures
 
 
-def _append(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+def _write_batch(df: DataFrame, store: str, batch_id: int) -> None:
+    """Idempotent per-batch store write: each micro-batch owns the
+    subdirectory ``batch_<id>`` and OVERWRITES it. foreachBatch replays
+    a batch_id after partial failure; an append here would duplicate
+    store rows and break the "survivor set ≡ batch anti-join rule"
+    invariant — overwrite makes the replay rewrite identical content
+    instead. Readers use ``recursiveFileLookup`` so the subdirs (plus
+    the root-level empty seed) read as one table without partition
+    inference."""
+    df.write.mode("overwrite").parquet(os.path.join(store, f"batch_{batch_id:010d}"))
+
+
+def _read_store(spark: SparkSession, schema, store: str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(store)
+    )
+
+
+def make_batch_processor(
+    *,
+    cols: list[str],
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+    threshold: float,
+    post_store: str,
+    sh_store: str,
+    out: str,
+    post_schema,
+    sh_schema,
+):
+    """Build the foreachBatch body. Module-level (not a closure inside
+    stream_minhash_dedup) so tests can drive it directly — in particular
+    replaying the SAME batch_id twice to prove the store writes are
+    idempotent (VERDICT r4 item 1)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        sig = minhash_signatures(
+            batch, id_col, text_col, num_hashes, shingle_k, seed
+        ).persist()
+        bands_b = band_buckets(sig, id_col, num_hashes, bands).persist()
+        stored_post = _read_store(bspark, post_schema, post_store)
+        stored_sh = _read_store(bspark, sh_schema, sh_store)
+
+        probe = bands_b.select(F.col("_id").alias("id_b"), "band", "bucket")
+        # On replay, stored_post may already hold THIS batch's postings
+        # from the failed attempt — they are identical rows, and the
+        # candidate `.distinct()` collapses them, so the survivor set is
+        # unchanged; the overwrite below then rewrites identical bytes.
+        index = stored_post.unionByName(bands_b).select(
+            F.col("_id").alias("id_a"), "band", "bucket"
+        )
+        cand = (
+            probe.join(index, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        all_sh = stored_sh.unionByName(
+            sig.select(F.col(id_col).alias("_id"), "_shingles")
+        ).dropDuplicates(["_id"])
+        jac = (
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b"))
+        ).alias("jaccard")
+        dropped = (
+            cand.join(
+                all_sh.select(
+                    F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sig.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")),
+                "id_b",
+            )
+            .select("id_b", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = batch.join(dropped, id_col, "left_anti")
+        _write_batch(survivors.select(*cols), out, batch_id)
+        # store EVERY seen doc's postings + shingles (dropped included)
+        _write_batch(bands_b, post_store, batch_id)
+        _write_batch(
+            sig.select(F.col(id_col).alias("_id"), "_shingles"), sh_store, batch_id
+        )
+        sig.unpersist()
+        bands_b.unpersist()
+
+    return _process
 
 
 def stream_minhash_dedup(
@@ -110,55 +206,21 @@ def stream_minhash_dedup(
     empty_sh.write.mode("overwrite").parquet(sh_store)
     spark.createDataFrame([], staged.schema).write.mode("overwrite").parquet(out)
 
-    post_schema, sh_schema = empty_post.schema, empty_sh.schema
-
-    def _process(batch: DataFrame, _batch_id: int) -> None:
-        bspark = batch.sparkSession
-        sig = minhash_signatures(
-            batch, id_col, text_col, num_hashes, shingle_k, seed
-        ).persist()
-        bands_b = band_buckets(sig, id_col, num_hashes, bands).persist()
-        stored_post = bspark.read.schema(post_schema).parquet(post_store)
-        stored_sh = bspark.read.schema(sh_schema).parquet(sh_store)
-
-        probe = bands_b.select(
-            F.col("_id").alias("id_b"), "band", "bucket"
-        )
-        index = stored_post.unionByName(bands_b).select(
-            F.col("_id").alias("id_a"), "band", "bucket"
-        )
-        cand = (
-            probe.join(index, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        all_sh = stored_sh.unionByName(sig.select(F.col(id_col).alias("_id"), "_shingles"))
-        jac = (
-            F.size(F.array_intersect("_sh_a", "_sh_b"))
-            / F.size(F.array_union("_sh_a", "_sh_b"))
-        ).alias("jaccard")
-        dropped = (
-            cand.join(
-                all_sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")),
-                "id_a",
-            )
-            .join(
-                sig.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")),
-                "id_b",
-            )
-            .select("id_b", jac)
-            .where(F.col("jaccard") >= threshold)
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-        )
-        survivors = batch.join(dropped, id_col, "left_anti")
-        _append(survivors.select(*cols), out)
-        # store EVERY seen doc's postings + shingles (dropped included)
-        _append(bands_b, post_store)
-        _append(sig.select(F.col(id_col).alias("_id"), "_shingles"), sh_store)
-        sig.unpersist()
-        bands_b.unpersist()
+    _process = make_batch_processor(
+        cols=cols,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        threshold=threshold,
+        post_store=post_store,
+        sh_store=sh_store,
+        out=out,
+        post_schema=empty_post.schema,
+        sh_schema=empty_sh.schema,
+    )
 
     stream = (
         spark.readStream.schema(staged.schema)
@@ -183,4 +245,8 @@ def stream_minhash_dedup(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.schema(staged.schema).parquet(out)
+    return (
+        spark.read.schema(staged.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )

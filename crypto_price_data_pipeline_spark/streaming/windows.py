@@ -292,8 +292,13 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", "c_mktsegment"
     )
     data = _run_to_parquet(enriched, mode="append")
+    # An unmatched user_id leaves c_mktsegment NULL; Spark sorts NULLS
+    # FIRST, DuckDB NULLS LAST — coalesce to '' on both sides (oracle
+    # does the same) so the ordering can't diverge if testdata ever
+    # gains an unmatched key.
     return (
         spark.read.schema(enriched.schema).parquet(data)
+        .withColumn("c_mktsegment", F.coalesce("c_mktsegment", F.lit("")))
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

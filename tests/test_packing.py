@@ -58,3 +58,19 @@ def test_packing_plan_is_distributed(spark):
     assert "Exchange SinglePartition" not in plan
     # the local cumsum window must be keyed by the bucket column
     assert "_pack_bkt" in plan
+
+
+def test_offsets_raise_on_null_order(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5), (None, 5), (3, 5)], "k long, w long")
+    with pytest.raises(ValueError, match="NULL 'k'"):
+        with_global_offsets(df, "k", "w")
+
+
+def test_offsets_raise_on_duplicate_order(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5), (2, 5), (2, 5)], "k long, w long")
+    with pytest.raises(ValueError, match="duplicate"):
+        with_global_offsets(df, "k", "w")
