@@ -34,6 +34,8 @@ document the tolerance otherwise.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -69,7 +71,30 @@ def emas_by_key_chunked(
     composed fold degenerates to the seeded serial fold, so the result
     is BIT-exact vs. a serial oracle; multi-chunk composition agrees to
     ~1e-12 relative (fp reassociation). Returns
-    (key, n_ticks, *alphas.keys())."""
+    (key, n_ticks, *alphas.keys()).
+
+    ``order_cols`` must uniquely identify a row within each key: the
+    fold order comes from ``row_number`` over them, so ties would make
+    both the row numbering and the EMA fold order nondeterministic
+    across runs. (All in-repo callers order by (ts, event_id) with
+    event_id a unique key.)
+
+    Alpha names become output columns and internal struct-field names,
+    so they must be plain identifiers and must not collide with the
+    key/count columns — validated here to fail fast instead of
+    producing shadowed columns or confusing analysis errors.
+    """
+    for name in alphas:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"emas_by_key_chunked: alpha name {name!r} is not a valid "
+                "column identifier"
+            )
+        if name in (key_col, "n_ticks"):
+            raise ValueError(
+                f"emas_by_key_chunked: alpha name {name!r} collides with "
+                f"the {'key' if name == key_col else 'count'} output column"
+            )
     rn = F.row_number().over(
         Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
     )

@@ -985,8 +985,16 @@ def _ann_with_recall(exact: DataFrame, ann: DataFrame, k: int, floor: float) -> 
     cosine even when two sims collide at 9 decimals; the recall
     denominator is min(k, |exact|) so a corpus smaller than k can still
     reach recall 1.0 instead of being capped at |exact|/k."""
+    # distinct() before the join: both ANN paths already dedupe/top-k,
+    # but if one ever emitted a duplicate vec_id the left join would
+    # fan out exact rows, inflating numerator AND denominator (and
+    # duplicating output rows) — dedupe makes the gate robust to that.
     hits = exact.join(
-        F.broadcast(ann.select("vec_id", F.lit(1).alias("_hit"))), "vec_id", "left"
+        F.broadcast(
+            ann.select("vec_id").distinct().withColumn("_hit", F.lit(1))
+        ),
+        "vec_id",
+        "left",
     )
     recall = hits.agg(
         (

@@ -8,13 +8,17 @@ data.
 
 Spark-first shape:
 - maintenance is ``foreachBatch`` over the event stream: each micro
-  batch is bucketed and MERGEd into the rollup parquet (idempotent on
-  the (bucket, key) grain — a replayed batch recomputes the same
-  buckets, so retries are safe);
-- the reader unions the rollup with an on-the-fly aggregation of raw
-  events newer than the rollup's high-water mark. At 100 TB the rollup
-  side is date-partitioned and the tail scan is partition-pruned to the
-  last day.
+  batch is bucketed into (bucket, key) PARTIALS and written to a
+  per-``batch_id`` subdirectory with OVERWRITE. foreachBatch is
+  at-least-once — a replayed batch rewrites its own subdir with
+  identical content instead of double-merging, so the store is
+  exactly-once end-to-end (same pattern as streaming/dedup_stream);
+- the reader aggregates the partials (count/sum/min/max are
+  decomposable) and unions an on-the-fly aggregation of raw events
+  newer than the rollup's high-water mark. At 100 TB the partials are
+  date-partitioned and periodically COMPACTED (re-bucketed into one
+  settled partial per day) so the merge-on-read stays |hours × keys|,
+  and the tail scan is partition-pruned to the last day.
 """
 
 from __future__ import annotations
@@ -43,29 +47,38 @@ def bucket_events(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
     )
 
 
-def _merge_rollup(spark: SparkSession, batch: DataFrame, rollup_dir: str) -> None:
-    """Upsert batch buckets into the rollup table: recompute the grain
-    rows touched by this batch from (existing ∪ batch) partials.
-    Partials combine because count/sum/min/max are decomposable."""
-    from ..io.sinks import overwrite_parquet
+def write_batch_partials(buckets: DataFrame, rollup_dir: str, batch_id: int) -> None:
+    """Stage one micro-batch's bucket partials, idempotently: the batch
+    OWNS ``batch_<id>/`` and overwrites it, so a foreachBatch replay
+    after partial failure rewrites identical rows (no double counting).
+    """
+    buckets.write.mode("overwrite").parquet(
+        os.path.join(rollup_dir, f"batch_{batch_id:010d}")
+    )
 
-    try:
-        existing = spark.read.parquet(rollup_dir)
-    except Exception:
-        overwrite_parquet(batch, rollup_dir)
-        return
-    merged = (
-        existing.unionByName(batch)
-        .groupBy("bucket_start", "event_type")
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame | None:
+    """Merge-on-read: aggregate every staged batch partial back to one
+    row per (bucket_start, event_type). Partials combine exactly because
+    count/sum/min/max are decomposable; sums re-pass through
+    decimal(38,6) so the merged double equals a one-shot aggregation.
+    Returns None if no partials exist yet."""
+    if not os.path.exists(rollup_dir):
+        return None
+    partials = (
+        spark.read.option("recursiveFileLookup", "true").parquet(rollup_dir)
+    )
+    return (
+        partials.groupBy("bucket_start", "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.sum(F.col("sum_value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("sum_value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
-        .localCheckpoint(eager=True)  # break lineage before overwrite
     )
-    overwrite_parquet(merged, rollup_dir)
 
 
 def start_continuous_rollup(
@@ -75,21 +88,27 @@ def start_continuous_rollup(
     checkpoint_dir: str,
     schema,
     bucket: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ):
     """Maintain the rollup from a file-source event stream.
 
-    NOTE on exactly-once: foreachBatch is at-least-once; the merge is
-    deterministic per (bucket, key) ONLY if a replayed batch carries the
-    same rows, which the checkpointed file source guarantees. A replay
-    re-merges partials already included — production deployments should
-    MERGE on a batch-id column (Delta) or stage per-batch parquet and
-    compact; here we keep plain parquet and accept at-least-once on
-    crash-mid-merge (the tests exercise the happy path + restart)."""
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    Exactly-once: the checkpointed file source replays a failed batch
+    with the same rows and the same batch_id; ``write_batch_partials``
+    overwrites that batch's own subdir, so recovery after a crash —
+    even one that lands AFTER the store write but before the checkpoint
+    commit — leaves every bucket counted exactly once (unit-tested by
+    killing the query mid-stream and restarting from the checkpoint).
+
+    ``max_files_per_trigger`` caps files per micro-batch (rate limiting
+    on backfills; also how tests carve a deterministic batch sequence).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        buckets = bucket_events(batch, bucket)
-        _merge_rollup(batch.sparkSession, buckets, rollup_dir)
+        write_batch_partials(bucket_events(batch, bucket), rollup_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -117,11 +136,10 @@ def read_with_tail(
     maintenance runs are not visible until the next merge — pair the
     maintenance stream with a watermark that matches the source's
     lateness bound if stronger freshness is required."""
-    if os.path.exists(rollup_dir):
-        rollup = spark.read.parquet(rollup_dir)
+    rollup = read_rollup(spark, rollup_dir)
+    hwm = None
+    if rollup is not None:
         hwm = rollup.agg(F.max("bucket_start")).collect()[0][0]
-    else:
-        rollup, hwm = None, None
     tail = raw_events
     if hwm is not None:
         tail = tail.where(F.window("ts", bucket).getField("start") >= F.lit(hwm))

@@ -187,6 +187,67 @@ def test_running_ohlc_stateful(spark, tmp_path):
     assert rows["eth"]["open"] == rows["eth"]["close"] == 2.0
 
 
+def test_running_ohlc_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for the custom stateful operator (SURVEY §7
+    risk): stop the query after the first batch, land new files, restart
+    from the SAME checkpoint — the per-key state store must carry the
+    running OHLC across the restart, so the final row equals a one-shot
+    computation over all events (nothing reset, nothing recounted)."""
+    from crypto_price_data_pipeline_spark.streaming.stateful import running_ohlc
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    schema = "event_id long, ts string, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    b1 = mk([(1, "2024-01-01 10:00:00", "btc", 10.0),
+             (2, "2024-01-01 10:01:00", "btc", 30.0)])
+    b1.write.parquet(str(src / "b1"))
+
+    emitted: list = []
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        emitted.clear()
+
+        def sink(batch, _bid):
+            emitted.extend(batch.collect())
+
+        stream = spark.readStream.schema(b1.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            running_ohlc(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()  # availableNow drains then STOPS the query
+
+    run_once()
+    first = {r["key"]: r for r in emitted}
+    assert first["btc"]["n"] == 2 and first["btc"]["high"] == 30.0
+
+    # query is dead; new data lands; restart from the same checkpoint
+    b2 = mk([(3, "2024-01-01 10:02:00", "btc", 5.0),
+             (4, "2024-01-01 10:03:00", "btc", 20.0)])
+    b2.write.parquet(str(src / "b2"))
+    run_once()
+    btc = {r["key"]: r for r in emitted}["btc"]
+    # open comes from batch 1's state (restored), close from batch 2;
+    # counts/volume accumulate across the restart instead of resetting
+    assert (btc["open"], btc["high"], btc["low"], btc["close"]) == (
+        10.0, 30.0, 5.0, 20.0,
+    )
+    assert btc["n"] == 4 and abs(btc["volume"] - 65.0) < 1e-9
+
+
 def test_running_ohlc_transform_with_state(spark, tmp_path):
     """Same semantics as test_running_ohlc_stateful on the Spark 4
     transformWithStateInPandas runtime (needs the RocksDB provider)."""

@@ -668,3 +668,19 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_emas_chunked_rejects_bad_alpha_names(spark):
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.series import (
+        emas_by_key_chunked,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, o long, v double")
+    with pytest.raises(ValueError, match="not a valid"):
+        emas_by_key_chunked(df, "k", ["o"], "v", {"bad name": 0.5})
+    with pytest.raises(ValueError, match="collides"):
+        emas_by_key_chunked(df, "k", ["o"], "v", {"k": 0.5})
+    with pytest.raises(ValueError, match="collides"):
+        emas_by_key_chunked(df, "k", ["o"], "v", {"n_ticks": 0.5})

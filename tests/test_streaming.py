@@ -83,6 +83,7 @@ def test_continuous_rollup(spark, tmp_path):
     union-with-tail reader must serve settled + fresh buckets."""
     from crypto_price_data_pipeline_spark.streaming.continuous_agg import (
         bucket_events,
+        read_rollup,
         read_with_tail,
         start_continuous_rollup,
     )
@@ -122,7 +123,7 @@ def test_continuous_rollup(spark, tmp_path):
     }
     got = {
         (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
-        for r in spark.read.parquet(rollup_dir).collect()
+        for r in read_rollup(spark, rollup_dir).collect()
     }
     assert got == expected  # incremental == one-shot
 
@@ -131,6 +132,103 @@ def test_continuous_rollup(spark, tmp_path):
         for r in read_with_tail(spark, rollup_dir, all_events).collect()
     }
     assert served == {k: v[0] for k, v in expected.items()}
+
+
+def test_continuous_rollup_crash_and_restart_from_checkpoint(spark, tmp_path):
+    """Kill the maintenance query mid-stream — AFTER a batch's store
+    write but BEFORE its checkpoint commit (the worst replay window) —
+    then restart from the checkpoint. The per-batch_id overwrite must
+    leave every bucket counted exactly once: final rollup ≡ one-shot
+    batch aggregation, no lost or duplicated buckets."""
+    import os
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from crypto_price_data_pipeline_spark.streaming.continuous_agg import (
+        bucket_events,
+        read_rollup,
+        start_continuous_rollup,
+        write_batch_partials,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    chunks = [
+        mk([(1, "2024-01-01 10:05:00", "btc", 10.0),
+            (2, "2024-01-01 10:55:00", "btc", 20.0)]),
+        mk([(3, "2024-01-01 11:05:00", "eth", 5.0),
+            (4, "2024-01-01 10:59:00", "btc", 30.0)]),
+        mk([(5, "2024-01-01 12:10:00", "btc", 7.0)]),
+    ]
+    base = time.time()
+    for i, c in enumerate(chunks):
+        d = str(events_dir / f"c{i}")
+        c.coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (base + i, base + i))
+
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = chunks[0].schema
+    src = f"{events_dir}/*"
+
+    # first attempt: a sink that persists the batch's partials, then
+    # dies on the second micro-batch — simulating a crash after the
+    # store write landed but before the offset commit
+    seen: list[int] = []
+
+    def crashing_sink(batch, batch_id):
+        write_batch_partials(bucket_events(batch), rollup_dir, batch_id)
+        seen.append(batch_id)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash after store write")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the injected crash to surface")
+    except StreamingQueryException:
+        pass
+    assert len(seen) == 2  # two batches hit the store before the kill
+
+    # restart from the same checkpoint with the production sink: the
+    # killed batch replays (same batch_id, same files) and overwrites
+    # its own partials; remaining batches follow
+    q = start_continuous_rollup(
+        spark, src, rollup_dir, ckpt, schema, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    all_events = chunks[0]
+    for c in chunks[1:]:
+        all_events = all_events.unionByName(c)
+    expected = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in bucket_events(all_events).collect()
+    }
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_rollup(spark, rollup_dir).collect()
+    }
+    assert got == expected  # exactly-once: nothing lost, nothing doubled
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
