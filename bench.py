@@ -59,6 +59,8 @@ HEADLINE = [
     "q_train_split",
     "q_novelty_rate",
     "q_ngram_overlap",
+    "q_repetition_topgrams",
+    "q_winnowing_pairs",
 ]
 
 

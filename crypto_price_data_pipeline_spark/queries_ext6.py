@@ -514,6 +514,119 @@ ORDER BY 1, 2
 """
 
 
+# -------------------------------------- dominant-repetition quality cut
+
+
+def q_repetition_topgrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher's dominant-repetition filter: fraction of word 2-grams /
+    3-grams taken by each doc's single most frequent n-gram, plus the
+    published cut (top-2-gram > 0.18 OR top-3-gram > 0.16 → reject).
+    Catches keyword-stuffing and boilerplate the unigram
+    repetition_ratio in q_quality_full can't see. Computed fully
+    in-row (sorted-array max-run fold — zero shuffles); the oracle
+    recomputes the mode per doc with explode + GROUP BY."""
+    from .operators.text import top_ngram_fraction
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    feats = top_ngram_fraction(docs, "text", ns=(2, 3))
+    bi = F.round("top_2gram_frac", 9)
+    tri = F.round("top_3gram_frac", 9)
+    return feats.select(
+        "doc_id",
+        bi.alias("top_2gram_frac"),
+        tri.alias("top_3gram_frac"),
+        ((bi > 0.18) | (tri > 0.16)).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+Q_REPETITION_TOPGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS rn
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM documents)
+),
+bi AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+),
+tri AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+),
+bic AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS total
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1
+),
+tric AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS total
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ROUND(bic.best / bic.total, 9), 0.0) AS top_2gram_frac,
+       COALESCE(ROUND(tric.best / tric.total, 9), 0.0) AS top_3gram_frac,
+       (COALESCE(ROUND(bic.best / bic.total, 9), 0.0) > 0.18
+        OR COALESCE(ROUND(tric.best / tric.total, 9), 0.0) > 0.16) AS repetitive
+FROM documents d
+LEFT JOIN bic ON d.doc_id = bic.doc_id
+LEFT JOIN tric ON d.doc_id = tric.doc_id
+ORDER BY 1
+"""
+
+
+# ------------------------------------ winnowing fingerprint near-dups
+
+
+def q_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level near-dup pairs via shared winnowing fingerprints
+    (MOSS sketch, k=8 chars, window w=8): any shared substring of
+    length ≥ 15 chars guarantees a shared fingerprint, so pair counts
+    measure contiguous overlap — the signal ExactSubstr-style dedup
+    keys on, complementary to MinHash's bag-of-shingles view.
+    Fingerprints in > 50 docs are dropped as boilerplate before the
+    posting self-join (candidate-proportional, never all-pairs);
+    min_shared=10 (sketch is ~half as dense at w=8) sits above the
+    corpus's template overlap, isolating the planted near-dup pairs."""
+    from .operators.text import winnowing_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return winnowing_pairs(
+        docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50
+    ).orderBy("id_a", "id_b")
+
+
+Q_WINNOWING_PAIRS_SQL = """
+WITH clean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM documents
+),
+pos0 AS (
+  SELECT doc_id, s,
+         unnest(range(1, CAST(greatest(length(s) - 7, 1) AS BIGINT) + 1)) AS i
+  FROM clean
+),
+pos AS (SELECT doc_id, i, substring(s, CAST(i AS INTEGER), 8) AS gram FROM pos0),
+wins AS (
+  SELECT doc_id, i,
+         MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fpv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id, fpv AS fingerprint
+  FROM wins WHERE i <= greatest(n_grams - 7, 1)
+),
+rare AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+p AS (SELECT f.doc_id, f.fingerprint FROM fp f JOIN rare USING (fingerprint))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM p a JOIN p b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 10
+ORDER BY 1, 2
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
@@ -523,6 +636,8 @@ EXT6_QUERIES = {
     "q_stream_enrich": q_stream_enrich,
     "q_gapfill": q_gapfill,
     "q_interpolate": q_interpolate,
+    "q_repetition_topgrams": q_repetition_topgrams,
+    "q_winnowing_pairs": q_winnowing_pairs,
 }
 
 EXT6_ORACLES = {
@@ -534,4 +649,6 @@ EXT6_ORACLES = {
     "q_stream_enrich": Q_STREAM_ENRICH_SQL,
     "q_gapfill": Q_GAPFILL_SQL,
     "q_interpolate": Q_INTERPOLATE_SQL,
+    "q_repetition_topgrams": Q_REPETITION_TOPGRAMS_SQL,
+    "q_winnowing_pairs": Q_WINNOWING_PAIRS_SQL,
 }

@@ -684,3 +684,51 @@ def test_emas_chunked_rejects_bad_alpha_names(spark):
         emas_by_key_chunked(df, "k", ["o"], "v", {"k": 0.5})
     with pytest.raises(ValueError, match="collides"):
         emas_by_key_chunked(df, "k", ["o"], "v", {"n_ticks": 0.5})
+
+
+def test_top_ngram_fraction_toy(spark):
+    from crypto_price_data_pipeline_spark.operators.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat"),  # "the cat" ×2 of 8 bigrams
+         (2, "a b"),                                  # single bigram → 1.0
+         (3, "xyz"),                                  # no bigram → 0.0
+         (4, "one two three four five six")],         # all distinct → 1/5
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["top_2gram_frac"], r["top_3gram_frac"])
+        for r in top_ngram_fraction(df).collect()
+    }
+    assert got[1][0] == 0.25 and got[2][0] == 1.0
+    assert got[3] == (0.0, 0.0)
+    assert abs(got[4][0] - 0.2) < 1e-12
+    # trigram mode of doc1: "the cat sat" ×2 of 7 trigrams
+    assert abs(got[1][1] - 2 / 7) < 1e-12
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    from crypto_price_data_pipeline_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    k, w = 8, 4
+    common = "thequickbrownfoxjumps"  # len 21 >= k + w - 1 = 11
+    df = spark.createDataFrame(
+        [(1, "aaaa " + common + " bbbb"),
+         (2, "cccc " + common + " dddd"),
+         (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # the winnowing guarantee: shared substring >= k+w-1 chars → shared fp
+    assert by_doc[1] & by_doc[2]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_pairs(df, k=k, w=w, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
