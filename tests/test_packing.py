@@ -60,17 +60,17 @@ def test_packing_plan_is_distributed(spark):
     assert "_pack_bkt" in plan
 
 
-def test_offsets_raise_on_null_order(spark):
+def test_offsets_fail_job_on_null_order(spark):
     import pytest
 
     df = spark.createDataFrame([(1, 5), (None, 5), (3, 5)], "k long, w long")
-    with pytest.raises(ValueError, match="NULL 'k'"):
-        with_global_offsets(df, "k", "w")
+    with pytest.raises(Exception, match="NULL or duplicate 'k'"):
+        with_global_offsets(df, "k", "w").collect()
 
 
-def test_offsets_raise_on_duplicate_order(spark):
+def test_offsets_fail_job_on_duplicate_order(spark):
     import pytest
 
     df = spark.createDataFrame([(1, 5), (2, 5), (2, 5)], "k long, w long")
-    with pytest.raises(ValueError, match="duplicate"):
-        with_global_offsets(df, "k", "w")
+    with pytest.raises(Exception, match="NULL or duplicate 'k'"):
+        with_global_offsets(df, "k", "w").collect()
