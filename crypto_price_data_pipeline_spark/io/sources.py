@@ -56,6 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps surface as TimestampType (UTC instants — the session tz
     # is pinned to UTC, so values match the DuckDB oracle's naive reads).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Timestamp VALUES (collect, date_format, casts) depend on the
+    # session tz; the whole oracle contract assumes UTC. Runtime-set it
+    # here too so an externally built session (driver harness) in any
+    # host timezone still produces oracle-identical values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/` — float division loses microseconds on

@@ -23,9 +23,10 @@ key_strat = st.integers(min_value=0, max_value=3)
 @given(
     left=st.lists(st.tuples(key_strat, ts_strat), min_size=1, max_size=25),
     right=st.lists(st.tuples(key_strat, ts_strat), min_size=1, max_size=25),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
 @settings(**SETTINGS)
-def test_asof_join_matches_pandas(spark, left, right):
+def test_asof_join_matches_pandas_all_directions(spark, left, right, direction):
     from crypto_price_data_pipeline_spark.operators.asof import asof_join
     from pyspark.sql import functions as F
 
@@ -41,12 +42,12 @@ def test_asof_join_matches_pandas(spark, left, right):
 
     got = {
         (r["k"], r["t"], r["lv"]): r["rv"]
-        for r in asof_join(ldf, rdf, on="t", by=["k"]).collect()
+        for r in asof_join(ldf, rdf, on="t", by=["k"], direction=direction).collect()
     }
 
     lp = ldf.toPandas().sort_values("t")
     rp = rdf.toPandas().sort_values("t")
-    expected = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    expected = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
     for _, row in expected.iterrows():
         want = None if pd.isna(row["rv"]) else row["rv"]
         assert got[(row["k"], row["t"], row["lv"])] == want
