@@ -1045,6 +1045,25 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _ann_with_recall(exact, ann, k=10, floor=0.5)
 
 
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN cosine top-10 via product quantization (8 subspaces × 16
+    centroids → 32× compression) + ADC shortlist (200) + exact re-rank,
+    reported as the exact top-10 (bit-exact oracle) + an in-plan
+    recall@10 ≥ 0.5 assertion (measured 0.9 at sf0.01 AND sf0.1 with
+    shortlist 200 on the ANN-hostile isotropic corpus). Third ANN
+    family next to hyperplane LSH (oblivious) and IVF (partitioning):
+    PQ compresses — the one that matters when the corpus outgrows
+    memory."""
+    from .operators.similarity import cosine_topk, pq_build, pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
+    codes, codebooks = pq_build(emb, m=8, codebook_k=16)
+    ann = pq_topk(emb, codes, codebooks, query, k=10, shortlist=200)
+    return _ann_with_recall(exact, ann, k=10, floor=0.5)
+
+
 def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling-hash document fingerprints. The xxhash64 VALUES are
     engine-specific, but the fingerprint's semantic content — the
@@ -1124,6 +1143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
+    "q_pq_topk": q_pq_topk,
     "q_fingerprints": q_fingerprints,
     "q_stream_ohlc": q_stream_ohlc,
 }
@@ -1163,6 +1183,7 @@ ORACLES: dict[str, str] = {
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
     "q_lsh_topk": Q_ANN_RECALL_SQL,
     "q_ivf_topk": Q_ANN_RECALL_SQL,
+    "q_pq_topk": Q_ANN_RECALL_SQL,
     "q_fingerprints": Q_FINGERPRINTS_SQL,
     # q_simhash_pairs: intentionally no oracle (the xxhash64 projection
     # genuinely differs from the md5 twin's, so even its pair set is

@@ -56,3 +56,22 @@ def test_quantize_int8_roundtrip_error(spark):
             continue
         for orig, code in zip(r["embedding"], r["codes"]):
             assert abs(orig - code * r["scale"] / 127.0) <= r["scale"] / 127.0 + 1e-12
+
+
+def test_pq_codes_and_recall_gate(spark):
+    """PQ encode: codes are m tinyints in [0, k); the ADC+re-rank query
+    reaches recall 1.0 when the shortlist covers the corpus (sf0.001),
+    so its in-plan recall gate must report TRUE."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.similarity import pq_build
+    from crypto_price_data_pipeline_spark.queries import q_pq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes, codebooks = pq_build(emb, m=8, codebook_k=16)
+    assert len(codebooks) == 8 and all(len(cb) == 16 for cb in codebooks)
+    rows = codes.collect()
+    assert all(len(r["_codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["_codes"])
+
+    out = q_pq_topk(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 10 and all(r["recall_ok"] for r in out)
