@@ -627,6 +627,131 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------- end-to-end curation pipeline
+
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship composition: a complete corpus-curation pass as ONE
+    declarative chain — Gopher quality gate (composite score ≥ 0.75) →
+    dominant-repetition cut (top-2-gram ≤ 0.18, top-3-gram ≤ 0.16) →
+    exact dedup (keep min doc_id per text) → deterministic md5 train/
+    val/test split → per-split doc/token/id-checksum accounting. Every
+    stage is an already-oracled operator; chaining them stays one
+    Catalyst plan (filters fuse into the scan, the dedup window is the
+    only wide op before the final 3-row aggregate), which is the point:
+    at 100 TB the curation pass is one job, not five materialized
+    intermediates. The oracle replays the same five stages as CTEs."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import quality_scores, top_ngram_fraction
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    scored = quality_scores(docs).where(F.col("quality_score") >= 0.75)
+    rep = top_ngram_fraction(scored.select("doc_id", "text"), "text", ns=(2, 3))
+    clean = rep.where(
+        ~(
+            (F.round("top_2gram_frac", 9) > 0.18)
+            | (F.round("top_3gram_frac", 9) > 0.16)
+        )
+    ).select("doc_id", "text")
+    deduped = exact_dedup(clean, ["text"], "doc_id")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin("e", "f"), "test")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+    return (
+        deduped.select(
+            split.alias("split"),
+            "doc_id",
+            F.size(tokenize("text")).alias("n_tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+Q_CURATION_PIPELINE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(text) AS n_char
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         (n_char - len(toks) + 1) / GREATEST(len(toks), 1) AS mean_word_len,
+         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS BIGINT)
+           / GREATEST(n_char, 1) AS punct_ratio,
+         1.0 - len(list_distinct(toks)) / GREATEST(len(toks), 1) AS repetition_ratio
+  FROM base
+),
+q AS (
+  SELECT doc_id, text FROM feat
+  WHERE CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN repetition_ratio <= 0.9 THEN 0.25 ELSE 0.0 END >= 0.75
+),
+wtoks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS rn
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        FROM q)
+),
+bi AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+  FROM wtoks a JOIN wtoks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+),
+tri AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM wtoks a
+  JOIN wtoks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  JOIN wtoks c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+),
+bic AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS total
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1
+),
+tric AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS total
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2) GROUP BY 1
+),
+clean AS (
+  SELECT q.doc_id, q.text
+  FROM q LEFT JOIN bic ON q.doc_id = bic.doc_id
+         LEFT JOIN tric ON q.doc_id = tric.doc_id
+  WHERE NOT (COALESCE(ROUND(bic.best / bic.total, 9), 0.0) > 0.18
+             OR COALESCE(ROUND(tric.best / tric.total, 9), 0.0) > 0.16)
+),
+ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM clean
+  ) WHERE rn = 1
+),
+tagged AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+              ELSE 'train' END AS split
+  FROM ded
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY split ORDER BY split
+"""
+
+
 EXT6_QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_train_split": q_train_split,
@@ -638,6 +763,7 @@ EXT6_QUERIES = {
     "q_interpolate": q_interpolate,
     "q_repetition_topgrams": q_repetition_topgrams,
     "q_winnowing_pairs": q_winnowing_pairs,
+    "q_curation_pipeline": q_curation_pipeline,
 }
 
 EXT6_ORACLES = {
@@ -651,4 +777,5 @@ EXT6_ORACLES = {
     "q_interpolate": Q_INTERPOLATE_SQL,
     "q_repetition_topgrams": Q_REPETITION_TOPGRAMS_SQL,
     "q_winnowing_pairs": Q_WINNOWING_PAIRS_SQL,
+    "q_curation_pipeline": Q_CURATION_PIPELINE_SQL,
 }
