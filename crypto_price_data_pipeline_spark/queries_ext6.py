@@ -546,16 +546,14 @@ WITH toks AS (
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
         FROM documents)
 ),
-bi AS (
-  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+seq AS (
+  SELECT doc_id, tok,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY rn) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY rn) AS t2
+  FROM toks
 ),
-tri AS (
-  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
-  FROM toks a
-  JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
-  JOIN toks c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
-),
+bi AS (SELECT doc_id, tok || ' ' || t1 AS g FROM seq WHERE t1 IS NOT NULL),
+tri AS (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g FROM seq WHERE t2 IS NOT NULL),
 bic AS (
   SELECT doc_id, MAX(c) AS best, SUM(c) AS total
   FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1
@@ -705,16 +703,14 @@ wtoks AS (
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
         FROM q)
 ),
-bi AS (
-  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
-  FROM wtoks a JOIN wtoks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+seq AS (
+  SELECT doc_id, tok,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY rn) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY rn) AS t2
+  FROM wtoks
 ),
-tri AS (
-  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
-  FROM wtoks a
-  JOIN wtoks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
-  JOIN wtoks c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
-),
+bi AS (SELECT doc_id, tok || ' ' || t1 AS g FROM seq WHERE t1 IS NOT NULL),
+tri AS (SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g FROM seq WHERE t2 IS NOT NULL),
 bic AS (
   SELECT doc_id, MAX(c) AS best, SUM(c) AS total
   FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1
