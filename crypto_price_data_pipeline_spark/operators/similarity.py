@@ -23,6 +23,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -353,4 +354,43 @@ def pq_topk(
         .select(id_col, cosine_similarity(emb_col, query).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one pass —
+    the retrieval-serving shape (Q queries amortize one corpus scan)
+    rather than Q separate jobs.
+
+    Plan: broadcast the (small) query table, nested-loop each corpus
+    row against all Q queries (Q·|corpus| score rows — but only
+    (q_id, id, sim) triples, the vectors are dropped BEFORE the
+    window shuffle), then row_number ≤ k per query. At 100 TB the scan
+    is the cost and it happens once for the whole batch; the shuffle
+    carries 24-byte triples. For large Q route per-query candidate
+    pruning through the LSH/IVF/PQ indexes instead — this is the exact
+    baseline they gate against."""
+    e = F.col(emb_col).cast("array<double>")
+    q = F.col(q_emb_col).cast("array<double>")
+    sim = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .select(q_id_col, id_col, sim.alias("cosine_sim"))
+    )
+    w = (
+        Window.partitionBy(q_id_col)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )

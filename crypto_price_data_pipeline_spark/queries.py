@@ -1045,6 +1045,47 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _ann_with_recall(exact, ann, k=10, floor=0.5)
 
 
+def q_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for a 5-query batch in ONE corpus pass
+    (broadcast query table, nested-loop scores, per-query window
+    top-k; only 24-byte triples reach the shuffle). The serving shape
+    the ANN indexes gate against — and the oracle reproduces it with
+    the same dot-product arithmetic, bit-exact."""
+    from .operators.similarity import cosine_topk_batch
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(_col("vec_id") < 5).select(
+        _col("vec_id").alias("q_id"), _col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_batch(emb, queries, k=10)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine_sim", 9).alias("cosine_sim_r9")
+    ).orderBy("q_id", F.col("cosine_sim_r9").desc(), "vec_id")
+
+
+Q_BATCH_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT q_id, vec_id, ROUND(sim, 9) AS cosine_sim_r9
+FROM r WHERE rn <= 10
+ORDER BY q_id, ROUND(sim, 9) DESC, vec_id
+"""
+
+
 def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN cosine top-10 via product quantization (8 subspaces × 16
     centroids → 32× compression) + ADC shortlist (200) + exact re-rank,
@@ -1144,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
     "q_pq_topk": q_pq_topk,
+    "q_batch_topk": q_batch_topk,
     "q_fingerprints": q_fingerprints,
     "q_stream_ohlc": q_stream_ohlc,
 }
@@ -1184,6 +1226,7 @@ ORACLES: dict[str, str] = {
     "q_lsh_topk": Q_ANN_RECALL_SQL,
     "q_ivf_topk": Q_ANN_RECALL_SQL,
     "q_pq_topk": Q_ANN_RECALL_SQL,
+    "q_batch_topk": Q_BATCH_TOPK_SQL,
     "q_fingerprints": Q_FINGERPRINTS_SQL,
     # q_simhash_pairs: intentionally no oracle (the xxhash64 projection
     # genuinely differs from the md5 twin's, so even its pair set is
