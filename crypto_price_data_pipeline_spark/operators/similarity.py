@@ -241,6 +241,7 @@ def pq_build(
     codebook_k: int = 16,
     seed: int = 42,
     max_iter: int = 8,
+    train_fraction: float | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> tuple[DataFrame, list[list[list[float]]]]:
@@ -268,13 +269,16 @@ def pq_build(
     base = embeddings.select(
         id_col, F.col(emb_col).cast("array<double>").alias("_e")
     ).persist()
+    # codebooks need ~thousands of vectors per centroid, not the corpus:
+    # at 100 TB train on a seeded sample and encode everything
+    train = base.sample(train_fraction, seed=seed) if train_fraction else base
     dim = len(base.first()["_e"])
     if dim % m:
         raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
     sub = dim // m
     codebooks: list[list[list[float]]] = []
     for j in range(m):
-        vecs = base.withColumn("_f", array_to_vector(F.slice("_e", j * sub + 1, sub)))
+        vecs = train.withColumn("_f", array_to_vector(F.slice("_e", j * sub + 1, sub)))
         model = KMeans(
             k=codebook_k,
             seed=seed + j,
