@@ -732,3 +732,37 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
         for r in winnowing_pairs(df, k=k, w=w, min_shared=1).collect()
     }
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_load_table_normalizes_both_timestamp_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (rounds
+    1-4) and as unannotated timestamp[us] → TIMESTAMP_NTZ (round 5+).
+    load_table must surface TimestampType for either encoding — the
+    NTZ regression killed a full bench round once."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    ts = [datetime.datetime(2024, 1, 1, 10, 0, 0), datetime.datetime(2024, 1, 1, 11, 0, 0)]
+    for unit in ("ns", "us"):
+        d = tmp_path / f"enc_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp(unit)),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out = load_table(spark, str(d), "events")
+        assert isinstance(out.schema["ts"].dataType, T.TimestampType), unit
+        got = sorted(r["ts"].replace(tzinfo=None) for r in out.collect())
+        assert got == ts, unit

@@ -227,3 +227,27 @@ def test_chunked_ema_equals_serial_fold(spark, values, chunk_size, alpha):
     assert row["n_ticks"] == len(values)
     tol = 1e-9 * max(1.0, abs(acc))
     assert abs(row["ema"] - acc) <= tol
+
+
+@given(
+    common=st.text(alphabet="abcdef", min_size=15, max_size=30),
+    pada=st.text(alphabet="uvwxyz", min_size=0, max_size=20),
+    padb=st.text(alphabet="mnopqr", min_size=0, max_size=20),
+)
+@settings(**SETTINGS)
+def test_winnowing_shared_substring_guarantee(spark, common, pada, padb):
+    """The winnowing guarantee, fuzzed: two docs sharing ANY substring
+    of length ≥ k + w - 1 (= 15 at k=8, w=8) MUST share at least one
+    selected fingerprint, regardless of what surrounds it."""
+    from crypto_price_data_pipeline_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, pada + common + padb), (2, padb + common + pada)],
+        "doc_id long, text string",
+    )
+    by_doc = {1: set(), 2: set()}
+    for r in winnowing_fingerprints(df, k=8, w=8).collect():
+        by_doc[r["doc_id"]].add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]
