@@ -1045,6 +1045,26 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _ann_with_recall(exact, ann, k=10, floor=0.5)
 
 
+def q_stream_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-10 served from an INCREMENTALLY-built LSH index: the
+    embedding table replays as a 3-micro-batch stream, each batch
+    bucketing its vectors into a replay-safe per-batch_id store
+    (exactly-once, cf. streaming/ann_stream.py), then the query probes
+    the store exactly like the batch path. The bucket id is a pure
+    function of (vector, planes), so the streamed index is row-identical
+    to a one-shot build and the query result matches q_lsh_topk's —
+    same exact-top-10 oracle + in-plan recall floor."""
+    from .operators.similarity import cosine_topk, lsh_cosine_topk
+    from .streaming.ann_stream import stream_lsh_index
+
+    emb = load_table(spark, sf, "embeddings")
+    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
+    index = stream_lsh_index(spark, emb, dim=len(query), bits=6, n_chunks=3)
+    ann = lsh_cosine_topk(index, query, k=10, bits=6, probe_radius=2)
+    return _ann_with_recall(exact, ann, k=10, floor=0.5)
+
+
 def q_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-10 for a 5-query batch in ONE corpus pass
     (broadcast query table, nested-loop scores, per-query window
@@ -1186,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_topk": q_ivf_topk,
     "q_pq_topk": q_pq_topk,
     "q_batch_topk": q_batch_topk,
+    "q_stream_ann": q_stream_ann,
     "q_fingerprints": q_fingerprints,
     "q_stream_ohlc": q_stream_ohlc,
 }
@@ -1227,6 +1248,7 @@ ORACLES: dict[str, str] = {
     "q_ivf_topk": Q_ANN_RECALL_SQL,
     "q_pq_topk": Q_ANN_RECALL_SQL,
     "q_batch_topk": Q_BATCH_TOPK_SQL,
+    "q_stream_ann": Q_ANN_RECALL_SQL,
     "q_fingerprints": Q_FINGERPRINTS_SQL,
     # q_simhash_pairs: intentionally no oracle (the xxhash64 projection
     # genuinely differs from the md5 twin's, so even its pair set is

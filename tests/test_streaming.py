@@ -375,3 +375,25 @@ def test_run_to_parquet_empty_result_reads_back(spark, tmp_path):
     data = _run_to_parquet(stream, mode="append")
     out = spark.read.schema(stream.schema).parquet(data)
     assert out.count() == 0 and out.columns == [f.name for f in schema.fields]
+
+
+def test_stream_lsh_index_equals_batch_build(spark):
+    """The incrementally-maintained LSH index must be row-identical to
+    a one-shot batch build (bucket id is a pure function of the vector
+    and the deterministic planes), so queries served from the stream
+    store match the batch path exactly."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+    from crypto_price_data_pipeline_spark.streaming.ann_stream import (
+        stream_lsh_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first()["embedding"])
+    streamed = stream_lsh_index(spark, emb, dim=dim, bits=6, n_chunks=3)
+    batch = hyperplane_lsh_buckets(emb, dim=dim, bits=6)
+    a = sorted((r["vec_id"], r["_bucket"]) for r in streamed.collect())
+    b = sorted((r["vec_id"], r["_bucket"]) for r in batch.collect())
+    assert a == b and len(a) == emb.count()
