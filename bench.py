@@ -64,12 +64,31 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> float:
+    """Fixed-work CPU anchor: a constant aggregate over a synthetic range,
+    pure whole-stage codegen, zero I/O, identical plan every round. Its
+    wall time measures HOST throughput (contention, GC, CPU clock), not
+    the engine — so a uniform shift in query timings that tracks the
+    anchor is environment noise, and one that doesn't is a real
+    regression. Reported but excluded from the headline total."""
+    import time as _t
+
+    df = spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) as s"
+    )
+    t0 = _t.time()
+    df.collect()
+    return round(_t.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from crypto_price_data_pipeline_spark.queries import QUERIES
     from crypto_price_data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")
+    _calibration(spark)  # warm-up: JIT the range-agg codegen path
+    calibration_pre = _calibration(spark)
     # warm-up pass over the full set: session, parquet footers, and
     # whole-stage-codegen JIT for every plan shape. At production scale
     # compile time amortizes to zero; timing the second pass measures
@@ -118,6 +137,8 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    calibration_post = _calibration(spark)
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -129,6 +150,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-noise anchor, excluded from `value` (see _calibration)
+        "calibration_sec": {"pre": calibration_pre, "post": calibration_post},
+        "driver_memory": spark.conf.get("spark.driver.memory", "default"),
     }
     prev_round, prev = _latest_prior_bench()
     if prev is not None and prev.get("sf") == sf:

@@ -33,9 +33,10 @@ def get_spark(
     directions).
     """
     cpus = default_parallelism()
+    resolved_master = master or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(resolved_master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -63,6 +64,17 @@ def get_spark(
         .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.python.worker.idleTimeoutSeconds", "300")
     )
+    if resolved_master.startswith("local"):
+        # In local mode the driver JVM IS the executor; the 1 GiB default
+        # heap shared by N concurrent tasks means GC pressure and spill,
+        # not the engine, dominate timings (r6 bench logged
+        # "Total allocation exceeds 95% of heap"). Size it to the host.
+        # Only effective at JVM launch — getOrCreate() on a live session
+        # ignores it, which is the desired no-op for shared test sessions.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
