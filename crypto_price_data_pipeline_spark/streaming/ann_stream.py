@@ -60,10 +60,18 @@ def stream_lsh_index(
     from pyspark.sql import functions as F
 
     lo, hi = embeddings.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        # empty input: nothing to replay — no chunks, so the stream sees
+        # zero files and the read-back below returns the empty store
+        # (same guard as dedup_stream). A single-row table degenerates
+        # cleanly through the cut arithmetic (one non-empty chunk, the
+        # rest filter to zero rows), so only the all-empty case needs
+        # special-casing.
+        n_chunks = 0
     cuts = [
         lo + (hi - lo + 1) * i // max(n_chunks, 1)
         for i in range(max(n_chunks, 1) + 1)
-    ]
+    ] if n_chunks else []
     import time as _time
 
     base = _time.time()
@@ -79,14 +87,46 @@ def stream_lsh_index(
     indexed_schema = hyperplane_lsh_buckets(embeddings, dim, bits, seed).schema
     spark.createDataFrame([], indexed_schema).write.mode("overwrite").parquet(store)
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        hyperplane_lsh_buckets(batch, dim, bits, seed).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store, f"batch_{batch_id:010d}"))
+    q = start_index_maintenance(
+        spark, src, store, ckpt, embeddings.schema, dim=dim, bits=bits, seed=seed
+    )
+    q.awaitTermination()
+    return read_index(spark, store, indexed_schema)
 
-    q = (
-        spark.readStream.schema(embeddings.schema)
-        .option("maxFilesPerTrigger", "1")
+
+def write_index_batch(
+    batch: DataFrame, store: str, batch_id: int, *, dim: int, bits: int, seed: int
+) -> None:
+    """Bucket one micro-batch and land it under a per-``batch_id``
+    subdirectory with OVERWRITE — a replayed batch (crash between store
+    write and checkpoint commit) rewrites identical content, so the
+    store is exactly-once without a transaction log."""
+    hyperplane_lsh_buckets(batch, dim, bits, seed).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, f"batch_{batch_id:010d}"))
+
+
+def start_index_maintenance(
+    spark: SparkSession,
+    src: str,
+    store: str,
+    ckpt: str,
+    schema,
+    *,
+    dim: int,
+    bits: int = 6,
+    seed: int = 42,
+    max_files_per_trigger: int = 1,
+):
+    """Launch the index-maintenance stream (availableNow) against a
+    parquet file source; restartable from ``ckpt`` after a crash."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        write_index_batch(batch, store, batch_id, dim=dim, bits=bits, seed=seed)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .option("recursiveFileLookup", "true")
         .parquet(src)
         .writeStream.foreachBatch(_process)
@@ -94,7 +134,11 @@ def stream_lsh_index(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+
+
+def read_index(spark: SparkSession, store: str, indexed_schema) -> DataFrame:
+    """Read the full incrementally-built index (all batch subdirs plus
+    the empty root seed) back as one DataFrame."""
     return (
         spark.read.schema(indexed_schema)
         .option("recursiveFileLookup", "true")
