@@ -959,16 +959,111 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs at the guaranteed-recall radius of the
-    default 4×16 banding (Hamming ≤3). A Hamming-8 budget would force
-    ≥9 bands of ≤7 bits whose 128-value buckets blow up candidate
-    pairs quadratically (measured 13s vs 1s at sf0.1) — at loose radii
-    use combination blocking or a second blocking key instead
-    (operators/dedup.py docstrings). rows-only."""
-    from .operators.dedup import simhash_pairs
+    """xxhash64-SimHash near-dup machinery, verified through its
+    INDUCED STRUCTURE (the q_fingerprints trick, r6 VERDICT #2): the
+    raw xxhash64 fingerprints — and even their Hamming-≤3 pair set —
+    are engine-specific (empirically 17 xx pairs vs 725 md5-twin pairs
+    at sf0.01: the 32-bit md5 twin is far noisier, so pair-set
+    equivalence against it does NOT hold), but two structural
+    properties are deterministic and portable:
 
+    1. ``xx_hamming``: docs with IDENTICAL token multisets MUST get
+       identical 64-bit simhashes (simhash is order-invariant by
+       construction) — emitted per-pair from the real xxhash64
+       fingerprints, oracled as literal 0. The corpus carries no
+       exact duplicates at any sf (checked), so the ground pairs are
+       CONSTRUCTED portably: every 16th doc gets a twin whose text is
+       its token sequence reversed (same multiset, different order,
+       different string) — both engines build the same augmented
+       corpus and the same multiset-equality pair set, Spark alone
+       evaluates the xxhash64 hamming. A bit-assembly, tokenization,
+       or order-sensitivity bug flips the 0.
+    2. ``banding_exact``: the 4×16 and 6×10 bandings each carry the
+       pigeonhole exact-recall guarantee at Hamming ≤3, so both must
+       produce THE SAME pair set (= the exhaustive one) — asserted
+       in-plan over the actual xx pair sets, oracled as literal TRUE.
+       A banding/bucketing bug (wrong shift, mask, dedup) breaks the
+       agreement.
+
+    Together the last rows-only registry row becomes hash-green
+    without pretending DuckDB can evaluate xxhash64. Why the loose
+    radius stays at 3: a Hamming-8 budget would force ≥9 bands of ≤7
+    bits whose 128-value buckets blow up candidate pairs quadratically
+    (measured 13s vs 1s at sf0.1) — at loose radii use combination
+    blocking instead (operators/dedup.py docstrings)."""
+    from .operators.dedup import simhash, simhash_pairs, tokens_col
+
+    OFFSET = 1 << 40  # clears any real doc_id at any sf
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    twins = docs.where(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + F.lit(OFFSET)).alias("doc_id"),
+        F.array_join(F.reverse(tokens_col("text")), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(twins)
+    keyed = corpus.select(
+        "doc_id", F.sort_array(tokens_col("text")).alias("_k")
+    ).where(F.size("_k") > 0)
+    ground = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a._k") == F.col("b._k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    sh = simhash(corpus)
+    out = (
+        ground.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("int")
+            .alias("xx_hamming"),
+        )
+    )
+    p416 = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    p610 = simhash_pairs(docs, max_hamming=3, bands=6, bits=10).select(
+        "id_a", "id_b"
+    )
+    sym_diff = p416.exceptAll(p610).unionAll(p610.exceptAll(p416))
+    flag = sym_diff.agg((F.count(F.lit(1)) == 0).alias("banding_exact"))
+    return out.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
+
+
+Q_SIMHASH_XX_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1099511627776,
+         array_to_string(
+           list_reverse(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')), ' ')
+  FROM documents WHERE doc_id % 16 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_sort(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '')) AS k
+  FROM aug
+),
+ne AS (SELECT * FROM toks WHERE len(k) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(0 AS INT) AS xx_hamming,
+       TRUE AS banding_exact
+FROM ne a JOIN ne b ON a.k = b.k AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
 
 
 def _ann_with_recall(exact: DataFrame, ann: DataFrame, k: int, floor: float) -> DataFrame:
@@ -1250,12 +1345,12 @@ ORACLES: dict[str, str] = {
     "q_batch_topk": Q_BATCH_TOPK_SQL,
     "q_stream_ann": Q_ANN_RECALL_SQL,
     "q_fingerprints": Q_FINGERPRINTS_SQL,
-    # q_simhash_pairs: intentionally no oracle (the xxhash64 projection
-    # genuinely differs from the md5 twin's, so even its pair set is
-    # engine-specific); its cross-engine twin q_simhash_md5_pairs
-    # carries the bit-exact oracle. q_minhash_pairs DOES carry one: its
-    # output is the exact-Jaccard pair set (see its docstring on
-    # recall).
+    # q_simhash_pairs is oracled through induced structure (see its
+    # docstring): identical-token-multiset pairs at xx_hamming 0 + the
+    # cross-banding equivalence flag. Raw xxhash64 pair VALUES stay
+    # engine-specific; the md5 twin q_simhash_md5_pairs carries the
+    # bit-exact value-level oracle.
+    "q_simhash_pairs": Q_SIMHASH_XX_SQL,
 }
 
 # second + third + fourth coverage waves
