@@ -61,6 +61,7 @@ HEADLINE = [
     "q_ngram_overlap",
     "q_repetition_topgrams",
     "q_winnowing_pairs",
+    "q_batch_lsh_topk",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -111,6 +111,40 @@ def hyperplane_lsh_buckets(
     return embeddings.withColumn("_bucket", bucket_id_col(emb_col, planes))
 
 
+def _probe_masks(bits: int, probe_radius: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance
+    ``probe_radius`` of a query bucket (mask 0 = the bucket itself)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for flip in combinations(range(bits), r):
+            m = 0
+            for i in flip:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
+def write_lsh_index(bucketed: DataFrame, path: str) -> None:
+    """Persist the LSH index PARTITIONED BY ``_bucket`` — the serving
+    layout the docstrings promise: a probe then reads only its probe
+    buckets' directories (PartitionFilters in the scan, verified by
+    tests/test_plan_hygiene.py), so query cost is proportional to the
+    probed fraction of the corpus, not the corpus. One write per corpus
+    version; 2^bits directories, each holding ~n/2^bits rows — size
+    ``bits`` so per-bucket files stay in the 100 MB–1 GB range at the
+    target corpus (bits=10 over 10^9 vectors ≈ 10^6 rows/bucket)."""
+    bucketed.write.partitionBy("_bucket").mode("overwrite").parquet(path)
+
+
+def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the served index back. ``_bucket`` comes back as a
+    partition column (directory-derived), so ``isin`` probes become
+    partition pruning instead of data filters."""
+    return spark.read.parquet(path)
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -188,21 +222,13 @@ def lsh_cosine_topk(
     probes 22/64 (~34%). Raise the radius (or lower bits) when the
     corpus is ANN-hostile — e.g. near-isotropic random embeddings,
     where sign projections separate poorly."""
-    from itertools import combinations
-
     planes = _hyperplanes(len(query), bits, seed)
     qb = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query, p)) >= 0:
             qb |= 1 << i
-    probes = [qb]
-    if multiprobe:
-        for r in range(1, probe_radius + 1):
-            for flip in combinations(range(bits), r):
-                mask = 0
-                for i in flip:
-                    mask |= 1 << i
-                probes.append(qb ^ mask)
+    masks = _probe_masks(bits, probe_radius) if multiprobe else [0]
+    probes = [qb ^ m for m in masks]
     return (
         bucketed.where(F.col("_bucket").isin(probes))
         .select(F.col(id_col), cosine_similarity(emb_col, query).alias("cosine_sim"))
@@ -387,6 +413,72 @@ def cosine_topk_batch(
     sim = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
     scored = (
         embeddings.crossJoin(F.broadcast(queries))
+        .select(q_id_col, id_col, sim.alias("cosine_sim"))
+    )
+    w = (
+        Window.partitionBy(q_id_col)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def lsh_topk_batch(
+    bucketed: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Batched ANN through the LSH index — the scale path
+    ``cosine_topk_batch``'s docstring gates against: instead of scoring
+    all Q·N pairs, each corpus row scores only against the queries
+    whose probe set contains its bucket.
+
+    Plan: the (small) query table computes its own bucket ids in-plan
+    (same deterministic hyperplanes as the index build — no collect),
+    explodes the Σ C(bits,r) literal XOR masks into a
+    (q_id, q_emb, _bucket) probe table, and broadcast-joins the corpus
+    on ``_bucket``. One corpus pass, scoring only the probed fraction
+    (~coverage · Q · N pairs instead of Q · N); vectors are dropped
+    before the per-query window top-k shuffle, which carries 24-byte
+    triples. Against a ``write_lsh_index`` table the bucket equi-join
+    also enables dynamic partition pruning. Candidates within a probed
+    bucket re-rank EXACTLY, so per-query results match single-query
+    ``lsh_cosine_topk`` at the same bits/radius."""
+    planes = _hyperplanes(dim, bits, seed)
+    masks = _probe_masks(bits, probe_radius)
+    probes = (
+        queries.withColumn("_qb", bucket_id_col(q_emb_col, planes))
+        .select(
+            q_id_col,
+            q_emb_col,
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("_m"),
+            "_qb",
+        )
+        .select(
+            q_id_col,
+            q_emb_col,
+            F.col("_qb").bitwiseXOR(F.col("_m")).alias("_bucket"),
+        )
+    )
+    e = F.col(emb_col).cast("array<double>")
+    q = F.col(q_emb_col).cast("array<double>")
+    sim = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    scored = (
+        bucketed.withColumn("_bucket", F.col("_bucket").cast("long"))
+        .join(F.broadcast(probes), "_bucket")
         .select(q_id_col, id_col, sim.alias("cosine_sim"))
     )
     w = (

