@@ -47,6 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The conf is set here (runtime SQL conf, idempotent) rather than only
     in the session factory so the read also works under an externally
     provided SparkSession (e.g. the driver's harness).
+
+    HOST-APPLICATION CAVEAT (intentional, by the oracle contract): the
+    three ``spark.conf.set`` calls below mutate SESSION-WIDE state —
+    after the first ``load_table`` on an externally built session,
+    UNRELATED reads/queries in that session also see UTC session time,
+    no NTZ inference, and nanos-as-long parquet reads. Embedders who
+    need different timestamp semantics for their own tables should use
+    a separate SparkSession (or save/restore these three confs around
+    load_table); this engine's own queries all assume the UTC contract.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Testdata regenerated with plain timestamp[us] (isAdjustedToUTC=false)

@@ -70,8 +70,21 @@ def with_global_offsets(
     The error surfaces at action time as USER_RAISED_EXCEPTION with the
     offending value in the message.
     """
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    lo, hi, n_rows = df.agg(
+        F.min(order_col), F.max(order_col), F.count(F.lit(1))
+    ).first()
     if lo is None:
+        # min()==NULL means either an empty frame (fine: nothing to
+        # pack) or EVERY order value is NULL — the in-plan assert_true
+        # below only fires when at least one non-NULL value exists, so
+        # the all-NULL case must fail here to honor the NULL-orders-
+        # FAIL-THE-JOB contract instead of silently emitting NULL
+        # offsets.
+        if n_rows > 0:
+            raise ValueError(
+                f"with_global_offsets: all {n_rows} rows have NULL "
+                f"{order_col!r} — offsets undefined"
+            )
         return df.withColumn(offset_col, F.lit(None).cast("long"))
     span = max(int(hi) - int(lo) + 1, 1)
     bucket = F.least(

@@ -295,10 +295,29 @@ def pq_build(
     base = embeddings.select(
         id_col, F.col(emb_col).cast("array<double>").alias("_e")
     ).persist()
+    first = base.first()
+    if first is None:
+        base.unpersist()
+        raise ValueError("pq_build: embeddings table is empty — nothing to train on")
     # codebooks need ~thousands of vectors per centroid, not the corpus:
     # at 100 TB train on a seeded sample and encode everything
     train = base.sample(train_fraction, seed=seed) if train_fraction else base
-    dim = len(base.first()["_e"])
+    if train_fraction:
+        # a too-small sample can undercut codebook_k and fail the
+        # KMeans fit with an unrelated error; fall back to the full
+        # corpus (still cheaper than a failed job) with a clear signal
+        n_train = train.count()
+        if n_train < codebook_k:
+            import warnings
+
+            warnings.warn(
+                f"pq_build: train_fraction={train_fraction} sampled "
+                f"{n_train} rows < codebook_k={codebook_k}; training on "
+                "the full corpus instead",
+                stacklevel=2,
+            )
+            train = base
+    dim = len(first["_e"])
     if dim % m:
         raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
     sub = dim // m

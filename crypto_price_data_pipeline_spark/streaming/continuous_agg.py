@@ -81,6 +81,46 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame | None:
     )
 
 
+def compact_rollup(spark: SparkSession, rollup_dir: str) -> int:
+    """Re-bucket every staged per-batch partial into ONE settled
+    subdirectory, so merge-on-read cost goes back to |hours × keys|
+    instead of growing linearly with batch count (the module docstring's
+    promised compaction; read_rollup re-aggregates whatever subdirs
+    exist, so a compacted partial is just another — bigger — partial).
+
+    Returns the number of subdirectories folded (0 = nothing to do).
+
+    Run this while the maintenance stream is STOPPED (or schedule it on
+    batch ids at or below the last committed checkpoint offset): a
+    crashed batch that replays AFTER its partial was folded would
+    re-create its subdir and double-count. The settled output keeps the
+    partial grain (n/sum/min/max are decomposable), so compaction is
+    associative — compacting a mix of raw and previously-compacted
+    partials stays exact, sums re-passing through decimal(38,6).
+    """
+    import shutil
+
+    if not os.path.exists(rollup_dir):
+        return 0
+    subdirs = [
+        d
+        for d in sorted(os.listdir(rollup_dir))
+        if os.path.isdir(os.path.join(rollup_dir, d))
+        and d.startswith(("batch_", "compacted_"))
+    ]
+    if len(subdirs) <= 1:
+        return 0
+    merged = read_rollup(spark, rollup_dir)
+    # stage OUTSIDE rollup_dir so the merge's recursive scan can't see
+    # its own output, then swap in atomically from the reader's view
+    tmp = rollup_dir.rstrip("/") + ".compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    for d in subdirs:
+        shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
+    os.rename(tmp, os.path.join(rollup_dir, "compacted_0000000000"))
+    return len(subdirs)
+
+
 def start_continuous_rollup(
     spark: SparkSession,
     events_dir: str,

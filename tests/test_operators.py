@@ -734,6 +734,34 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
 
 
+def test_winnowing_hash_recode_collision_free_at_test_scale(spark):
+    """winnowing_pairs counts shared xxhash64-recoded fingerprints
+    while the DuckDB oracle counts raw gram strings — an intra-doc
+    collision between two distinct selected grams would shrink a
+    sketch and shift pair counts near min_shared (probability
+    ~|sketch|^2/2^64). Pin the oracle equivalence exactly at test
+    scale: on the real documents table, every doc's recoded sketch is
+    the same size as its raw-gram sketch (injective on this corpus)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.text import (
+        _winnowing_fp_hashes,
+        winnowing_fingerprints,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    raw = winnowing_fingerprints(docs, k=8, w=8).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    rec = _winnowing_fp_hashes(docs, "doc_id", "text", 8, 8).groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_rec"))
+    bad = raw.join(rec, "doc_id").where(F.col("n_raw") != F.col("n_rec"))
+    assert bad.count() == 0
+
+
 def test_load_table_normalizes_both_timestamp_encodings(spark, tmp_path):
     """The driver has shipped events.ts as TIMESTAMP(NANOS) (rounds
     1-4) and as unannotated timestamp[us] → TIMESTAMP_NTZ (round 5+).

@@ -74,3 +74,16 @@ def test_offsets_fail_job_on_duplicate_order(spark):
     df = spark.createDataFrame([(1, 5), (2, 5), (2, 5)], "k long, w long")
     with pytest.raises(Exception, match="NULL or duplicate 'k'"):
         with_global_offsets(df, "k", "w").collect()
+
+
+def test_offsets_fail_job_on_all_null_orders(spark):
+    """ALL-NULL orders must fail like mixed-NULL (the in-plan guard
+    only fires when a non-NULL value exists, so this case is caught
+    eagerly at the min/max stage)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(None, 5), (None, 7)], "k long, w long"
+    )
+    with pytest.raises(ValueError, match="all 2 rows have NULL 'k'"):
+        with_global_offsets(df, "k", "w")

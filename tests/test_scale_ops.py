@@ -75,3 +75,29 @@ def test_pq_codes_and_recall_gate(spark):
 
     out = q_pq_topk(spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 10 and all(r["recall_ok"] for r in out)
+
+
+def test_pq_build_empty_and_tiny_sample_guards(spark):
+    """Empty corpus -> clear ValueError (not an opaque NoneType
+    subscript); a train_fraction sampling fewer rows than codebook_k
+    falls back to full-corpus training with a warning instead of an
+    unrelated KMeans failure."""
+    import warnings
+
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.similarity import pq_build
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="embeddings table is empty"):
+        pq_build(empty, m=2, codebook_k=4)
+
+    rows = [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        codes, codebooks = pq_build(
+            emb, m=2, codebook_k=8, train_fraction=0.01
+        )
+        assert any("training on the full corpus" in str(w.message) for w in caught)
+    assert codes.count() == 40 and len(codebooks) == 2

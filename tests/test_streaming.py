@@ -502,3 +502,51 @@ def test_stream_lsh_index_crash_and_restart_from_checkpoint(spark, tmp_path):
         (r["vec_id"], r["_bucket"]) for r in hyperplane_lsh_buckets(emb, dim, bits, seed).collect()
     )
     assert got == want and len(got) == 30
+
+
+def test_compact_rollup_folds_partials_and_preserves_result(spark, tmp_path):
+    """compact_rollup must fold N per-batch subdirs into one settled
+    partial with the read result unchanged, be idempotent, and stay
+    exact when compacting a mix of compacted + new batch partials."""
+    import os
+
+    from crypto_price_data_pipeline_spark.streaming.continuous_agg import (
+        bucket_events,
+        compact_rollup,
+        read_rollup,
+        write_batch_partials,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    rollup_dir = str(tmp_path / "rollup")
+    batches = [
+        mk([(1, "2024-01-01 10:05:00", "btc", 10.0),
+            (2, "2024-01-01 10:55:00", "btc", 20.0)]),
+        mk([(3, "2024-01-01 11:05:00", "eth", 5.0)]),
+        mk([(4, "2024-01-01 10:59:00", "btc", 30.0)]),
+    ]
+    for i, b in enumerate(batches):
+        write_batch_partials(bucket_events(b), rollup_dir, i)
+
+    def snap():
+        return {
+            (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in read_rollup(spark, rollup_dir).collect()
+        }
+
+    before = snap()
+    assert compact_rollup(spark, rollup_dir) == 3
+    assert sorted(os.listdir(rollup_dir)) == ["compacted_0000000000"]
+    assert snap() == before
+    # idempotent: single subdir left -> nothing to fold
+    assert compact_rollup(spark, rollup_dir) == 0
+    # associative: a new batch after compaction folds exactly
+    extra = mk([(5, "2024-01-01 12:10:00", "btc", 7.0)])
+    write_batch_partials(bucket_events(extra), rollup_dir, 3)
+    with_extra = snap()
+    assert compact_rollup(spark, rollup_dir) == 2
+    assert snap() == with_extra
