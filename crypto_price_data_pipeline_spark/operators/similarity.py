@@ -145,6 +145,65 @@ def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_ivf_index(
+    assigned: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist an IVF index: the assigned table PARTITIONED BY
+    ``_list`` (a probe reads only its n_probe nearest lists'
+    directories — same pruning story as write_lsh_index) plus the
+    centroids as a JSON sidecar. The sidecar is driver-side local I/O:
+    n_lists × dim floats — kilobytes — which on a cluster would live on
+    the same shared filesystem as the parquet."""
+    import json
+    import os
+
+    assigned.write.partitionBy("_list").mode("overwrite").parquet(
+        os.path.join(path, "lists")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, list[list[float]]]:
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "lists"))
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    return assigned, centroids
+
+
+def write_pq_index(
+    codes: DataFrame, codebooks: list[list[list[float]]], path: str
+) -> None:
+    """Persist a PQ index: the 32×-compressed codes table (the thing
+    the ADC scan reads — at 100 TB of raw vectors this is ~3 TB and is
+    the only full-scan surface a query touches) plus the codebooks
+    (m × k × d/m floats, kilobytes) as a JSON sidecar. The codes table
+    has no probe key — ADC scans it whole by design — so it is written
+    flat; what matters is that the scan's ReadSchema carries only
+    (id, _codes), which the serving query's plan test asserts."""
+    import json
+    import os
+
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "codebooks.json"), "w") as fh:
+        json.dump(codebooks, fh)
+
+
+def read_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    import json
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "codebooks.json")) as fh:
+        codebooks = json.load(fh)
+    return codes, codebooks
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_lists: int = 16,

@@ -1379,6 +1379,8 @@ from .queries_ext7 import EXT7_ORACLES, EXT7_QUERIES  # noqa: E402
 
 QUERIES.update(EXT7_QUERIES)
 ORACLES.update(EXT7_ORACLES)
-# the served-index probe carries the same exact-top-10 + recall oracle
+# the served-index probes carry the same exact-top-10 + recall oracle
 # as the other ANN families
 ORACLES["q_lsh_served_topk"] = Q_ANN_RECALL_SQL
+ORACLES["q_ivf_served_topk"] = Q_ANN_RECALL_SQL
+ORACLES["q_pq_served_topk"] = Q_ANN_RECALL_SQL

@@ -54,6 +54,62 @@ def q_lsh_served_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _ann_with_recall(exact, ann, k=10, floor=0.5)
 
 
+def q_ivf_served_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-10 served from a PERSISTED IVF index (assigned table
+    partitioned by ``_list`` + centroid JSON sidecar): the probe reads
+    only the n_probe nearest lists' directories — PartitionFilters, not
+    a data filter (plan-tested like the LSH twin). Same exact-top-10
+    oracle + recall floor as q_ivf_topk."""
+    from .operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from .queries import _ann_with_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
+    work = tempfile.mkdtemp(prefix="ivf_index_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    assigned, centroids = ivf_build(emb, n_lists=8)
+    write_ivf_index(assigned, centroids, work)
+    served, served_centroids = read_ivf_index(spark, work)
+    ann = ivf_topk(served, served_centroids, query, k=10, n_probe=5)
+    return _ann_with_recall(exact, ann, k=10, floor=0.5)
+
+
+def q_pq_served_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-10 served from a PERSISTED PQ index (32×-compressed
+    codes table + codebook JSON sidecar): the ADC scan touches only the
+    codes parquet — ReadSchema is (vec_id, _codes), plan-tested — and
+    the raw-vector table is read only for the 200-row shortlist
+    re-rank. Same exact-top-10 oracle + recall floor as q_pq_topk; the
+    JSON codebook round-trip is exact (shortest-repr floats), so served
+    results match the in-memory build bit-for-bit."""
+    from .operators.similarity import (
+        cosine_topk,
+        pq_build,
+        pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+    from .queries import _ann_with_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
+    work = tempfile.mkdtemp(prefix="pq_index_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    codes, codebooks = pq_build(emb, m=8, codebook_k=16)
+    write_pq_index(codes, codebooks, work)
+    served_codes, served_books = read_pq_index(spark, work)
+    ann = pq_topk(emb, served_codes, served_books, query, k=10, shortlist=200)
+    return _ann_with_recall(exact, ann, k=10, floor=0.5)
+
+
 # ----------------------------------------- batched ANN via the index
 
 
@@ -225,6 +281,8 @@ ORDER BY doc_id
 
 EXT7_QUERIES = {
     "q_lsh_served_topk": q_lsh_served_topk,
+    "q_ivf_served_topk": q_ivf_served_topk,
+    "q_pq_served_topk": q_pq_served_topk,
     "q_batch_lsh_topk": q_batch_lsh_topk,
     "q_winnow_dedup": q_winnow_dedup,
 }
