@@ -195,6 +195,60 @@ ORDER BY q_id, ROUND(sim, 9) DESC, vec_id
 """
 
 
+# ----------------------------------------- compacted rollup serving
+
+
+def q_compacted_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate maintenance WITH compaction, end-to-end:
+    the events stream rolls up across multiple micro-batches
+    (maxFilesPerTrigger bounds each), then compact_rollup folds the
+    per-batch partials into one settled subdir, and the result is
+    served from the compacted store. The oracle is the plain GROUP BY —
+    the invariant is incremental maintenance + compaction ≡ one-shot
+    aggregation (compaction must be a pure re-bucketing, decimal-exact
+    sums included). ``compacted`` attests that folding actually
+    happened (≥2 subdirs merged), so a silently-no-op compaction fails
+    the hash."""
+    from .streaming.continuous_agg import (
+        compact_rollup,
+        read_rollup,
+        start_continuous_rollup,
+    )
+
+    events = load_table(spark, sf, "events")
+    work = tempfile.mkdtemp(prefix="compact_rollup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    raw = f"{work}/raw"
+    events.repartition(4).write.parquet(raw)
+    schema = spark.read.parquet(raw).schema
+    q = start_continuous_rollup(
+        spark, raw, f"{work}/rollup", f"{work}/ckpt", schema,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    folded = compact_rollup(spark, f"{work}/rollup")
+    return read_rollup(spark, f"{work}/rollup").select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+        F.lit(folded >= 2).alias("compacted"),
+    )
+
+
+Q_COMPACTED_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       TRUE AS compacted
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 # ----------------------------------------- winnowing dedup cut
 
 
@@ -285,9 +339,11 @@ EXT7_QUERIES = {
     "q_pq_served_topk": q_pq_served_topk,
     "q_batch_lsh_topk": q_batch_lsh_topk,
     "q_winnow_dedup": q_winnow_dedup,
+    "q_compacted_rollup": q_compacted_rollup,
 }
 
 EXT7_ORACLES: dict[str, str] = {
     "q_batch_lsh_topk": Q_BATCH_LSH_SQL,
     "q_winnow_dedup": Q_WINNOW_DEDUP_SQL,
+    "q_compacted_rollup": Q_COMPACTED_ROLLUP_SQL,
 }

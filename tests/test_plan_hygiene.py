@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 # streaming wrappers execute real streams on call — covered by their
 # own oracles/units; q_continuous_agg likewise.
-_SKIP_EAGER_STREAMS = ("q_stream_", "q_continuous_agg")
+_SKIP_EAGER_STREAMS = ("q_stream_", "q_continuous_agg", "q_compacted_rollup")
 
 # q_udtf_chunks exists to exercise the Python UDTF + LATERAL surface;
 # UDTFs evaluate via BatchEvalPython by construction, and the
