@@ -333,6 +333,80 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------- training-mix sampling
+
+_MIX = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+
+_MIX_VALUES_SQL = ",".join(f"('{k}', {v})" for k, v in _MIX.items())
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-mix construction (exact variant): per
+    language stratum, keep ceil(fraction·n) docs chosen by md5(doc_id)
+    order — en 100%, de/fr 50%, es 25%, zh 10%. Reproducible across
+    engines and partitionings, which is what makes a data mix a
+    versionable artifact rather than an RNG accident; the oracle
+    reproduces the row set exactly."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        stratified_sample(docs, "lang", _MIX, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+Q_MIXTURE_SAMPLE_SQL = f"""
+WITH f AS (SELECT * FROM (VALUES {_MIX_VALUES_SQL}) AS t(lang, frac)),
+r AS (
+  SELECT d.doc_id, d.lang, f.frac,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM documents d JOIN f USING (lang)
+)
+SELECT doc_id, lang FROM r WHERE rn <= CEIL(n * frac)
+ORDER BY lang, doc_id
+"""
+
+
+def q_mixture_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-mix construction (shuffle-free 100-TB
+    variant): keep a row iff the first 8 md5(doc_id) hex chars read as
+    an int fall under fraction·2³² — a pure per-row predicate, zero
+    shuffle, same row SET regardless of partitioning. Counts are
+    binomially approximate; the selection rule is exact, which the
+    oracle verifies row-for-row."""
+    from .operators.sampling import stratified_sample_hash
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        stratified_sample_hash(docs, "lang", _MIX, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# hex→int via the base-16 digit fold already proven portable by the
+# md5-simhash oracle (no reliance on engine-specific hex casts)
+Q_MIXTURE_SAMPLE_HASH_SQL = f"""
+WITH f AS (SELECT * FROM (VALUES {_MIX_VALUES_SQL}) AS t(lang, frac)),
+h AS (
+  SELECT doc_id, lang,
+         list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS bucket
+  FROM documents
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN f USING (lang)
+WHERE h.bucket < f.frac * 4294967296
+ORDER BY lang, doc_id
+"""
+
+
 EXT7_QUERIES = {
     "q_lsh_served_topk": q_lsh_served_topk,
     "q_ivf_served_topk": q_ivf_served_topk,
@@ -340,10 +414,14 @@ EXT7_QUERIES = {
     "q_batch_lsh_topk": q_batch_lsh_topk,
     "q_winnow_dedup": q_winnow_dedup,
     "q_compacted_rollup": q_compacted_rollup,
+    "q_mixture_sample": q_mixture_sample,
+    "q_mixture_sample_hash": q_mixture_sample_hash,
 }
 
 EXT7_ORACLES: dict[str, str] = {
     "q_batch_lsh_topk": Q_BATCH_LSH_SQL,
     "q_winnow_dedup": Q_WINNOW_DEDUP_SQL,
     "q_compacted_rollup": Q_COMPACTED_ROLLUP_SQL,
+    "q_mixture_sample": Q_MIXTURE_SAMPLE_SQL,
+    "q_mixture_sample_hash": Q_MIXTURE_SAMPLE_HASH_SQL,
 }
