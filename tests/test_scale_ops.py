@@ -101,3 +101,48 @@ def test_pq_build_empty_and_tiny_sample_guards(spark):
         )
         assert any("training on the full corpus" in str(w.message) for w in caught)
     assert codes.count() == 40 and len(codebooks) == 2
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    """Exact variant: per-stratum counts equal ceil(frac*n); unlisted
+    strata are dropped; the selection is stable under repartitioning."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    mix = {"a": 0.5, "b": 0.1}
+    out = stratified_sample(df, "s", mix, "id")
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": math.ceil(100 * 0.5), "b": math.ceil(100 * 0.1)}
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(
+        r["id"] for r in stratified_sample(df.repartition(7), "s", mix, "id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_stratified_sample_hash_partition_invariant_row_set(spark):
+    """Hash variant: zero-shuffle per-row predicate — the selected row
+    SET must be identical under any repartitioning, and stratum rates
+    must land near their targets."""
+    from crypto_price_data_pipeline_spark.operators.sampling import (
+        stratified_sample_hash,
+    )
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    mix = {"a": 0.3, "b": 0.7}
+    ids1 = sorted(r["id"] for r in stratified_sample_hash(df, "s", mix, "id").collect())
+    ids2 = sorted(
+        r["id"]
+        for r in stratified_sample_hash(df.repartition(13), "s", mix, "id").collect()
+    )
+    assert ids1 == ids2 and len(ids1) > 0
+    n_a = sum(1 for i in ids1 if i % 2)
+    assert abs(n_a / 1000 - 0.3) < 0.06  # binomial tolerance at n=1000
