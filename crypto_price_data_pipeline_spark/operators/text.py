@@ -339,3 +339,75 @@ def winnowing_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         fp.unpersist()
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lm_score",
+) -> DataFrame:
+    """In-corpus bigram language-model fluency score (the CCNet/Gopher
+    perplexity-filtering signal, self-trained): train add-one-smoothed
+    bigram transition probabilities P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)
+    on the corpus itself, then score each doc as the MEAN transition
+    likelihood over its bigram positions. Repetitive/templated text
+    scores high, token salad scores near 1/V — the same ordering signal
+    as perplexity.
+
+    Arithmetic mean instead of the geometric (true perplexity) ON
+    PURPOSE: each P is a ratio of integers whose double division is
+    IEEE-exact, so summing through DECIMAL(38,18) makes the score
+    bit-reproducible across engines — the same log-free trick as the
+    TF-IDF operator; ln() would differ in the last ulp between libms.
+
+    Scale shape: two explode→hash-agg passes build the unigram/bigram
+    count tables (vocabulary-sized, with map-side partial aggregation),
+    one hash join keys each doc-bigram position to its counts
+    (candidate-proportional), V is a 1-row broadcast. At web scale cap
+    the vocabulary (drop hapax n-grams) before the join — the smoothing
+    constant already dominates their contribution. Docs with fewer than
+    2 tokens have no transitions and are dropped.
+    """
+    from .dedup import tokens_col
+
+    toks = df.select(id_col, tokens_col(text_col).alias("_t")).where(
+        F.size("_t") >= 2
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1"), F.col("_bg.w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                (F.col("_c2") + 1).cast("double")
+                / (F.col("_c1") + F.col("_v")).cast("double")
+            ).alias("_p"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.col("_p").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        .select(id_col, F.round("_m", 9).alias(out_col))
+    )

@@ -333,6 +333,63 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------- bigram LM fluency score
+
+
+def q_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-trained bigram LM fluency scores over the documents table
+    (the CCNet-style perplexity-filtering signal, in log-free
+    arithmetic-mean form for bit-exact cross-engine verification — see
+    operators.text.bigram_lm_scores). Top 100 most-fluent docs with
+    rounded scores; deterministic doc_id tiebreak."""
+    from .operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return (
+        bigram_lm_scores(docs)
+        .orderBy(F.col("lm_score").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+Q_LM_SCORES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+p0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tt),
+pairs AS (
+  SELECT doc_id,
+         t[CAST(i AS INTEGER)] AS w1,
+         t[CAST(i AS INTEGER) + 1] AS w2
+  FROM p0
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM tt)
+  GROUP BY 1
+),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+scored AS (
+  SELECT p.doc_id,
+         CAST(SUM(CAST(CAST(b.c2 + 1 AS DOUBLE) / CAST(u.c1 + v.vocab AS DOUBLE)
+                       AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+  FROM pairs p
+  JOIN big b USING (w1, w2)
+  JOIN uni u USING (w1)
+  CROSS JOIN v
+  GROUP BY p.doc_id
+)
+SELECT doc_id, ROUND(m, 9) AS lm_score
+FROM scored
+ORDER BY ROUND(m, 9) DESC, doc_id
+LIMIT 100
+"""
+
+
 # ----------------------------------------- training-mix sampling
 
 _MIX = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
@@ -416,6 +473,7 @@ EXT7_QUERIES = {
     "q_compacted_rollup": q_compacted_rollup,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_sample_hash": q_mixture_sample_hash,
+    "q_lm_scores": q_lm_scores,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -424,4 +482,5 @@ EXT7_ORACLES: dict[str, str] = {
     "q_compacted_rollup": Q_COMPACTED_ROLLUP_SQL,
     "q_mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "q_mixture_sample_hash": Q_MIXTURE_SAMPLE_HASH_SQL,
+    "q_lm_scores": Q_LM_SCORES_SQL,
 }
