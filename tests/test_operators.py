@@ -794,3 +794,20 @@ def test_load_table_normalizes_both_timestamp_encodings(spark, tmp_path):
         assert isinstance(out.schema["ts"].dataType, T.TimestampType), unit
         got = sorted(r["ts"].replace(tzinfo=None) for r in out.collect())
         assert got == ts, unit
+
+
+def test_bigram_lm_scores_orders_fluency(spark):
+    """Repetitive/templated text must outscore token salad (the
+    perplexity-filter ordering), and one-token docs drop out."""
+    from crypto_price_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the mat"),
+        (2, "qq zz jj xx vv kk ww yy"),
+        (3, "the cat sat on the mat again today"),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
+    assert 4 not in got and set(got) == {1, 2, 3}
+    assert got[1] > got[3] > got[2]
