@@ -333,6 +333,75 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------- bloom contamination prefilter
+
+
+def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom pre-filter in front of the contamination scan
+    (operators/bloom.py): the benchmark side (planted exactly like
+    q_contamination: docs with doc_id % 97 == 0 carry the first 30
+    tokens of doc doc_id+1) builds an 8 KiB bitmap over its 5-grams;
+    every training doc then probes its own gram array IN-ROW against
+    the broadcast bitmap — zero shuffle, zero explode on the corpus
+    side. The oracle pins the Bloom no-false-negative guarantee: every
+    planted donor doc MUST be flagged (literal TRUE; the row vanishes
+    on a false negative and the hash fails). False-positive survivors
+    are engine-specific by design and flow to the exact check, so they
+    are not part of the verified output."""
+    from .operators.bloom import bloom_build, bloom_hit
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+    def grams(tok_col, k=5):
+        return F.when(
+            F.size(tok_col) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok_col) - k + 1),
+                    lambda i: F.array_join(F.slice(tok_col, i, k), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(tok_col, " ")))
+
+    tokenized = docs.select("doc_id", toks.alias("_t"))
+    donor = tokenized.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.slice("_t", 1, 30).alias("_t")
+    )
+    evals = (
+        tokenized.where(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+        .join(donor, "doc_id")
+    )
+    bench_grams = evals.select(F.explode(grams(F.col("_t"))).alias("gram"))
+    bloom = bloom_build(bench_grams, m_bits=1 << 16, k=3)
+    train = tokenized.where(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_id"), grams(F.col("_t")).alias("_g")
+    )
+    flagged = train.crossJoin(F.broadcast(bloom)).select(
+        "train_id",
+        bloom_hit(F.col("_g"), F.col("words"), 1 << 16, 3).alias("bloom_caught"),
+    )
+    donors = evals.select(
+        F.col("doc_id").alias("eval_id"), (F.col("doc_id") + 1).alias("train_id")
+    )
+    return (
+        donors.join(flagged, "train_id")
+        .select("eval_id", "train_id", "bloom_caught")
+        .orderBy("eval_id")
+    )
+
+
+Q_BLOOM_CONTAMINATION_SQL = """
+SELECT d.doc_id AS eval_id, d.doc_id + 1 AS train_id, TRUE AS bloom_caught
+FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+WHERE d.doc_id % 97 = 0
+ORDER BY eval_id
+"""
+
+
 # ----------------------------------------- bigram LM fluency score
 
 
@@ -474,6 +543,7 @@ EXT7_QUERIES = {
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_sample_hash": q_mixture_sample_hash,
     "q_lm_scores": q_lm_scores,
+    "q_bloom_contamination": q_bloom_contamination,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -483,4 +553,5 @@ EXT7_ORACLES: dict[str, str] = {
     "q_mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     "q_mixture_sample_hash": Q_MIXTURE_SAMPLE_HASH_SQL,
     "q_lm_scores": Q_LM_SCORES_SQL,
+    "q_bloom_contamination": Q_BLOOM_CONTAMINATION_SQL,
 }

@@ -146,3 +146,34 @@ def test_stratified_sample_hash_partition_invariant_row_set(spark):
     assert ids1 == ids2 and len(ids1) > 0
     n_a = sum(1 for i in ids1 if i % 2)
     assert abs(n_a / 1000 - 0.3) < 0.06  # binomial tolerance at n=1000
+
+
+def test_bloom_no_false_negatives_and_low_fp_rate(spark):
+    """Every member probe must hit (the guarantee the contamination
+    pre-filter rests on); non-member false positives stay near the
+    design fpp. Deterministic: seeded xxhash64 positions."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_hit,
+    )
+
+    members = [f"member gram {i}" for i in range(500)]
+    bench = spark.createDataFrame([(g,) for g in members], "gram string")
+    m_bits, k = 1 << 16, 3
+    bloom = bloom_build(bench, m_bits=m_bits, k=k)
+
+    probes = spark.createDataFrame(
+        [(i, [g]) for i, g in enumerate(members)]
+        + [(10_000 + i, [f"absent gram {i}"]) for i in range(2000)],
+        "id long, grams array<string>",
+    )
+    out = probes.crossJoin(F.broadcast(bloom)).select(
+        "id", bloom_hit(F.col("grams"), F.col("words"), m_bits, k).alias("hit")
+    )
+    hits = {r["id"]: r["hit"] for r in out.collect()}
+    assert all(hits[i] for i in range(500))  # no false negatives
+    fp = sum(1 for i in range(2000) if hits[10_000 + i])
+    # load f = k*n/m = 0.0229 -> fpp ~ (1-e^-f)^k ~ 1.2e-5; allow slack
+    assert fp / 2000 < 0.01, fp
