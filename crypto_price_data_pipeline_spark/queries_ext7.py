@@ -402,6 +402,88 @@ ORDER BY eval_id
 """
 
 
+def q_contamination_prefiltered(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed two-stage contamination pipeline: Bloom pre-filter
+    (stage 1, in-row bitmap probe) feeding the exact 5-gram containment
+    argmax (stage 2) — oracled against the SAME SQL as the unfiltered
+    q_contamination. That equality is a theorem the query verifies
+    end-to-end: any train doc with n_shared ≥ 1 shares a benchmark
+    gram, which is in the bitmap by construction, so the pre-filter can
+    drop only zero-overlap docs (which the exact inner join ignores
+    anyway) and false positives wash out in the exact stage. At 100 TB
+    stage 2's explode+join runs on the Bloom survivors instead of the
+    corpus."""
+    from .operators.bloom import bloom_build, bloom_hit
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+    def grams(tok_col, k=5):
+        return F.when(
+            F.size(tok_col) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok_col) - k + 1),
+                    lambda i: F.array_join(F.slice(tok_col, i, k), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(tok_col, " ")))
+
+    tokenized = docs.select("doc_id", toks.alias("_t"))
+    donor = tokenized.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.slice("_t", 1, 30).alias("_t")
+    )
+    evals = (
+        tokenized.where(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+        .join(donor, "doc_id")
+    )
+    bloom = bloom_build(
+        evals.select(F.explode(grams(F.col("_t"))).alias("gram")),
+        m_bits=1 << 16,
+        k=3,
+    )
+    survivors = (
+        tokenized.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", grams(F.col("_t")).alias("_g"))
+        .crossJoin(F.broadcast(bloom))
+        .where(bloom_hit(F.col("_g"), F.col("words"), 1 << 16, 3))
+        .select("doc_id", "_g")
+    )
+    e_grams = evals.select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(grams(F.col("_t"))).alias("gram"),
+        F.size(grams(F.col("_t"))).alias("n_eval_grams"),
+    )
+    t_grams = survivors.select(
+        F.col("doc_id").alias("train_id"), F.explode("_g").alias("gram")
+    )
+    shared = (
+        t_grams.join(F.broadcast(e_grams), "gram")
+        .groupBy("eval_id", "train_id", "n_eval_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("eval_id").orderBy(
+        (F.col("n_shared") / F.col("n_eval_grams")).desc(), F.col("train_id").asc()
+    )
+    return (
+        shared.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(F.col("n_shared") / F.col("n_eval_grams"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("eval_id")
+    )
+
+
 # ----------------------------------------- bigram LM fluency score
 
 
@@ -544,6 +626,7 @@ EXT7_QUERIES = {
     "q_mixture_sample_hash": q_mixture_sample_hash,
     "q_lm_scores": q_lm_scores,
     "q_bloom_contamination": q_bloom_contamination,
+    "q_contamination_prefiltered": q_contamination_prefiltered,
 }
 
 EXT7_ORACLES: dict[str, str] = {
@@ -555,3 +638,9 @@ EXT7_ORACLES: dict[str, str] = {
     "q_lm_scores": Q_LM_SCORES_SQL,
     "q_bloom_contamination": Q_BLOOM_CONTAMINATION_SQL,
 }
+
+# the composed pipeline must equal the unfiltered exact answer — same
+# oracle as q_contamination (see q_contamination_prefiltered docstring)
+from .queries_ext5 import Q_CONTAMINATION_SQL  # noqa: E402
+
+EXT7_ORACLES["q_contamination_prefiltered"] = Q_CONTAMINATION_SQL
