@@ -62,6 +62,9 @@ HEADLINE = [
     "q_repetition_topgrams",
     "q_winnowing_pairs",
     "q_batch_lsh_topk",
+    "q_lm_scores",
+    "q_mixture_sample_hash",
+    "q_bloom_contamination",
 ]
 
 
