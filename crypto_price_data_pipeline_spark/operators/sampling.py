@@ -9,6 +9,12 @@ Extends the uniform md5-prefix cut of queries_ext4.q_stratified_sample
 (one global rate, summary output) to per-stratum TARGET WEIGHTS — the
 actual mixture contract — with row-level outputs.
 
+Both variants are NESTED across fractions (unit-tested): raising a
+stratum's weight only adds rows — the hash threshold is monotone and
+the exact variant takes a longer prefix of the same md5 order — so a
+mix can grow from 10% to 30% without resampling what's already
+processed.
+
 Two designs with different scale shapes:
 
 - ``stratified_sample`` — EXACT per-stratum counts

@@ -177,3 +177,22 @@ def test_bloom_no_false_negatives_and_low_fp_rate(spark):
     fp = sum(1 for i in range(2000) if hits[10_000 + i])
     # load f = k*n/m = 0.0229 -> fpp ~ (1-e^-f)^k ~ 1.2e-5; allow slack
     assert fp / 2000 < 0.01, fp
+
+
+def test_stratified_sampling_is_nested_across_fractions(spark):
+    """Raising a stratum's fraction only ADDS rows (both variants):
+    hash-threshold sampling is monotone in the threshold, and the
+    exact variant takes a longer prefix of the same md5 order. This is
+    what lets a training mix grow without resampling — the 10% run is
+    a strict subset of the 30% run."""
+    from crypto_price_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_hash,
+    )
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for fn in (stratified_sample, stratified_sample_hash):
+        small = {r["id"] for r in fn(df, "s", {"a": 0.1, "b": 0.2}, "id").collect()}
+        big = {r["id"] for r in fn(df, "s", {"a": 0.3, "b": 0.6}, "id").collect()}
+        assert small <= big, fn.__name__
