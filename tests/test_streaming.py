@@ -550,3 +550,53 @@ def test_compact_rollup_folds_partials_and_preserves_result(spark, tmp_path):
     with_extra = snap()
     assert compact_rollup(spark, rollup_dir) == 2
     assert snap() == with_extra
+
+
+def test_hash_mixture_sampling_on_stream_equals_batch(spark, tmp_path):
+    """stratified_sample_hash is a pure per-row predicate, so applying
+    it at INGEST time (per micro-batch) must select exactly the rows
+    the batch pass selects — a training mix can be enforced while data
+    streams in, with no resampling when chunks arrive in any order."""
+    from crypto_price_data_pipeline_spark.operators.sampling import (
+        stratified_sample_hash,
+    )
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    src = tmp_path / "src"
+    src.mkdir()
+    for c in range(3):
+        df.where(F.col("id") % 3 == c).coalesce(1).write.parquet(
+            str(src / f"c{c}")
+        )
+
+    mix = {"a": 0.25, "b": 0.5}
+    out_dir = str(tmp_path / "picked")
+
+    def sink(batch, batch_id):
+        stratified_sample_hash(batch, "s", mix, "id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_{batch_id:05d}")
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = sorted(
+        r["id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    )
+    batch = sorted(
+        r["id"] for r in stratified_sample_hash(df, "s", mix, "id").collect()
+    )
+    assert streamed == batch and len(batch) > 0
