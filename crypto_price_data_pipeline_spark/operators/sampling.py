@@ -75,6 +75,61 @@ def stratified_sample(
     )
 
 
+def stratified_sample_exact_scalable(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """EXACT counts without the per-stratum global sort: the scale
+    fix for ``stratified_sample``'s one-partition-per-stratum skew
+    (a handful of huge strata is the training-mix norm).
+
+    Same selection as ``stratified_sample`` — provably: rows order by
+    (md5(id), id), and bucketing on the md5's first ``prefix_chars``
+    hex chars is a PREFIX of that order, so global rank = (rows in
+    earlier buckets) + (rank within the bucket). Two-phase, the
+    packing prefix-sum shape: (1) count rows per (stratum, bucket) —
+    one hash agg into |strata|·16^prefix_chars rows; window over that
+    tiny table yields each bucket's exclusive offset and the stratum
+    total n (hence take = ceil(frac·n)); (2) broadcast the offsets
+    back and keep rows whose offset + row_number over (stratum,
+    bucket) ≤ take. The sort shuffle now partitions by (stratum,
+    bucket) — 16^prefix_chars× more parallelism; raise prefix_chars
+    until the largest stratum/bucket fits an executor."""
+    w_cum = Window.partitionBy(strata_col).orderBy("_bkt")
+    w_all = Window.partitionBy(strata_col)
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, prefix_chars)
+    counts = (
+        df.withColumn("_frac", _frac_col(strata_col, fractions))
+        .where(F.col("_frac").isNotNull())
+        .groupBy(strata_col, bucket.alias("_bkt"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            strata_col,
+            "_bkt",
+            (F.sum("_n").over(w_cum) - F.col("_n")).alias("_off"),
+            F.sum("_n").over(w_all).alias("_tot"),
+        )
+    )
+    w_local = Window.partitionBy(strata_col, "_bkt").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("_frac", _frac_col(strata_col, fractions))
+        .where(F.col("_frac").isNotNull())
+        .withColumn("_bkt", bucket)
+        .join(F.broadcast(counts), [strata_col, "_bkt"])
+        .withColumn("_rn", F.row_number().over(w_local))
+        .where(
+            F.col("_off") + F.col("_rn")
+            <= F.ceil(F.col("_tot") * F.col("_frac"))
+        )
+        .drop("_frac", "_bkt", "_off", "_tot", "_rn")
+    )
+
+
 def stratified_sample_hash(
     df: DataFrame,
     strata_col: str,

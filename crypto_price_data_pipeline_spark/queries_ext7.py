@@ -579,6 +579,23 @@ ORDER BY lang, doc_id
 """
 
 
+def q_mixture_sample_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    """The two-phase bucketed exact mixture sampler
+    (operators.sampling.stratified_sample_exact_scalable): identical
+    selection to q_mixture_sample — same oracle SQL — but the sort
+    shuffle partitions by (stratum, md5-prefix bucket), removing the
+    one-partition-per-stratum skew that makes the simple exact variant
+    wrong for a handful of huge strata at 100 TB."""
+    from .operators.sampling import stratified_sample_exact_scalable
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        stratified_sample_exact_scalable(docs, "lang", _MIX, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def q_mixture_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic training-mix construction (shuffle-free 100-TB
     variant): keep a row iff the first 8 md5(doc_id) hex chars read as
@@ -623,6 +640,7 @@ EXT7_QUERIES = {
     "q_winnow_dedup": q_winnow_dedup,
     "q_compacted_rollup": q_compacted_rollup,
     "q_mixture_sample": q_mixture_sample,
+    "q_mixture_sample_scalable": q_mixture_sample_scalable,
     "q_mixture_sample_hash": q_mixture_sample_hash,
     "q_lm_scores": q_lm_scores,
     "q_bloom_contamination": q_bloom_contamination,
@@ -634,6 +652,8 @@ EXT7_ORACLES: dict[str, str] = {
     "q_winnow_dedup": Q_WINNOW_DEDUP_SQL,
     "q_compacted_rollup": Q_COMPACTED_ROLLUP_SQL,
     "q_mixture_sample": Q_MIXTURE_SAMPLE_SQL,
+    # same selection rule, two-phase plan — equality IS the point
+    "q_mixture_sample_scalable": Q_MIXTURE_SAMPLE_SQL,
     "q_mixture_sample_hash": Q_MIXTURE_SAMPLE_HASH_SQL,
     "q_lm_scores": Q_LM_SCORES_SQL,
     "q_bloom_contamination": Q_BLOOM_CONTAMINATION_SQL,

@@ -196,3 +196,27 @@ def test_stratified_sampling_is_nested_across_fractions(spark):
         small = {r["id"] for r in fn(df, "s", {"a": 0.1, "b": 0.2}, "id").collect()}
         big = {r["id"] for r in fn(df, "s", {"a": 0.3, "b": 0.6}, "id").collect()}
         assert small <= big, fn.__name__
+
+
+def test_stratified_sample_scalable_equals_simple(spark):
+    """The bucketed two-phase exact sampler must select EXACTLY the
+    rows of the single-sort variant (bucket prefix is a prefix of the
+    md5 order, so ranks compose), at any prefix width, including when
+    a take boundary falls inside a bucket."""
+    from crypto_price_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_exact_scalable,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(601)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    mix = {"a": 0.37, "b": 0.11}
+    want = sorted(r["id"] for r in stratified_sample(df, "s", mix, "id").collect())
+    for pc in (1, 2):
+        got = sorted(
+            r["id"]
+            for r in stratified_sample_exact_scalable(
+                df, "s", mix, "id", prefix_chars=pc
+            ).collect()
+        )
+        assert got == want, pc
