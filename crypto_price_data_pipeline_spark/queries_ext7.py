@@ -333,6 +333,53 @@ ORDER BY doc_id
 """
 
 
+def q_stream_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time training-mix enforcement: the documents table
+    replays as a multi-batch stream and each micro-batch applies the
+    zero-shuffle hash-threshold mixture predicate, landing its picks in
+    a per-batch_id overwrite store (replay-idempotent, the standard
+    pattern here). Because the predicate is a pure per-row function,
+    the union of per-batch picks must equal the batch selection
+    EXACTLY — same oracle SQL as q_mixture_sample_hash — no matter how
+    the corpus was chunked. This is how a mix is enforced while 100 TB
+    streams in, instead of re-scanning after landing."""
+    from .operators.sampling import stratified_sample_hash
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    work = tempfile.mkdtemp(prefix="stream_mix_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = f"{work}/src"
+    store = f"{work}/picked"
+    for c in range(3):
+        docs.where(F.col("doc_id") % 3 == c).coalesce(1).write.parquet(
+            f"{src}/chunk_{c}"
+        )
+
+    def sink(batch, batch_id):
+        stratified_sample_hash(batch, "lang", _MIX, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch_{batch_id:05d}")
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(store)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
 # ----------------------------------------- bloom contamination prefilter
 
 
@@ -642,6 +689,7 @@ EXT7_QUERIES = {
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_sample_scalable": q_mixture_sample_scalable,
     "q_mixture_sample_hash": q_mixture_sample_hash,
+    "q_stream_mixture": q_stream_mixture,
     "q_lm_scores": q_lm_scores,
     "q_bloom_contamination": q_bloom_contamination,
     "q_contamination_prefiltered": q_contamination_prefiltered,
@@ -655,6 +703,9 @@ EXT7_ORACLES: dict[str, str] = {
     # same selection rule, two-phase plan — equality IS the point
     "q_mixture_sample_scalable": Q_MIXTURE_SAMPLE_SQL,
     "q_mixture_sample_hash": Q_MIXTURE_SAMPLE_HASH_SQL,
+    # streamed per-batch application of the same pure predicate must
+    # equal the batch selection — same oracle
+    "q_stream_mixture": Q_MIXTURE_SAMPLE_HASH_SQL,
     "q_lm_scores": Q_LM_SCORES_SQL,
     "q_bloom_contamination": Q_BLOOM_CONTAMINATION_SQL,
 }
