@@ -195,6 +195,129 @@ ORDER BY q_id, ROUND(sim, 9) DESC, vec_id
 """
 
 
+# ----------------------------------------- curation pipeline v2
+
+
+def q_curation_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-7 flagship composition: corpus curation with the new
+    operator wave chained onto the v1 stages — Gopher quality gate →
+    dominant-repetition cut → WINNOWING SUBSTRING DEDUP (pair signal →
+    connected-components closure → component-min survivors) →
+    TRAINING-MIX hash sampling → per-language accounting. The dedup
+    closure iterates (label propagation), so unlike v1 this is a
+    fixed small number of jobs rather than one plan — the point is
+    the COMPOSITION: every stage consumes the previous stage's
+    DataFrame lazily, nothing is materialized between quality gate and
+    the pair explode, and the oracle replays all six stages as one
+    recursive-CTE chain."""
+    from .operators.components import connected_components
+    from .operators.sampling import stratified_sample_hash
+    from .operators.text import (
+        quality_scores,
+        top_ngram_fraction,
+        winnowing_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    scored = quality_scores(docs.select("doc_id", "text")).where(
+        F.col("quality_score") >= 0.75
+    )
+    rep = top_ngram_fraction(scored.select("doc_id", "text"), "text", ns=(2, 3))
+    clean = rep.where(
+        ~(
+            (F.round("top_2gram_frac", 9) > 0.18)
+            | (F.round("top_3gram_frac", 9) > 0.16)
+        )
+    ).select("doc_id", "text")
+    pairs = winnowing_pairs(
+        clean, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50
+    )
+    comp = connected_components(
+        clean.select(F.col("doc_id").alias("id")), pairs, id_col="id",
+        num_partitions=8,
+    )
+    surv = comp.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    mixed = stratified_sample_hash(
+        surv.join(docs.select("doc_id", "lang"), "doc_id"),
+        "lang",
+        _MIX,
+        "doc_id",
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _curation_v2_oracle() -> str:
+    from .queries_ext6 import Q_CURATION_PIPELINE_SQL
+
+    # reuse v1's quality + repetition CTE chain verbatim up to `clean`
+    prefix = Q_CURATION_PIPELINE_SQL.split("ded AS")[0].rstrip().rstrip(",")
+    prefix = prefix.replace("WITH base AS", "WITH RECURSIVE base AS", 1)
+    return f"""{prefix},
+wclean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM clean
+),
+wpos0 AS (
+  SELECT doc_id, s,
+         unnest(range(1, CAST(greatest(length(s) - 7, 1) AS BIGINT) + 1)) AS i
+  FROM wclean
+),
+wpos AS (SELECT doc_id, i, substring(s, CAST(i AS INTEGER), 8) AS gram FROM wpos0),
+wwins AS (
+  SELECT doc_id, i,
+         MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fpv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM wpos
+),
+wfp AS (
+  SELECT DISTINCT doc_id, fpv AS fingerprint
+  FROM wwins WHERE i <= greatest(n_grams - 7, 1)
+),
+wrare AS (SELECT fingerprint FROM wfp GROUP BY 1 HAVING COUNT(*) <= 50),
+wp AS (SELECT f.doc_id, f.fingerprint FROM wfp f JOIN wrare USING (fingerprint)),
+wpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM wp a JOIN wp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+),
+wedges AS (
+  SELECT id_a AS s, id_b AS d FROM wpairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM wpairs
+),
+wreach AS (
+  SELECT doc_id AS n, doc_id AS m FROM clean
+  UNION
+  SELECT r.n, e.d FROM wreach r JOIN wedges e ON r.m = e.s
+),
+surv AS (SELECT n AS doc_id FROM wreach GROUP BY n HAVING n = MIN(m)),
+hashed AS (
+  SELECT s.doc_id, d.lang,
+         list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(s.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS bucket
+  FROM surv s JOIN documents d USING (doc_id)
+),
+mixed AS (
+  SELECT h.doc_id, h.lang
+  FROM hashed h JOIN (VALUES {_MIX_VALUES_SQL}) AS f(lang, frac) ON h.lang = f.lang
+  WHERE h.bucket < f.frac * 4294967296
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM mixed GROUP BY lang ORDER BY lang
+"""
+
+
 # ----------------------------------------- compacted rollup serving
 
 
@@ -685,6 +808,7 @@ EXT7_QUERIES = {
     "q_pq_served_topk": q_pq_served_topk,
     "q_batch_lsh_topk": q_batch_lsh_topk,
     "q_winnow_dedup": q_winnow_dedup,
+    "q_curation_pipeline_v2": q_curation_pipeline_v2,
     "q_compacted_rollup": q_compacted_rollup,
     "q_mixture_sample": q_mixture_sample,
     "q_mixture_sample_scalable": q_mixture_sample_scalable,
@@ -698,6 +822,7 @@ EXT7_QUERIES = {
 EXT7_ORACLES: dict[str, str] = {
     "q_batch_lsh_topk": Q_BATCH_LSH_SQL,
     "q_winnow_dedup": Q_WINNOW_DEDUP_SQL,
+    "q_curation_pipeline_v2": _curation_v2_oracle(),
     "q_compacted_rollup": Q_COMPACTED_ROLLUP_SQL,
     "q_mixture_sample": Q_MIXTURE_SAMPLE_SQL,
     # same selection rule, two-phase plan — equality IS the point
