@@ -251,3 +251,60 @@ def test_winnowing_shared_substring_guarantee(spark, common, pada, padb):
     for r in winnowing_fingerprints(df, k=8, w=8).collect():
         by_doc[r["doc_id"]].add(r["fingerprint"])
     assert by_doc[1] & by_doc[2]
+
+
+@given(
+    members=st.lists(
+        st.text(alphabet="abcdefg ", min_size=1, max_size=20),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members):
+    """Fuzzed no-false-negative guarantee: any member set, any probe of
+    a member, must hit — the property the contamination pre-filter's
+    safety theorem rests on."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_hit,
+    )
+
+    bench = spark.createDataFrame([(g,) for g in members], "gram string")
+    bloom = bloom_build(bench, m_bits=1 << 10, k=3)
+    probes = spark.createDataFrame(
+        [(i, [g]) for i, g in enumerate(members)], "id long, grams array<string>"
+    )
+    out = probes.crossJoin(F.broadcast(bloom)).select(
+        "id", bloom_hit(F.col("grams"), F.col("words"), 1 << 10, 3).alias("hit")
+    )
+    assert all(r["hit"] for r in out.collect())
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=3, max_size=40),
+        min_size=2,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_lm_scores_bounded_and_deterministic(spark, texts):
+    """Fuzzed LM-score invariants: every score lies in (0, 1] (each
+    smoothed transition probability does), and scoring twice is
+    bit-identical (no RNG, no partition dependence)."""
+    from crypto_price_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
+    b = {
+        r["doc_id"]: r["lm_score"]
+        for r in bigram_lm_scores(df.repartition(5)).collect()
+    }
+    assert a == b
+    assert all(0.0 < v <= 1.0 for v in a.values())
