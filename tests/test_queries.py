@@ -49,3 +49,21 @@ def test_registry_is_fully_oracled():
         "unoracled": set(QUERIES) - set(ORACLES),
         "orphan_oracles": set(ORACLES) - set(QUERIES),
     }
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must exist in the registry — a
+    typo here crashes the driver's BENCH_r{N} run (rc=1), which costs
+    a whole round of perf evidence (it happened to r5 via testdata
+    drift; don't let it happen via a rename)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert "q_stream_ohlc" in QUERIES and "q_stream_join" in QUERIES
