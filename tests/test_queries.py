@@ -67,3 +67,23 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
     assert "q_stream_ohlc" in QUERIES and "q_stream_join" in QUERIES
+
+
+def test_curation_v2_oracle_assembly_assumptions():
+    """q_curation_pipeline_v2's oracle reuses v1's quality/repetition
+    CTE chain by splitting Q_CURATION_PIPELINE_SQL at 'ded AS'. If a
+    v1 edit renames that CTE the split silently yields malformed SQL
+    that only fails at driver time — pin the anchors here instead."""
+    from crypto_price_data_pipeline_spark.queries_ext6 import (
+        Q_CURATION_PIPELINE_SQL,
+    )
+    from crypto_price_data_pipeline_spark.queries_ext7 import (
+        _curation_v2_oracle,
+    )
+
+    assert "ded AS" in Q_CURATION_PIPELINE_SQL
+    sql = _curation_v2_oracle()
+    assert sql.startswith("WITH RECURSIVE base AS")
+    for cte in ("clean AS", "wpairs AS", "wreach AS", "surv AS", "mixed AS"):
+        assert cte in sql, cte
+    assert "ded AS" not in sql  # v1's split/accounting tail must not leak in
