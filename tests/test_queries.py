@@ -83,7 +83,7 @@ def test_curation_v2_oracle_assembly_assumptions():
 
     assert "ded AS" in Q_CURATION_PIPELINE_SQL
     sql = _curation_v2_oracle()
-    assert sql.startswith("WITH RECURSIVE base AS")
+    assert sql.lstrip().startswith("WITH RECURSIVE base AS")
     for cte in ("clean AS", "wpairs AS", "wreach AS", "surv AS", "mixed AS"):
         assert cte in sql, cte
     assert "ded AS" not in sql  # v1's split/accounting tail must not leak in
