@@ -576,3 +576,52 @@ def lsh_topk_batch(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact k-nearest-neighbor SELF-join: for every item, its top-k
+    most-cosine-similar other items — (id, nbr_id, cosine_sim_r9, rnk).
+    The primitive behind dataset cartography, kNN relabeling, and
+    duplicate-neighborhood audits; ``cosine_topk_batch`` answers Q
+    external queries, this answers all N internal ones.
+
+    Plan: norms precomputed in the scan projection, corpus broadcast
+    once, BroadcastNestedLoopJoin scores N·(N-1) pairs in codegen, one
+    row_number window per item (single shuffle on the id). Ties break
+    on neighbor id for determinism.
+
+    GATED quadratic baseline (refuses > ``max_rows``, same contract as
+    the dedup pair baselines): at corpus scale route through the
+    persisted index instead — ``lsh_topk_batch`` with the corpus itself
+    as the query batch probes only each item's LSH buckets, making work
+    candidate-proportional; re-rank survivors with this exact rule."""
+    from .dedup import _gate_corpus_size
+
+    _gate_corpus_size(embeddings, max_rows, "knn_join", "lsh_topk_batch over the persisted index")
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(emb_col).cast("array<double>").alias("_e"),
+    ).withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
+    a = e.select(F.col(id_col), F.col("_e").alias("_ea"), F.col("_n").alias("_na"))
+    b = e.select(
+        F.col(id_col).alias("nbr_id"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")
+    )
+    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col(id_col) != F.col("nbr_id"))
+        .select(id_col, "nbr_id", sim.alias("_c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "nbr_id", F.round("_c", 9).alias("cosine_sim_r9"), "rnk")
+        .orderBy(id_col, "rnk")
+    )

@@ -411,3 +411,46 @@ def bigram_lm_scores(
         )
         .select(id_col, F.round("_m", 9).alias(out_col))
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009)
+    bag-of-words embedding: each alnum token is hashed to one of
+    ``dim`` buckets (first 8 md5 hex chars mod dim — engine-portable,
+    vocabulary-free) and the document becomes the bucket-count vector
+    as ``array<double>``. This is the text→vector bridge: its output
+    plugs straight into the similarity stack (cosine_topk, the LSH/IVF
+    /PQ index builders, embedding near-dup → connected components)
+    without a trained encoder, and cosine over raw count vectors is
+    scale-invariant so no normalization pass is needed.
+
+    Plan shape: one in-row projection — tokenization, per-token bucket,
+    and a single left-to-right fold that increments one slot of a
+    ``dim``-wide accumulator per token (O(tokens·dim) cheap long/double
+    lattice ops, no string allocation past the md5). Zero shuffle, no
+    vocabulary broadcast, no fit step — exactly what survives a 100-TB
+    corpus pass. The bucket array is staged through its own projection
+    so the md5s are computed once per token, not once per fold step.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+    bkts = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(dim)
+        ).cast("int"),
+    )
+    staged = df.select(F.col(id_col), bkts.alias("_b"))
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    vec = F.aggregate(
+        F.col("_b"),
+        zeros,
+        lambda acc, b: F.transform(
+            acc, lambda v, j: F.when(j == b, v + F.lit(1.0)).otherwise(v)
+        ),
+    )
+    return staged.select(id_col, vec.alias("embedding"))

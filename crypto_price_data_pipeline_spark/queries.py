@@ -1384,3 +1384,7 @@ ORACLES.update(EXT7_ORACLES)
 ORACLES["q_lsh_served_topk"] = Q_ANN_RECALL_SQL
 ORACLES["q_ivf_served_topk"] = Q_ANN_RECALL_SQL
 ORACLES["q_pq_served_topk"] = Q_ANN_RECALL_SQL
+from .queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
+
+QUERIES.update(EXT8_QUERIES)
+ORACLES.update(EXT8_ORACLES)

@@ -1,0 +1,217 @@
+"""Coverage wave 8 ([EXT], SURVEY.md §2.11): the text→vector bridge.
+
+The similarity stack (cosine/LSH/IVF/PQ, batch retrieval, near-dup →
+components) so far consumed only the pre-made ``embeddings`` table.
+``operators.text.feature_hash_embed`` closes the gap: a vocabulary-free
+hashing-trick bag-of-words embedding derived from ``documents.text``
+entirely in-plan, so every vector operator now composes with raw text.
+This module registers the three compositions that prove it end-to-end:
+
+- ``q_text_embed_topk`` — embed the corpus, retrieve the top-10 most
+  similar docs to doc 0 by exact cosine (text-level semantic search
+  without a trained encoder).
+- ``q_semantic_dedup`` — SemDeDup-shaped pipeline: derived embeddings →
+  near-identical cosine pairs → connected components → keep-min-id
+  survivors. Emits every doc in a multi-member cluster with its cluster
+  id and the keep decision.
+- ``q_knn_join`` — exact k-nearest-neighbor self-join over the
+  ``embeddings`` table (per-item top-k of every item): the
+  dataset-cartography / kNN-relabeling primitive. Gated quadratic
+  baseline; the indexed scale path is ``similarity.lsh_topk_batch``
+  (probe the persisted LSH index with the corpus itself as the query
+  batch).
+
+All three are bit-exact-oracled: the md5-bucket hash, the count
+vectors, and the fold-ordered dot products are reproduced verbatim in
+DuckDB (same hex fold the mixture-hash oracle uses; same
+list_dot_product equivalence the q_embedding_topk oracle proved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .io.sources import load_table
+from .operators.text import feature_hash_embed
+
+_DIM = 64
+
+# DuckDB rebuild of feature_hash_embed(dim=64): same alnum splitter the
+# TF-IDF/contamination oracles use, md5 hex→int via the portable base-16
+# digit fold, bucket counts as DOUBLE[] (exact small integers).
+_VECS_CTE = """
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+bkts AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+             CAST(list_reduce(list_transform(range(1, 9),
+                      i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) % 64 AS INTEGER)) AS bs
+  FROM toked
+),
+vecs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i -> CAST(len(list_filter(bs, b -> b = CAST(i AS INTEGER))) AS DOUBLE)) AS v
+  FROM bkts
+)
+"""
+
+
+def q_text_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic search over raw text: hash-embed every document in-plan
+    and return the exact cosine top-10 against doc 0's vector. Same
+    TakeOrderedAndProject shape as q_embedding_topk — one corpus scan,
+    no shuffle — with the embedding derivation fused into the scan
+    projection (the 100-TB plan: no materialized vector table needed).
+    The one collect is the O(1) query row; cosine over raw count
+    vectors equals cosine over normalized ones, so no norm pass."""
+    from .operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = feature_hash_embed(docs, dim=_DIM)
+    query = [float(x) for x in emb.where(F.col("doc_id") == 0).first()["embedding"]]
+    out = cosine_topk(emb, query, k=10, id_col="doc_id")
+    return out.select("doc_id", F.round("cosine_sim", 9).alias("cosine_sim_r9"))
+
+
+Q_TEXT_EMBED_TOPK_SQL = f"""
+WITH {_VECS_CTE},
+q AS (SELECT v AS qv FROM vecs WHERE doc_id = 0)
+SELECT doc_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9) AS cosine_sim_r9
+FROM vecs, q
+ORDER BY list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-shaped curation stage on DERIVED embeddings: hash-embed
+    the corpus, pair docs whose cosine (rounded to 9) ≥ 0.995 —
+    near-identical bag-of-words, the planted text near-dups sit ≥ .997
+    while the word-soup background tops out ~.95 — close the pairs into
+    components, keep the min doc_id per cluster. Emits the multi-member
+    clusters only: (doc_id, cluster_id, kept).
+
+    Scale: the pair step here is the GATED broadcast-NL exact baseline
+    (same contract as embedding_neardup_pairs — refuses > max_docs); at
+    corpus scale generate candidates with minhash_lsh_pairs on the text
+    or lsh_topk_batch on the vectors and verify survivors with this
+    exact cosine rule. Components is hash-min label propagation
+    (operators.components), 2-3 rounds on near-clique dedup graphs."""
+    from .operators.components import connected_components
+    from .operators.dedup import _gate_corpus_size
+    from .operators.similarity import _dot
+
+    docs = load_table(spark, sf, "documents")
+    _gate_corpus_size(docs, 100_000, "q_semantic_dedup", "minhash_lsh_pairs candidates")
+    emb = feature_hash_embed(docs, dim=_DIM)
+    e = emb.select(
+        "doc_id",
+        F.col("embedding").alias("_e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_n"),
+    )
+    a = e.select(F.col("doc_id").alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na"))
+    b = e.select(F.col("doc_id").alias("id_b"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb"))
+    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(sim, 9) >= 0.995)
+        .select("id_a", "id_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, pairs, "id", num_partitions=8)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
+    return (
+        comp.join(sizes.where(F.col("_sz") > 1), "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("kept"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+Q_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_VECS_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.995
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+),
+clusters AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n),
+sized AS (
+  SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM clusters
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS kept
+FROM sized WHERE sz > 1
+ORDER BY cluster_id, doc_id
+"""
+
+
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact kNN self-join (k=3) over the embeddings table via
+    operators.similarity.knn_join — per-item nearest neighbors for
+    EVERY item in one pass (dataset cartography, kNN relabeling,
+    duplicate-neighborhood audits). Gated quadratic baseline; scale
+    path in the operator docstring."""
+    from .operators.similarity import knn_join
+
+    emb = load_table(spark, sf, "embeddings")
+    return knn_join(emb, k=3)
+
+
+Q_KNN_JOIN_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nbr_id, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nbr_id) AS rnk
+  FROM p
+)
+SELECT vec_id, nbr_id, ROUND(c, 9) AS cosine_sim_r9, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 3
+ORDER BY vec_id, rnk
+"""
+
+
+EXT8_QUERIES = {
+    "q_text_embed_topk": q_text_embed_topk,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_knn_join": q_knn_join,
+}
+
+EXT8_ORACLES = {
+    "q_text_embed_topk": Q_TEXT_EMBED_TOPK_SQL,
+    "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
+    "q_knn_join": Q_KNN_JOIN_SQL,
+}
