@@ -604,10 +604,20 @@ def knn_join(
     from .dedup import _gate_corpus_size
 
     _gate_corpus_size(embeddings, max_rows, "knn_join", "lsh_topk_batch over the persisted index")
-    e = embeddings.select(
-        F.col(id_col),
-        F.col(emb_col).cast("array<double>").alias("_e"),
-    ).withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
+    spark = embeddings.sparkSession
+    # Materialize (id, vec, norm) before pairing: otherwise the norm
+    # projection collapses into the NLJ and is re-evaluated per pair,
+    # and a single-file scan would leave the whole quadratic scoring on
+    # one task. Gated corpus → the checkpoint is small by contract.
+    e = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<double>").alias("_e"),
+        )
+        .withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     a = e.select(F.col(id_col), F.col("_e").alias("_ea"), F.col("_n").alias("_na"))
     b = e.select(
         F.col(id_col).alias("nbr_id"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")
