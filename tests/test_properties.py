@@ -308,3 +308,45 @@ def test_lm_scores_bounded_and_deterministic(spark, texts):
     }
     assert a == b
     assert all(0.0 < v <= 1.0 for v in a.values())
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=4, max_size=4
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=3,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_knn_join_matches_numpy_bruteforce(spark, vecs, k):
+    """Fuzzed kNN self-join vs an independent numpy oracle: for every
+    item the returned neighbors are exactly the cosine top-k with
+    (desc sim, asc id) tiebreak, and ranks are 1..min(k, n-1)."""
+    import numpy as np
+
+    from crypto_price_data_pipeline_spark.operators.similarity import knn_join
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for r in knn_join(emb, k=k).collect():
+        got.setdefault(r["vec_id"], []).append((r["rnk"], r["nbr_id"]))
+    a = np.array([v for _, v in rows], dtype=float)
+    norms = np.linalg.norm(a, axis=1)
+    sims = (a @ a.T) / np.outer(norms, norms)
+    n = len(rows)
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i), key=lambda j: (-round(sims[i, j], 9), j)
+        )
+        want = [(r + 1, j) for r, j in enumerate(order[:k])]
+        got_i = sorted(got.get(i, []))
+        # sims equal up to fp noise can legitimately swap: compare by
+        # (rank -> sim) values instead of ids when sims tie
+        assert len(got_i) == len(want)
+        for (gr, gj), (wr, wj) in zip(got_i, want):
+            assert gr == wr
+            assert abs(sims[i, gj] - sims[i, wj]) < 1e-9
