@@ -213,14 +213,58 @@ ORDER BY vec_id, rnk
 """
 
 
+def q_stream_text_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time text indexing end-to-end: the raw documents table
+    replays as a 3-micro-batch stream; each batch is feature-hash
+    embedded IN the micro-batch and bucketed into the replay-safe
+    per-batch_id LSH store (streaming/ann_stream.stream_text_lsh_index);
+    the query then probes the streamed index. Embedding and bucketing
+    are pure per-row functions, so the streamed index is row-identical
+    to a one-shot batch build and the probe matches the batch path.
+    Output = the oracled exact top-10 over the derived vectors + an
+    in-plan recall@10 ≥ 0.8 flag (measured 1.0 at sf0.001/0.01/0.1 —
+    bag-of-words vectors cluster, unlike the isotropic embeddings
+    table, so LSH recall is high at the same probe budget)."""
+    from .operators.similarity import cosine_topk, lsh_cosine_topk
+    from .queries import _ann_with_recall
+    from .streaming.ann_stream import stream_text_lsh_index
+
+    docs = load_table(spark, sf, "documents")
+    emb = feature_hash_embed(docs, dim=_DIM).withColumnRenamed("doc_id", "vec_id")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, query, k=10)
+    index = stream_text_lsh_index(spark, docs, dim=_DIM, bits=6, n_chunks=3)
+    ann = lsh_cosine_topk(
+        index.withColumnRenamed("doc_id", "vec_id"), query, k=10, bits=6, probe_radius=2
+    )
+    out = _ann_with_recall(exact, ann, k=10, floor=0.8)
+    return out.select(F.col("vec_id").alias("doc_id"), "cosine_sim_r9", "recall_ok")
+
+
+Q_STREAM_TEXT_ANN_SQL = f"""
+WITH {_VECS_CTE},
+q AS (SELECT v AS qv FROM vecs WHERE doc_id = 0)
+SELECT doc_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9) AS cosine_sim_r9,
+       TRUE AS recall_ok
+FROM vecs, q
+ORDER BY list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, doc_id
+LIMIT 10
+"""
+
+
 EXT8_QUERIES = {
     "q_text_embed_topk": q_text_embed_topk,
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_join": q_knn_join,
+    "q_stream_text_ann": q_stream_text_ann,
 }
 
 EXT8_ORACLES = {
     "q_text_embed_topk": Q_TEXT_EMBED_TOPK_SQL,
     "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
     "q_knn_join": Q_KNN_JOIN_SQL,
+    "q_stream_text_ann": Q_STREAM_TEXT_ANN_SQL,
 }

@@ -46,10 +46,19 @@ def stream_lsh_index(
     seed: int = 42,
     n_chunks: int = 3,
     id_col: str = "vec_id",
+    transform=None,
 ) -> DataFrame:
     """Replay ``embeddings`` as an ``n_chunks``-micro-batch stream and
     maintain the bucketed index store; returns the index read back
-    (original columns + ``_bucket``)."""
+    (original columns + ``_bucket``).
+
+    ``transform`` (optional, DataFrame → DataFrame) runs inside each
+    micro-batch BEFORE bucketing — the hook that turns this into an
+    ingest-time derivation pipeline (e.g. feature-hash text embedding,
+    see :func:`stream_text_lsh_index`). It must be a deterministic
+    per-row derivation so replayed batches rewrite identical content
+    (the exactly-once contract) and the streamed index stays
+    row-identical to a batch build."""
     work = tempfile.mkdtemp(prefix="stream_ann_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = os.path.join(work, "src")
@@ -84,23 +93,42 @@ def stream_lsh_index(
             for fname in files:
                 os.utime(os.path.join(root, fname), (base + i, base + i))
 
-    indexed_schema = hyperplane_lsh_buckets(embeddings, dim, bits, seed).schema
+    derived = transform(embeddings) if transform else embeddings
+    indexed_schema = hyperplane_lsh_buckets(derived, dim, bits, seed).schema
     spark.createDataFrame([], indexed_schema).write.mode("overwrite").parquet(store)
 
     q = start_index_maintenance(
-        spark, src, store, ckpt, embeddings.schema, dim=dim, bits=bits, seed=seed
+        spark,
+        src,
+        store,
+        ckpt,
+        embeddings.schema,
+        dim=dim,
+        bits=bits,
+        seed=seed,
+        transform=transform,
     )
     q.awaitTermination()
     return read_index(spark, store, indexed_schema)
 
 
 def write_index_batch(
-    batch: DataFrame, store: str, batch_id: int, *, dim: int, bits: int, seed: int
+    batch: DataFrame,
+    store: str,
+    batch_id: int,
+    *,
+    dim: int,
+    bits: int,
+    seed: int,
+    transform=None,
 ) -> None:
-    """Bucket one micro-batch and land it under a per-``batch_id``
+    """Bucket one micro-batch (after the optional per-batch
+    ``transform`` derivation) and land it under a per-``batch_id``
     subdirectory with OVERWRITE — a replayed batch (crash between store
     write and checkpoint commit) rewrites identical content, so the
     store is exactly-once without a transaction log."""
+    if transform is not None:
+        batch = transform(batch)
     hyperplane_lsh_buckets(batch, dim, bits, seed).write.mode(
         "overwrite"
     ).parquet(os.path.join(store, f"batch_{batch_id:010d}"))
@@ -117,12 +145,15 @@ def start_index_maintenance(
     bits: int = 6,
     seed: int = 42,
     max_files_per_trigger: int = 1,
+    transform=None,
 ):
     """Launch the index-maintenance stream (availableNow) against a
     parquet file source; restartable from ``ckpt`` after a crash."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        write_index_batch(batch, store, batch_id, dim=dim, bits=bits, seed=seed)
+        write_index_batch(
+            batch, store, batch_id, dim=dim, bits=bits, seed=seed, transform=transform
+        )
 
     return (
         spark.readStream.schema(schema)
@@ -143,4 +174,39 @@ def read_index(spark: SparkSession, store: str, indexed_schema) -> DataFrame:
         spark.read.schema(indexed_schema)
         .option("recursiveFileLookup", "true")
         .parquet(store)
+    )
+
+
+def stream_text_lsh_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    n_chunks: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time TEXT indexing: stream raw documents, feature-hash
+    embed each micro-batch in-plan (operators.text.feature_hash_embed —
+    deterministic, vocabulary-free, so replays rewrite identical rows),
+    and maintain the bucketed LSH index store. Returns the index read
+    back: (doc_id, embedding, _bucket), row-identical to embedding +
+    bucketing the whole corpus in one batch (unit-tested). This is the
+    full arrival→searchable path for a text corpus: no offline embed
+    job, no index rebuild per batch."""
+    from ..operators.text import feature_hash_embed
+
+    return stream_lsh_index(
+        spark,
+        docs,
+        dim=dim,
+        bits=bits,
+        seed=seed,
+        n_chunks=n_chunks,
+        id_col=id_col,
+        transform=lambda b: feature_hash_embed(
+            b, id_col=id_col, text_col=text_col, dim=dim
+        ),
     )

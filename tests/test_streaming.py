@@ -600,3 +600,29 @@ def test_hash_mixture_sampling_on_stream_equals_batch(spark, tmp_path):
         r["id"] for r in stratified_sample_hash(df, "s", mix, "id").collect()
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_text_lsh_index_equals_batch_build(spark):
+    """Ingest-time text indexing: streaming documents through the
+    per-batch feature-hash embed + bucket pipeline must produce an
+    index row-identical to embedding + bucketing the whole corpus in
+    one batch (both stages are pure per-row functions)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+    from crypto_price_data_pipeline_spark.operators.text import feature_hash_embed
+    from crypto_price_data_pipeline_spark.streaming.ann_stream import (
+        stream_text_lsh_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    streamed = stream_text_lsh_index(spark, docs, dim=32, bits=5, n_chunks=3)
+    batch = hyperplane_lsh_buckets(feature_hash_embed(docs, dim=32), dim=32, bits=5)
+    a = sorted(
+        (r["doc_id"], tuple(r["embedding"]), r["_bucket"]) for r in streamed.collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["embedding"]), r["_bucket"]) for r in batch.collect()
+    )
+    assert a == b and len(a) == docs.count()
