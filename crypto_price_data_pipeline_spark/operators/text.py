@@ -418,6 +418,7 @@ def feature_hash_embed(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 64,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Feature-hashing ("hashing trick", Weinberger et al. 2009)
     bag-of-words embedding: each alnum token is hashed to one of
@@ -444,7 +445,7 @@ def feature_hash_embed(
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(dim)
         ).cast("int"),
     )
-    staged = df.select(F.col(id_col), bkts.alias("_b"))
+    staged = df.select(F.col(id_col), *(keep_cols or []), bkts.alias("_b"))
     zeros = F.array_repeat(F.lit(0.0), dim)
     vec = F.aggregate(
         F.col("_b"),
@@ -453,4 +454,4 @@ def feature_hash_embed(
             acc, lambda v, j: F.when(j == b, v + F.lit(1.0)).otherwise(v)
         ),
     )
-    return staged.select(id_col, vec.alias("embedding"))
+    return staged.select(id_col, *(keep_cols or []), vec.alias("embedding"))

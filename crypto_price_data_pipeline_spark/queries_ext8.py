@@ -268,3 +268,52 @@ EXT8_ORACLES = {
     "q_knn_join": Q_KNN_JOIN_SQL,
     "q_stream_text_ann": Q_STREAM_TEXT_ANN_SQL,
 }
+
+
+def q_stream_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time semantic dedup through real streaming machinery: the
+    corpus replays as 4 micro-batches; each batch feature-hash embeds
+    itself, scores against the persistent vector store (every seen
+    doc's vector, dropped included), and drops docs with any smaller-id
+    partner at round(cosine, 9) ≥ 0.995 — the batch anti-join rule,
+    which the exhaustive DuckDB oracle computes corpus-wide (NOT the
+    component-min rule of q_semantic_dedup; see
+    streaming/semantic_stream.py for the difference). Output aggregates
+    survivors per lang (count + id/char checksums) to pin membership."""
+    from .streaming.semantic_stream import stream_semantic_dedup
+
+    docs = load_table(spark, sf, "documents")
+    surv = stream_semantic_dedup(
+        spark, docs, keep_cols=["lang", "n_chars"], threshold=0.995, n_chunks=4
+    )
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STREAM_SEMANTIC_DEDUP_SQL = f"""
+WITH {_VECS_CTE},
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.995
+)
+SELECT lang, COUNT(*) AS n_survivors,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+EXT8_QUERIES["q_stream_semantic_dedup"] = q_stream_semantic_dedup
+EXT8_ORACLES["q_stream_semantic_dedup"] = Q_STREAM_SEMANTIC_DEDUP_SQL
