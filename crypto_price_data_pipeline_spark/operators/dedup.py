@@ -841,3 +841,85 @@ def ngram_overlap_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         shingled.unpersist()
+
+
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+    materialize: bool = True,
+) -> DataFrame:
+    """CROSS-corpus near-dup pairs: (left_id, right_id, jaccard) where
+    a LEFT doc near-duplicates a RIGHT doc — the crawl-vs-corpus /
+    eval-vs-train decontamination shape, as opposed to the self-join in
+    :func:`minhash_lsh_pairs`. Both sides sign and band independently
+    (same seed → same hash family, so shared shingles collide); the
+    bucket join is bipartite, so there is no id ordering constraint and
+    ids may overlap between corpora. Shingle arrays join in only for
+    surviving candidates; the banding shuffle carries (id, band,
+    bucket) triples ∝ each corpus, the verify join ∝ cross collisions.
+
+    At 100 TB the RIGHT (reference) side's postings are built once and
+    persisted (band_buckets output IS the index — cf.
+    streaming/dedup_stream.py); each new crawl batch signs itself and
+    joins the stored postings, never re-banding history."""
+    sig_l = minhash_signatures(left, id_col, text_col, num_hashes, shingle_k, seed).persist()
+    sig_r = minhash_signatures(right, id_col, text_col, num_hashes, shingle_k, seed).persist()
+    b_l = band_buckets(sig_l, id_col, num_hashes, bands).select(
+        F.col("_id").alias("left_id"), "band", "bucket"
+    )
+    b_r = band_buckets(sig_r, id_col, num_hashes, bands).select(
+        F.col("_id").alias("right_id"), "band", "bucket"
+    )
+    pairs = (
+        b_l.join(b_r, ["band", "bucket"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    jac = (
+        F.size(F.array_intersect("_sh_a", "_sh_b"))
+        / F.size(F.array_union("_sh_a", "_sh_b"))
+    ).alias("jaccard")
+    out = (
+        pairs.join(
+            sig_l.select(F.col(id_col).alias("left_id"), F.col("_shingles").alias("_sh_a")),
+            "left_id",
+        )
+        .join(
+            sig_r.select(F.col(id_col).alias("right_id"), F.col("_shingles").alias("_sh_b")),
+            "right_id",
+        )
+        .select("left_id", "right_id", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+    if not materialize:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig_l.unpersist()
+        sig_r.unpersist()
+
+
+def dedup_against_reference(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Drop every NEW doc that near-duplicates ANY reference doc (one
+    anti-join against the verified cross-pair set) — incremental crawl
+    cleaning against an already-curated corpus."""
+    pairs = minhash_cross_pairs(
+        new, reference, id_col, text_col, threshold=threshold, **kwargs
+    )
+    losers = pairs.select(F.col("left_id").alias(id_col)).distinct()
+    return new.join(losers, [id_col], "left_anti")

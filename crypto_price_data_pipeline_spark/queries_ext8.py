@@ -317,3 +317,46 @@ ORDER BY lang
 
 EXT8_QUERIES["q_stream_semantic_dedup"] = q_stream_semantic_dedup
 EXT8_ORACLES["q_stream_semantic_dedup"] = Q_STREAM_SEMANTIC_DEDUP_SQL
+
+
+def q_cross_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus decontamination by near-dup: split the corpus into a
+    "reference" (even doc_id) and a "new crawl" (odd doc_id) and report
+    every new doc that near-duplicates a reference doc (exact shingle
+    Jaccard ≥ 0.4 on MinHash-LSH candidates) — the crawl-vs-corpus /
+    eval-vs-train shape, bipartite rather than a self-join
+    (operators.dedup.minhash_cross_pairs). The oracle computes the
+    exhaustive cross pair set; banding recall at the planted dups'
+    J ≥ 0.9 is ~1-1e-23 (same pinning as q_minhash_pairs)."""
+    from .operators.dedup import minhash_cross_pairs
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    return minhash_cross_pairs(new, ref, threshold=0.4)
+
+
+Q_CROSS_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+"""
+
+
+EXT8_QUERIES["q_cross_dedup"] = q_cross_dedup
+EXT8_ORACLES["q_cross_dedup"] = Q_CROSS_DEDUP_SQL

@@ -811,3 +811,31 @@ def test_bigram_lm_scores_orders_fluency(spark):
     got = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
     assert 4 not in got and set(got) == {1, 2, 3}
     assert got[1] > got[3] > got[2]
+
+
+def test_cross_corpus_dedup_drops_only_matches(spark):
+    """dedup_against_reference: a new doc near-duplicating a REFERENCE
+    doc is dropped; novel docs survive; ids may overlap between the
+    corpora (bipartite join, no self-join ordering constraint)."""
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        dedup_against_reference,
+        minhash_cross_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " lambda"),  # near-dup of ref doc 1, same id on purpose
+            (7, "completely different words about spark catalyst plans here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_cross_pairs(new, ref, threshold=0.4)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert got == {(1, 1)}
+    surv = {r["doc_id"] for r in dedup_against_reference(new, ref, threshold=0.4).collect()}
+    assert surv == {7}
