@@ -360,3 +360,93 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 EXT8_QUERIES["q_cross_dedup"] = q_cross_dedup
 EXT8_ORACLES["q_cross_dedup"] = Q_CROSS_DEDUP_SQL
+
+
+def q_rag_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical RAG ingestion + retrieval pipeline as ONE
+    declarative chain: tokenize → 32-token chunks (in-row HOF slicing,
+    zero shuffle) → feature-hash embed each chunk → exact cosine
+    retrieval of the top-10 chunks for the query (doc 0's first chunk).
+    Returns (doc_id, chunk_idx, cosine_sim_r9). At scale the chunk
+    vectors persist through write_lsh_index and retrieval probes
+    buckets (q_lsh_served_topk's path); this query pins the exact
+    end-to-end semantics bit-exactly against a full DuckDB rebuild."""
+    from .operators.similarity import _dot, _lit_vec
+
+    import math
+
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != "")
+    staged = docs.select("doc_id", toks.alias("_t"))
+    n = F.size("_t")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(32)).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("ci"),
+                F.array_join(F.slice("_t", i * 32 + 1, 32), " ").alias("ctext"),
+            ),
+        ),
+    ).otherwise(F.array())
+    chunked = staged.select("doc_id", F.explode(chunks).alias("_c")).select(
+        "doc_id", F.col("_c.ci").alias("chunk_idx"), F.col("_c.ctext").alias("chunk_text")
+    )
+    emb = feature_hash_embed(
+        chunked, id_col="doc_id", text_col="chunk_text", dim=_DIM,
+        keep_cols=["chunk_idx"],
+    )
+    qrow = (
+        emb.where((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
+        .first()["embedding"]
+    )
+    query = [float(x) for x in qrow]
+    qnorm = math.sqrt(sum(x * x for x in query))
+    e = F.col("embedding")
+    sim = _dot(e, _lit_vec(query)) / (F.sqrt(_dot(e, e)) * F.lit(qnorm))
+    return (
+        emb.select("doc_id", "chunk_idx", sim.alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id", "chunk_idx")
+        .limit(10)
+        .select("doc_id", "chunk_idx", F.round("_s", 9).alias("cosine_sim_r9"))
+    )
+
+
+Q_RAG_INDEX_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, t[i*32+1 : i*32+32] AS ct
+  FROM toked, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS i
+  ) ix
+),
+cbkts AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(ct, t ->
+             CAST(list_reduce(list_transform(range(1, 9),
+                      i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+                  (a, b) -> a * 16 + b) % 64 AS INTEGER)) AS bs
+  FROM chunked
+),
+cvecs AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(range(0, 64), i -> CAST(len(list_filter(bs, b -> b = CAST(i AS INTEGER))) AS DOUBLE)) AS v
+  FROM cbkts
+),
+q AS (SELECT v AS qv FROM cvecs WHERE doc_id = 0 AND chunk_idx = 0)
+SELECT doc_id, chunk_idx,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9) AS cosine_sim_r9
+FROM cvecs, q
+ORDER BY list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, doc_id, chunk_idx
+LIMIT 10
+"""
+
+
+EXT8_QUERIES["q_rag_index"] = q_rag_index
+EXT8_ORACLES["q_rag_index"] = Q_RAG_INDEX_SQL
