@@ -868,7 +868,14 @@ def minhash_cross_pairs(
     At 100 TB the RIGHT (reference) side's postings are built once and
     persisted (band_buckets output IS the index — cf.
     streaming/dedup_stream.py); each new crawl batch signs itself and
-    joins the stored postings, never re-banding history."""
+    joins the stored postings, never re-banding history.
+
+    Cache contract (same as minhash_lsh_pairs): with the default
+    ``materialize=True`` the pair set is computed eagerly and BOTH
+    signature caches are released before returning; with
+    ``materialize=False`` the caller owns both persisted signature
+    tables (two corpora's shingle+minhash arrays) for the session's
+    lifetime — use it for plan inspection only."""
     sig_l = minhash_signatures(left, id_col, text_col, num_hashes, shingle_k, seed).persist()
     sig_r = minhash_signatures(right, id_col, text_col, num_hashes, shingle_k, seed).persist()
     b_l = band_buckets(sig_l, id_col, num_hashes, bands).select(

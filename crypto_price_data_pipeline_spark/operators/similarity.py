@@ -604,20 +604,9 @@ def knn_join(
     from .dedup import _gate_corpus_size
 
     _gate_corpus_size(embeddings, max_rows, "knn_join", "lsh_topk_batch over the persisted index")
-    spark = embeddings.sparkSession
-    # Materialize (id, vec, norm) before pairing: otherwise the norm
-    # projection collapses into the NLJ and is re-evaluated per pair,
-    # and a single-file scan would leave the whole quadratic scoring on
-    # one task. Gated corpus → the checkpoint is small by contract.
-    e = (
-        embeddings.select(
-            F.col(id_col),
-            F.col(emb_col).cast("array<double>").alias("_e"),
-        )
-        .withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # norm_vectors materializes (id, vec, norm) before pairing (see its
+    # docstring); the gated corpus keeps the checkpoint small.
+    e = norm_vectors(embeddings, id_col, emb_col)
     a = e.select(F.col(id_col), F.col("_e").alias("_ea"), F.col("_n").alias("_na"))
     b = e.select(
         F.col(id_col).alias("nbr_id"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")
@@ -634,4 +623,57 @@ def knn_join(
         .where(F.col("rnk") <= k)
         .select(id_col, "nbr_id", F.round("_c", 9).alias("cosine_sim_r9"), "rnk")
         .orderBy(id_col, "rnk")
+    )
+
+
+def norm_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """(id, _e array<double>, _n) — the staged form every exact pair
+    scorer consumes. With ``materialize`` (default) the table is
+    repartitioned to full parallelism and localCheckpointed: a computed
+    embedding/norm projection must NOT collapse into a pair join
+    (Catalyst would re-evaluate it once per PAIR — measured 87s vs
+    1.4s at sf0.1), and a single-file scan must not serialize the
+    quadratic scoring onto one task. Pass ``materialize=False`` inside
+    streams that checkpoint (or store) the result themselves."""
+    out = df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("_e")
+    ).withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
+    if materialize:
+        spark = df.sparkSession
+        out = out.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+            eager=True
+        )
+    return out
+
+
+def cosine_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact near-identical pairs (id_a, id_b), id_a < id_b, with
+    ``round(cosine, 9) >= threshold`` — THE shared pair rule of the
+    semantic-dedup family (batch query, streaming processor, and their
+    test reference all call this, so the rule cannot silently diverge).
+    ``left``/``right`` are :func:`norm_vectors` outputs; ``right`` is
+    broadcast (keep it batch/corpus sized accordingly). Quadratic by
+    construction — callers gate corpus size or feed LSH candidates."""
+    a = left.select(
+        F.col(id_col).alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na")
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")
+    )
+    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(sim, 9) >= threshold)
+        .select("id_a", "id_b")
     )

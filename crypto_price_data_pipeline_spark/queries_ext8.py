@@ -109,34 +109,16 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     (operators.components), 2-3 rounds on near-clique dedup graphs."""
     from .operators.components import connected_components
     from .operators.dedup import _gate_corpus_size
-    from .operators.similarity import _dot
+    from .operators.similarity import cosine_pairs, norm_vectors
 
     docs = load_table(spark, sf, "documents")
     _gate_corpus_size(docs, 100_000, "q_semantic_dedup", "minhash_lsh_pairs candidates")
-    emb = feature_hash_embed(docs, dim=_DIM)
-    # Materialize the derived vectors BEFORE pairing: the embed fold is
-    # a computed projection, and letting Catalyst collapse it into the
-    # pair join re-evaluates the whole per-doc fold once per PAIR
-    # (measured 87s vs 1.4s at sf0.1). The repartition also breaks the
-    # single-file scan into a parallel NLJ stream side.
-    e = (
-        emb.select(
-            "doc_id",
-            F.col("embedding").alias("_e"),
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_n"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
-    a = e.select(F.col("doc_id").alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na"))
-    b = e.select(F.col("doc_id").alias("id_b"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb"))
-    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(sim, 9) >= 0.995)
-        .select("id_a", "id_b")
-    )
+    # norm_vectors materializes the derived vectors BEFORE pairing (the
+    # embed fold must not collapse into the pair join) and breaks the
+    # single-file scan into a parallel NLJ stream side; cosine_pairs is
+    # the shared exact rule the streaming processor and its tests use.
+    e = norm_vectors(feature_hash_embed(docs, dim=_DIM), "doc_id")
+    pairs = cosine_pairs(e, e, 0.995, "doc_id")
     nodes = docs.select(F.col("doc_id").alias("id"))
     comp = connected_components(nodes, pairs, "id", num_partitions=8)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
@@ -323,17 +305,22 @@ def q_cross_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus decontamination by near-dup: split the corpus into a
     "reference" (even doc_id) and a "new crawl" (odd doc_id) and report
     every new doc that near-duplicates a reference doc (exact shingle
-    Jaccard ≥ 0.4 on MinHash-LSH candidates) — the crawl-vs-corpus /
+    Jaccard ≥ 0.8 on MinHash-LSH candidates) — the crawl-vs-corpus /
     eval-vs-train shape, bipartite rather than a self-join
     (operators.dedup.minhash_cross_pairs). The oracle computes the
-    exhaustive cross pair set; banding recall at the planted dups'
-    J ≥ 0.9 is ~1-1e-23 (same pinning as q_minhash_pairs)."""
+    exhaustive cross pair set. Recall pinning: the threshold matches
+    the family default 0.8, where 16-band/4-row banding misses a pair
+    with probability (1-J⁴)¹⁶ ≤ 3e-3, and the measured cross pairs all
+    sit at J ≥ 0.889 (miss ≤ 1.5e-7; verified exhaustively at
+    sf0.001/0.01/0.1 with NO background pair anywhere in [0.35, 0.88),
+    so a future testdata regeneration cannot silently land in the
+    recall-fragile band without the oracle catching it)."""
     from .operators.dedup import minhash_cross_pairs
 
     docs = load_table(spark, sf, "documents")
     new = docs.where(F.col("doc_id") % 2 == 1)
     ref = docs.where(F.col("doc_id") % 2 == 0)
-    return minhash_cross_pairs(new, ref, threshold=0.4)
+    return minhash_cross_pairs(new, ref, threshold=0.8)
 
 
 Q_CROSS_DEDUP_SQL = """
@@ -354,7 +341,7 @@ SELECT a.doc_id AS left_id, b.doc_id AS right_id,
          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
 """
 
 

@@ -45,7 +45,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _dot
+from ..operators.similarity import cosine_pairs, norm_vectors
 from ..operators.text import feature_hash_embed
 
 
@@ -78,10 +78,11 @@ def make_semantic_processor(
     def _process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
         emb = feature_hash_embed(batch, id_col=id_col, text_col=text_col, dim=dim)
-        bvec = emb.select(
-            F.col(id_col).alias("_id"), F.col("embedding").alias("_e")
-        ).withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
-        bvec = bvec.localCheckpoint(eager=True)
+        # materialize=False: the checkpoint below (and the store write)
+        # own the batch vectors — no extra repartition of a micro-batch
+        bvec = norm_vectors(emb, id_col, materialize=False).withColumnRenamed(
+            id_col, "_id"
+        ).localCheckpoint(eager=True)
         stored = _read_store(bspark, vec_schema, vec_store)
         # On replay the store may already hold THIS batch's vectors from
         # a failed attempt — identical rows; dropping the batch's own
@@ -92,16 +93,10 @@ def make_semantic_processor(
         seen = stored.join(
             bvec.select(F.col("_id")), "_id", "left_anti"
         ).unionByName(bvec.select("_id", "_e", "_n"))
-        a = seen.select(
-            F.col("_id").alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na")
-        )
-        b = bvec.select(
-            F.col("_id").alias("id_b"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")
-        )
-        sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+        # cosine_pairs is the SHARED exact rule (same call the batch
+        # q_semantic_dedup and the test reference make)
         dropped = (
-            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-            .where(F.round(sim, 9) >= threshold)
+            cosine_pairs(seen, bvec, threshold, "_id")
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )

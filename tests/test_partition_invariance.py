@@ -40,12 +40,24 @@ def test_hash_sample_partition_invariant(spark):
 
 
 def test_train_split_partition_invariant(spark):
-    from crypto_price_data_pipeline_spark.queries import QUERIES
+    """The md5-nibble split rule (q_train_split's assignment) must give
+    every doc the same label no matter how the input is partitioned —
+    applied per-row over the partition variants, not just re-collected
+    from one physical plan."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
 
-    base = QUERIES["q_train_split"](spark, SF_DIR)
-    first = _rowset(base)
-    again = _rowset(base)
-    assert first == again
+    docs = load_table(spark, SF_DIR, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin("e", "f"), "test")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+    outs = [
+        _rowset(d.select("doc_id", split.alias("split"))) for d in _variants(docs)
+    ]
+    assert outs[0] and all(o == outs[0] for o in outs[1:])
+    assert {s for _, s in outs[0]} == {"train", "val", "test"}
 
 
 def test_exact_stratified_sample_partition_invariant(spark):

@@ -10,26 +10,18 @@ from tests.conftest import SF_DIR as SF
 
 def _batch_rule_survivors(spark, docs, threshold=0.995, dim=64):
     """Reference: drop any doc with a smaller-id partner at
-    round(cosine, 9) >= threshold, computed with the same operators."""
-    from crypto_price_data_pipeline_spark.operators.similarity import _dot
+    round(cosine, 9) >= threshold — via the SAME shared helpers the
+    batch query and the streaming processor call (cosine_pairs), so
+    rule drift between the three is impossible by construction."""
+    from crypto_price_data_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        norm_vectors,
+    )
     from crypto_price_data_pipeline_spark.operators.text import feature_hash_embed
 
-    e = (
-        feature_hash_embed(docs, dim=dim)
-        .select(
-            "doc_id",
-            F.col("embedding").alias("_e"),
-        )
-        .withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
-        .localCheckpoint(eager=True)
-    )
-    a = e.select(F.col("doc_id").alias("id_a"), F.col("_e").alias("_ea"), F.col("_n").alias("_na"))
-    b = e.select(F.col("doc_id").alias("id_b"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb"))
-    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    e = norm_vectors(feature_hash_embed(docs, dim=dim), "doc_id")
     dropped = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(sim, 9) >= threshold)
+        cosine_pairs(e, e, threshold, "doc_id")
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
