@@ -438,6 +438,8 @@ def feature_hash_embed(
     corpus pass. The bucket array is staged through its own projection
     so the md5s are computed once per token, not once per fold step.
     """
+    if dim <= 0:
+        raise ValueError(f"feature_hash_embed: dim must be positive, got {dim}")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
     bkts = F.transform(
         toks,

@@ -91,3 +91,20 @@ def test_stream_semantic_dedup_replay_same_batch_id_is_idempotent(spark, tmp_pat
     process(b1, 1)
     got = {t[0] for t in snapshot()[0]}
     assert got == _batch_rule_survivors(spark, docs)
+
+
+def test_stream_semantic_dedup_empty_and_guard(spark):
+    """Empty input must return an empty survivor table (no crash on the
+    min/max-None path); feature_hash_embed refuses non-positive dims."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.text import feature_hash_embed
+    from crypto_price_data_pipeline_spark.streaming.semantic_stream import (
+        stream_semantic_dedup,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = stream_semantic_dedup(spark, empty, n_chunks=3)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="dim"):
+        feature_hash_embed(empty, dim=0)
