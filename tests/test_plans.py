@@ -257,3 +257,36 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_text_embed_topk_fused_scan_take_ordered(spark):
+    """The text→vector retrieval must stay one fused corpus pass: the
+    embed fold lives in the scan projection (no materialized vector
+    table, no shuffle) and the top-k plans as TakeOrderedAndProject —
+    the 100-TB shape its docstring promises."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_text_embed_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # zero shuffles: scan → project → top-k
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_cross_dedup_no_cartesian(spark):
+    """The bipartite cross-corpus join must stay band-bucket blocked:
+    no CartesianProduct / broadcast-NL anywhere in the pair plan."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import minhash_cross_pairs
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    pairs = minhash_cross_pairs(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        threshold=0.8,
+        materialize=False,
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
