@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .io.sources import load_table
 from .operators.text import feature_hash_embed
