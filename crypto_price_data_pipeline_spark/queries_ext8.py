@@ -436,3 +436,62 @@ LIMIT 10
 
 EXT8_QUERIES["q_rag_index"] = q_rag_index
 EXT8_ORACLES["q_rag_index"] = Q_RAG_INDEX_SQL
+
+
+def q_quality_topfrac(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-threshold curation (dynamic cut, vs the fixed-constant
+    gates of the curation pipelines): keep the least-repetitive 75% of
+    the corpus, where the threshold is the EXACT 75th percentile of the
+    repetition ratio computed from the data itself — the standard
+    "keep top X% by signal" pattern when no absolute threshold is
+    defensible. Exact sort-based percentile ≡ DuckDB quantile_cont
+    bit-for-bit (pinned by q_percentiles), broadcast back as a 1-row
+    scalar (free at any scale; the signal itself is a zero-shuffle
+    per-row projection). Emits per-lang survivor accounting plus the
+    threshold so the cut point itself is oracled."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    rep = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = docs.select("doc_id", "lang", rep.alias("_rep"))
+    thr = scored.agg(F.percentile("_rep", 0.75).alias("_thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("_rep") <= F.col("_thr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.round(F.first("_thr"), 9).alias("rep_threshold_r9"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_QUALITY_TOPFRAC_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         round(1.0 - len(list_distinct(toks)) / GREATEST(len(toks), 1), 6) AS rep
+  FROM base
+),
+t AS (SELECT quantile_cont(rep, 0.75) AS thr FROM r)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       round((SELECT thr FROM t), 9) AS rep_threshold_r9
+FROM r
+WHERE rep <= (SELECT thr FROM t)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+EXT8_QUERIES["q_quality_topfrac"] = q_quality_topfrac
+EXT8_ORACLES["q_quality_topfrac"] = Q_QUALITY_TOPFRAC_SQL
