@@ -66,6 +66,11 @@ HEADLINE = [
     "q_mixture_sample_hash",
     "q_bloom_contamination",
     "q_text_embed_topk",
+    "q_training_order",
+    "q_source_cap",
+    "q_zscore_outliers",
+    "q_bucketed_join",
+    "q_dpp_join",
 ]
 
 

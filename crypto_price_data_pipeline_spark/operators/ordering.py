@@ -1,0 +1,114 @@
+"""Global total-order ranking without a global sort.
+
+Every training run needs a reproducible global example order — the
+"deterministic shuffle" that turns a corpus into epoch N's sample
+sequence.  The naive Spark spelling,
+``row_number().over(Window.orderBy(key))`` with no ``partitionBy``,
+moves the WHOLE dataset onto one partition (Spark warns, then one
+executor sorts 100 TB).  This module computes the identical rank with
+the same two-phase decomposition ``operators/packing.py`` uses for its
+prefix sum:
+
+  1. bucket every row by a MONOTONE coarsening of the sort key (for the
+     md5-hex keys used by the shuffle, the first 2 hex chars → 256
+     uniform buckets; uniformity is free because the key is a hash);
+  2. rank locally inside each bucket — ``Window.partitionBy(bucket)``,
+     parallel across the cluster, each bucket ~N/256 rows;
+  3. count rows per bucket (one 256-row agg, collected), build
+     exclusive bucket-prefix offsets on the driver, broadcast back, and
+     add: ``pos = bucket_prefix + local_rank``.
+
+Monotone bucket + per-bucket orderBy(key) ⇒ the result is bit-identical
+to the single-partition global window (verified in
+tests/test_wave9.py), but the only shuffle is keyed by the bucket and
+the driver ever sees ``num_buckets`` integers.  At 1000 executors use
+4096+ buckets (pass ``prefix_chars=3``) so each bucket still fits a
+task.
+
+Reference parity: the reference ETL (bpi_crawler.py) orders nothing —
+this is §2.11 [EXT] training-data surface (the epoch-shuffle primitive
+feeding ``operators/packing.py``'s concat-and-chunk layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BKT = "_ord_bkt"
+
+
+def hex_prefix_bucket(key: Column | str, prefix_chars: int = 2) -> Column:
+    """Bucket id from the first ``prefix_chars`` chars of a lowercase
+    fixed-width hex key (md5/sha). Lexicographic hex order == numeric
+    order of the prefix, so the bucket is a monotone coarsening of the
+    key's sort order — the precondition ``global_order_index`` needs."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(c, 1, prefix_chars), 16, 10).cast("long")
+
+
+def global_order_index(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket: Column,
+    *,
+    num_buckets: int,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Add ``pos_col``: the 1-based global rank of each row under
+    ``ORDER BY *key_cols`` — without ever forming a global sort.
+
+    ``bucket`` MUST be a deterministic, monotone coarsening of the
+    ``key_cols`` ordering (``bucket(a) < bucket(b)`` ⇒ ``a`` sorts
+    before ``b``); ``key_cols`` must be a total order (include a unique
+    tiebreaker — ties would make ranks nondeterministic).
+    """
+    bucketed = df.withColumn(_BKT, bucket)
+
+    # phase 3 input: per-bucket row counts → exclusive prefixes.
+    # num_buckets rows on the driver; broadcast back.
+    counts = {
+        r[_BKT]: r["n"]
+        for r in bucketed.groupBy(_BKT).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    prefixes, acc = [], 0
+    for b in sorted(counts):
+        prefixes.append((b, acc))
+        acc += int(counts[b])
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    pref_df = spark.createDataFrame(
+        prefixes or [(0, 0)], f"{_BKT} long, _ord_prefix long"
+    )
+
+    local = Window.partitionBy(_BKT).orderBy(*[F.col(c) for c in key_cols])
+    return (
+        bucketed.withColumn("_ord_local", F.row_number().over(local))
+        .join(F.broadcast(pref_df), _BKT)
+        .withColumn(pos_col, (F.col("_ord_local") + F.col("_ord_prefix")).cast("long"))
+        .drop(_BKT, "_ord_local", "_ord_prefix")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: str = "epoch0",
+    pos_col: str = "pos",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training order: rank rows by
+    ``md5(seed || ':' || id)`` (unique ids ⇒ total order; the id itself
+    tie-breaks the ~2⁻⁶⁴ collision case). Changing ``seed`` produces an
+    independent permutation — one corpus, one cheap rank pass per
+    epoch, no RNG state anywhere."""
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    out = global_order_index(
+        df.withColumn("_shuffle_key", key),
+        ["_shuffle_key", id_col],
+        hex_prefix_bucket("_shuffle_key", prefix_chars),
+        num_buckets=16**prefix_chars,
+        pos_col=pos_col,
+    )
+    return out.drop("_shuffle_key")

@@ -1388,3 +1388,7 @@ from .queries_ext8 import EXT8_ORACLES, EXT8_QUERIES  # noqa: E402
 
 QUERIES.update(EXT8_QUERIES)
 ORACLES.update(EXT8_ORACLES)
+from .queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
+
+QUERIES.update(EXT9_QUERIES)
+ORACLES.update(EXT9_ORACLES)

@@ -1,0 +1,164 @@
+"""Wave-9 units: the distributed global rank (epoch shuffle), the
+skew-safe per-source cap, the chunk-roundtrip invariant, the funnel
+report's arithmetic, and the decontamination stream's planted-donor
+guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_order_matches_global_window(spark):
+    """The two-phase bucketed rank must be bit-identical to the
+    single-partition global window it replaces."""
+    from crypto_price_data_pipeline_spark.operators.ordering import epoch_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in epoch_shuffle(df, "doc_id", seed="s1").collect()
+    }
+    key = F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string")))
+    naive = {
+        r["doc_id"]: r["pos"]
+        for r in df.withColumn("_k", key)
+        .withColumn("pos", F.row_number().over(Window.orderBy("_k", "doc_id")))
+        .collect()
+    }
+    assert got == naive
+
+
+def test_epoch_shuffle_permutation_and_seed_sensitivity(spark):
+    from crypto_price_data_pipeline_spark.operators.ordering import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", seed="e0").collect()}
+    assert sorted(a.values()) == list(range(1, 501))  # exact permutation
+    b = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", seed="e1").collect()}
+    assert sorted(b.values()) == list(range(1, 501))
+    assert a != b  # different seed → different permutation
+
+
+def test_epoch_shuffle_empty_input(spark):
+    from crypto_price_data_pipeline_spark.operators.ordering import epoch_shuffle
+
+    df = spark.range(0, 0).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id")
+    assert out.count() == 0
+    assert "pos" in out.columns
+
+
+def test_training_order_no_single_partition_window(spark):
+    """The rank must never route through a single-partition exchange —
+    that is exactly the 100-TB failure the operator exists to avoid.
+    (The only Exchange allowed besides the bucket hash is the final
+    presentation orderBy's range partitioning.)"""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_training_order"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_source_cap_two_phase_equals_naive(spark):
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    got = [(r["source"], r["doc_id"]) for r in QUERIES["q_source_cap"](spark, SF).collect()]
+    docs = load_table(spark, SF, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = [
+        (r["source"], r["doc_id"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 15)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+        .collect()
+    ]
+    assert got == naive
+
+
+def test_curation_report_arithmetic(spark):
+    """Funnel algebra: stage k's n_out is stage k+1's n_in, drops are
+    non-negative, and the first n_in is the corpus size."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    rows = QUERIES["q_curation_report"](spark, SF).collect()
+    assert [r["stage"] for r in rows] == ["1_length", "2_lang", "3_repetition"]
+    total = load_table(spark, SF, "documents").count()
+    assert rows[0]["n_in"] == total
+    for r in rows:
+        assert r["n_dropped"] >= 0
+        assert r["n_in"] - r["n_dropped"] == r["n_out"]
+    assert rows[0]["n_out"] == rows[1]["n_in"]
+    assert rows[1]["n_out"] == rows[2]["n_in"]
+
+
+def test_chunk_roundtrip_lossless(spark):
+    """Every doc must rebuild exactly from its chunks — the invariant
+    the query exists to certify."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["q_chunk_roundtrip"](spark, SF).collect():
+        assert r["n_roundtrip_ok"] == r["n_docs"], r
+
+
+def test_bucketed_join_has_no_exchange_on_join_keys(spark):
+    """The whole point of the bucketed layout: the fact⋈dim join must
+    read both sides bucket-aligned (SelectedBucketsCount in the scans)
+    and never shuffle on the join keys."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_bucketed_join"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark):
+    """The fact scan's PartitionFilters must carry a dynamicpruning
+    subquery (runtime prune from the broadcast dim), not a static
+    literal list."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_dpp_join"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_stream_contamination_drops_every_planted_donor(spark):
+    """No-false-negative on the plant: each eval doc copies the first
+    30 tokens of doc_id+1, so every such donor that is itself a
+    training doc MUST appear in the drop list."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    donors = {
+        e + 1 for e in ids if e % 97 == 0 and (e + 1) in ids and (e + 1) % 97 != 0
+    }
+    dropped = {
+        r["doc_id"] for r in QUERIES["q_stream_contamination"](spark, SF).collect()
+    }
+    assert donors <= dropped
