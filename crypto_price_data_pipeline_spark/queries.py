@@ -1392,3 +1392,11 @@ from .queries_ext9 import EXT9_ORACLES, EXT9_QUERIES  # noqa: E402
 
 QUERIES.update(EXT9_QUERIES)
 ORACLES.update(EXT9_ORACLES)
+from .queries_ext10 import EXT10_ORACLES, EXT10_QUERIES  # noqa: E402
+
+QUERIES.update(EXT10_QUERIES)
+ORACLES.update(EXT10_ORACLES)
+# streamed SCD2 ≡ batch SCD2: the batch oracle verbatim
+from .queries_ext4 import Q_SCD2_SQL  # noqa: E402
+
+ORACLES["q_stream_scd2"] = Q_SCD2_SQL
