@@ -677,3 +677,84 @@ def cosine_pairs(
         .where(F.round(sim, 9) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query: list[float],
+    *,
+    k: int = 5,
+    shortlist: int = 12,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedily pick the
+    item maximizing ``lam * rel - (1-lam) * max_sim_to_selected``.
+
+    The retrieval-diversity re-ranker (Carbonell & Goldstein '98) every
+    RAG serving layer runs after ANN: relevance alone returns k
+    near-duplicates; MMR trades relevance against redundancy.
+
+    Scale shape: the DISTRIBUTED work is the exact ``shortlist``-sized
+    relevance scan (TakeOrderedAndProject over the corpus — or swap in
+    ``lsh_topk_batch`` for the probed index at scale); the greedy loop
+    then runs over only ``shortlist`` rows as ``k-1`` statically
+    unrolled argmax stages, every join broadcast, nothing collected.
+    Greedy selection is inherently sequential in k — unrolling it into
+    the plan keeps the whole thing one Catalyst job instead of k
+    driver round-trips.
+
+    Determinism: relevance and pairwise sims use the same left-fold
+    dot product as :func:`cosine_topk` (bit-stable vs the DuckDB
+    idiom); argmax ties break on ascending id.
+    """
+    short = (
+        cosine_topk(embeddings, query, k=shortlist, id_col=id_col, emb_col=emb_col)
+        .withColumnRenamed("cosine_sim", "rel")
+        .join(embeddings.select(id_col, emb_col), id_col)
+        .localCheckpoint(eager=True)  # tiny; stops Catalyst re-deriving
+        # the corpus top-k scan once per unrolled greedy stage
+    )
+    a = short.select(F.col(id_col).alias("_a"), F.col(emb_col).alias("_va"))
+    b = short.select(F.col(id_col).alias("_b"), F.col(emb_col).alias("_vb"))
+    sim = _dot(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")) / (
+        F.sqrt(_dot(F.col("_va").cast("array<double>"), F.col("_va").cast("array<double>")))
+        * F.sqrt(_dot(F.col("_vb").cast("array<double>"), F.col("_vb").cast("array<double>")))
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("_a") != F.col("_b"))
+        .select("_a", "_b", sim.alias("_sim"))
+        .localCheckpoint(eager=True)
+    )
+
+    picked = (
+        short.orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(1)
+        .select(id_col, "rel", F.lit(1).alias("rank"), F.col("rel").alias("mmr_score"))
+    )
+    for step in range(2, k + 1):
+        sel_ids = picked.select(F.col(id_col).alias("_b"))
+        cand = (
+            short.join(picked.select(id_col), id_col, "left_anti")
+            .join(sims.join(F.broadcast(sel_ids), "_b"), F.col(id_col) == F.col("_a"))
+            .groupBy(id_col, "rel")
+            .agg(F.max("_sim").alias("_msim"))
+            .select(
+                id_col,
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_msim")).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+        nxt = (
+            cand.orderBy(F.col("mmr_score").desc(), F.col(id_col))
+            .limit(1)
+            .select(id_col, "rel", F.lit(step).alias("rank"), "mmr_score")
+        )
+        picked = picked.unionByName(nxt).localCheckpoint(eager=True)
+    return picked.select("rank", id_col, F.round("mmr_score", 9).alias("mmr_score_r9")).orderBy(
+        "rank"
+    )

@@ -1400,3 +1400,7 @@ ORACLES.update(EXT10_ORACLES)
 from .queries_ext4 import Q_SCD2_SQL  # noqa: E402
 
 ORACLES["q_stream_scd2"] = Q_SCD2_SQL
+from .queries_ext11 import EXT11_ORACLES, EXT11_QUERIES  # noqa: E402
+
+QUERIES.update(EXT11_QUERIES)
+ORACLES.update(EXT11_ORACLES)
