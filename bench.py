@@ -71,6 +71,9 @@ HEADLINE = [
     "q_zscore_outliers",
     "q_bucketed_join",
     "q_dpp_join",
+    "q_merge_upsert",
+    "q_graph_rank",
+    "q_shard_manifest",
 ]
 
 

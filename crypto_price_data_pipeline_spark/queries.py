@@ -1404,3 +1404,7 @@ from .queries_ext11 import EXT11_ORACLES, EXT11_QUERIES  # noqa: E402
 
 QUERIES.update(EXT11_QUERIES)
 ORACLES.update(EXT11_ORACLES)
+from .queries_ext12 import EXT12_ORACLES, EXT12_QUERIES  # noqa: E402
+
+QUERIES.update(EXT12_QUERIES)
+ORACLES.update(EXT12_ORACLES)

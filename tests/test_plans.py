@@ -290,3 +290,42 @@ def test_cross_dedup_no_cartesian(spark):
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_base_never_shuffles(spark):
+    """MERGE's matched path must stream the base through a broadcast
+    hash join (no Exchange feeding the base scan side of that join);
+    the insert anti-join may shuffle, but only a key-pruned projection
+    of the base."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_merge_upsert"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the anti join's base-side scan is pruned to the key column
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any(
+        "c_custkey" in l and "c_acctbal" not in l and "c_name" not in l
+        for l in read_schemas
+    ), "insert anti-join must scan only the base key column"
+
+
+def test_graph_rank_edge_agg_broadcasts_dims(spark):
+    """The heavy edge-build stage must broadcast the customer/supplier
+    dims and never plan a nested-loop product; iterations join the
+    tiny rank vector via broadcast too."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_graph_rank"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_manifest_no_single_partition_window(spark):
+    """The prefix sum must stay bucketed: no Exchange SinglePartition
+    anywhere (that would be the one-partition global window the
+    two-phase design exists to avoid)."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q_shard_manifest"](spark, SF))
+    assert "SinglePartition" not in plan
