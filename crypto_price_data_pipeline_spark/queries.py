@@ -1408,3 +1408,7 @@ from .queries_ext12 import EXT12_ORACLES, EXT12_QUERIES  # noqa: E402
 
 QUERIES.update(EXT12_QUERIES)
 ORACLES.update(EXT12_ORACLES)
+from .queries_ext13 import EXT13_ORACLES, EXT13_QUERIES  # noqa: E402
+
+QUERIES.update(EXT13_QUERIES)
+ORACLES.update(EXT13_ORACLES)
