@@ -1412,3 +1412,11 @@ from .queries_ext13 import EXT13_ORACLES, EXT13_QUERIES  # noqa: E402
 
 QUERIES.update(EXT13_QUERIES)
 ORACLES.update(EXT13_ORACLES)
+from .queries_ext14 import EXT14_ORACLES, EXT14_QUERIES  # noqa: E402
+
+QUERIES.update(EXT14_QUERIES)
+ORACLES.update(EXT14_ORACLES)
+# streamed moments ≡ batch moments: the batch oracle verbatim
+from .queries_ext3 import Q_STATS_MOMENTS_SQL as _QSM  # noqa: E402
+
+ORACLES["q_stream_moments"] = _QSM
