@@ -1420,3 +1420,7 @@ ORACLES.update(EXT14_ORACLES)
 from .queries_ext3 import Q_STATS_MOMENTS_SQL as _QSM  # noqa: E402
 
 ORACLES["q_stream_moments"] = _QSM
+from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
+
+QUERIES.update(EXT15_QUERIES)
+ORACLES.update(EXT15_ORACLES)
