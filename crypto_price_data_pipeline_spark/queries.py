@@ -1424,3 +1424,11 @@ from .queries_ext15 import EXT15_ORACLES, EXT15_QUERIES  # noqa: E402
 
 QUERIES.update(EXT15_QUERIES)
 ORACLES.update(EXT15_ORACLES)
+from .queries_ext16 import EXT16_ORACLES, EXT16_QUERIES  # noqa: E402
+
+QUERIES.update(EXT16_QUERIES)
+ORACLES.update(EXT16_ORACLES)
+# streamed retention ≡ batch retention: the batch oracle verbatim
+from .queries_ext14 import Q_COHORT_RETENTION_SQL as _QCR  # noqa: E402
+
+ORACLES["q_stream_retention"] = _QCR
