@@ -1432,3 +1432,11 @@ ORACLES.update(EXT16_ORACLES)
 from .queries_ext14 import Q_COHORT_RETENTION_SQL as _QCR  # noqa: E402
 
 ORACLES["q_stream_retention"] = _QCR
+from .queries_ext17 import EXT17_ORACLES, EXT17_QUERIES  # noqa: E402
+
+QUERIES.update(EXT17_QUERIES)
+ORACLES.update(EXT17_ORACLES)
+# streamed bigrams ≡ batch bigrams: the batch oracle verbatim
+from .queries_ext16 import Q_EVENT_BIGRAMS_SQL as _QEB  # noqa: E402
+
+ORACLES["q_stream_bigrams"] = _QEB
