@@ -1440,3 +1440,7 @@ ORACLES.update(EXT17_ORACLES)
 from .queries_ext16 import Q_EVENT_BIGRAMS_SQL as _QEB  # noqa: E402
 
 ORACLES["q_stream_bigrams"] = _QEB
+from .queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
+
+QUERIES.update(EXT18_QUERIES)
+ORACLES.update(EXT18_ORACLES)
