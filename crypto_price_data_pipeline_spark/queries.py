@@ -1444,3 +1444,7 @@ from .queries_ext18 import EXT18_ORACLES, EXT18_QUERIES  # noqa: E402
 
 QUERIES.update(EXT18_QUERIES)
 ORACLES.update(EXT18_ORACLES)
+from .queries_ext19 import EXT19_ORACLES, EXT19_QUERIES  # noqa: E402
+
+QUERIES.update(EXT19_QUERIES)
+ORACLES.update(EXT19_ORACLES)
