@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["weighted_pagerank"]
+__all__ = ["weighted_pagerank", "bfs_hops"]
 
 
 def weighted_pagerank(
@@ -103,3 +103,52 @@ def weighted_pagerank(
             )
         )
     return ranks
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    sources: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Multi-source BFS: (id, dist) = fewest undirected hops from the
+    nearest source, for every reachable node.
+
+    ``pairs``: (id_a, id_b) undirected edges. ``sources``: one column
+    ``id_col``. Unreachable nodes are absent from the result.
+
+    Same iteration discipline as ``connected_components``: each round
+    is ONE edge join + ONE min-combine (map-side combinable), state is
+    localCheckpointed so the lineage stays flat, and convergence is a
+    two-scalar driver collect (count + sum — dist only ever shrinks
+    and the node set only ever grows, so the pair is a fixpoint
+    signature). Round count = graph diameter (bounded by ``max_iter``);
+    per-round cost is the edge-table join — the scale knob is the same
+    ``num_partitions`` story as components (dedup cluster graphs are
+    tiny next to the corpus that produced them).
+    """
+    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionByName(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    dist = sources.select(
+        F.col(id_col).alias("n"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    prev = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+
+    for _ in range(max_iter):
+        msgs = edges.join(dist, edges["s"] == dist["n"]).select(
+            F.col("d").alias("n"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(msgs)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        cur = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        if tuple(cur) == tuple(prev):
+            break
+        prev = cur
+
+    return dist.select(F.col("n").alias(id_col), "dist")

@@ -1448,3 +1448,11 @@ from .queries_ext19 import EXT19_ORACLES, EXT19_QUERIES  # noqa: E402
 
 QUERIES.update(EXT19_QUERIES)
 ORACLES.update(EXT19_ORACLES)
+from .queries_ext20 import EXT20_ORACLES, EXT20_QUERIES  # noqa: E402
+
+QUERIES.update(EXT20_QUERIES)
+ORACLES.update(EXT20_ORACLES)
+# streamed paths ≡ batch paths: the batch oracle verbatim
+from .queries_ext18 import Q_TOP_PATHS_SQL as _QTP  # noqa: E402
+
+ORACLES["q_stream_paths"] = _QTP

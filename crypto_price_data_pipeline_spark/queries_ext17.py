@@ -80,7 +80,7 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(t) >= 3
               THEN list_distinct(list_transform(range(1, len(t) - 1),
@@ -88,13 +88,13 @@ sh AS (
               ELSE [array_to_string(t, ' ')] END AS sh
   FROM toks
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION ALL
   SELECT id_b AS s, id_a AS d FROM pairs
