@@ -1456,3 +1456,11 @@ ORACLES.update(EXT20_ORACLES)
 from .queries_ext18 import Q_TOP_PATHS_SQL as _QTP  # noqa: E402
 
 ORACLES["q_stream_paths"] = _QTP
+from .queries_ext21 import EXT21_ORACLES, EXT21_QUERIES  # noqa: E402
+
+QUERIES.update(EXT21_QUERIES)
+ORACLES.update(EXT21_ORACLES)
+# streamed changepoint ≡ batch changepoint: the batch oracle verbatim
+from .queries_ext19 import Q_CHANGEPOINT_SQL as _QCP  # noqa: E402
+
+ORACLES["q_stream_changepoint"] = _QCP
