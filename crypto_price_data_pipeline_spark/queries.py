@@ -1464,3 +1464,7 @@ ORACLES.update(EXT21_ORACLES)
 from .queries_ext19 import Q_CHANGEPOINT_SQL as _QCP  # noqa: E402
 
 ORACLES["q_stream_changepoint"] = _QCP
+from .queries_ext22 import EXT22_ORACLES, EXT22_QUERIES  # noqa: E402
+
+QUERIES.update(EXT22_QUERIES)
+ORACLES.update(EXT22_ORACLES)
