@@ -1468,3 +1468,11 @@ from .queries_ext22 import EXT22_ORACLES, EXT22_QUERIES  # noqa: E402
 
 QUERIES.update(EXT22_QUERIES)
 ORACLES.update(EXT22_ORACLES)
+from .queries_ext23 import EXT23_ORACLES, EXT23_QUERIES  # noqa: E402
+
+QUERIES.update(EXT23_QUERIES)
+ORACLES.update(EXT23_ORACLES)
+# streamed diversity ≡ batch diversity: the batch oracle verbatim
+from .queries_ext20 import Q_DIVERSITY_INDEX_SQL as _QDI  # noqa: E402
+
+ORACLES["q_stream_diversity"] = _QDI
