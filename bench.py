@@ -74,6 +74,16 @@ HEADLINE = [
     "q_merge_upsert",
     "q_graph_rank",
     "q_shard_manifest",
+    # round-7 waves 18-23 representatives
+    "q_tfidf_cosine_pairs",
+    "q_bm25_topk",
+    "q_top_paths",
+    "q_k_anonymity",
+    "q_zorder_layout",
+    "q_rfm_segments",
+    "q_changepoint",
+    "q_peak_concurrency",
+    "q_rolling_corr",
 ]
 
 
