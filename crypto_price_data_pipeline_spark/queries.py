@@ -1476,3 +1476,7 @@ ORACLES.update(EXT23_ORACLES)
 from .queries_ext20 import Q_DIVERSITY_INDEX_SQL as _QDI  # noqa: E402
 
 ORACLES["q_stream_diversity"] = _QDI
+from .queries_ext24 import EXT24_ORACLES, EXT24_QUERIES  # noqa: E402
+
+QUERIES.update(EXT24_QUERIES)
+ORACLES.update(EXT24_ORACLES)
