@@ -1480,3 +1480,7 @@ from .queries_ext24 import EXT24_ORACLES, EXT24_QUERIES  # noqa: E402
 
 QUERIES.update(EXT24_QUERIES)
 ORACLES.update(EXT24_ORACLES)
+from .queries_ext25 import EXT25_ORACLES, EXT25_QUERIES  # noqa: E402
+
+QUERIES.update(EXT25_QUERIES)
+ORACLES.update(EXT25_ORACLES)
