@@ -327,7 +327,10 @@ def q_stream_bigrams(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_daily_bands(spark: SparkSession, sf: str) -> DataFrame:
     """Daily p10/p50/p90 bands of the event value — the band-chart
-    feed; exact interpolated percentiles per day bucket."""
+    feed; exact interpolated percentiles per day bucket, rounded to
+    9 places — the interpolation lo + frac·(hi−lo) differs in the
+    last ulp between engines (first observed at sf0.1: 5.06 vs
+    5.06…05), and values are O(100) so r9 canonicalizes safely."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(
@@ -335,9 +338,9 @@ def q_daily_bands(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("percentile(value, 0.1)").alias("p10"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.round(F.expr("percentile(value, 0.1)"), 9).alias("p10"),
+            F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
         )
         .orderBy("day")
     )
@@ -346,9 +349,9 @@ def q_daily_bands(spark: SparkSession, sf: str) -> DataFrame:
 Q_DAILY_BANDS_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) AS n,
-       quantile_cont(value, 0.1) AS p10,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.9) AS p90
+       ROUND(quantile_cont(value, 0.1), 9) AS p10,
+       ROUND(quantile_cont(value, 0.5), 9) AS p50,
+       ROUND(quantile_cont(value, 0.9), 9) AS p90
 FROM events GROUP BY 1 ORDER BY 1
 """
 

@@ -309,8 +309,10 @@ def q_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
             / F.count(F.lit(1)),
             9,
         ).alias("late_frac_r9"),
-        F.expr("percentile(late_us, 0.5)").alias("p50_late_us"),
-        F.expr("percentile(late_us, 0.9)").alias("p90_late_us"),
+        # micros magnitudes reach 1e9 where double ulp ~1e-7: round to
+        # 3 places (interpolated halves stay exact, ulp drift dies)
+        F.round(F.expr("percentile(late_us, 0.5)"), 3).alias("p50_late_us"),
+        F.round(F.expr("percentile(late_us, 0.9)"), 3).alias("p90_late_us"),
         F.max("late_us").alias("max_late_us"),
     )
 
@@ -326,8 +328,8 @@ SELECT COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
        ROUND(CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 9) AS late_frac_r9,
-       quantile_cont(late_us, 0.5) AS p50_late_us,
-       quantile_cont(late_us, 0.9) AS p90_late_us,
+       ROUND(quantile_cont(late_us, 0.5), 3) AS p50_late_us,
+       ROUND(quantile_cont(late_us, 0.9), 3) AS p90_late_us,
        MAX(late_us) AS max_late_us
 FROM lat
 """

@@ -59,7 +59,7 @@ def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("gap_us").isNotNull().cast("long")).alias("n_attributed"),
         F.sum(F.col("gap_us").isNull().cast("long")).alias("n_unattributed"),
-        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 3).alias("p50_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
 
@@ -75,7 +75,7 @@ WITH carried AS (
 SELECT COUNT(*) AS n_purchases,
        CAST(SUM(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
        CAST(SUM(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unattributed,
-       quantile_cont(gap_us, 0.5) AS p50_gap_us,
+       ROUND(quantile_cont(gap_us, 0.5), 3) AS p50_gap_us,
        MAX(gap_us) AS max_gap_us
 FROM carried WHERE event_type = 'purchase'
 """
