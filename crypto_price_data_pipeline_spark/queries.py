@@ -1484,3 +1484,11 @@ from .queries_ext25 import EXT25_ORACLES, EXT25_QUERIES  # noqa: E402
 
 QUERIES.update(EXT25_QUERIES)
 ORACLES.update(EXT25_ORACLES)
+from .queries_ext26 import EXT26_ORACLES, EXT26_QUERIES  # noqa: E402
+
+QUERIES.update(EXT26_QUERIES)
+ORACLES.update(EXT26_ORACLES)
+# streamed attribution ≡ batch attribution: the batch oracle verbatim
+from .queries_ext25 import Q_ATTRIBUTION_SQL as _QAT  # noqa: E402
+
+ORACLES["q_stream_attribution"] = _QAT
