@@ -154,16 +154,20 @@ def main() -> None:
         passes.append(tp)
     timings = {name: min(p[name] for p in passes) for name in HEADLINE}
 
-    # end-to-end streaming rollup (availableNow over the events table,
-    # full Structured Streaming machinery incl. checkpointing)
-    t0 = time.time()
-    QUERIES["q_stream_ohlc"](spark, sf_dir).count()
-    timings["stream_ohlc_e2e"] = round(time.time() - t0, 3)
+    # end-to-end streaming entries: min-of-2 like the main set —
+    # availableNow micro-batch scheduling adds multi-second jitter a
+    # single sample can't separate from the engine (r7: 3.4s and 11.1s
+    # single samples of the same unchanged stream in one day)
+    def _stream_e2e(name: str) -> float:
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+        return min(samples)
 
-    # watermarked stream-stream interval join e2e (state stores both sides)
-    t0 = time.time()
-    QUERIES["q_stream_join"](spark, sf_dir).count()
-    timings["stream_join_e2e"] = round(time.time() - t0, 3)
+    timings["stream_ohlc_e2e"] = _stream_e2e("q_stream_ohlc")
+    timings["stream_join_e2e"] = _stream_e2e("q_stream_join")
 
     # written-sink path: snappy-parquet append of the enriched lineitem
     # projection (measures the write pipeline, not just scans)
