@@ -1492,3 +1492,7 @@ ORACLES.update(EXT26_ORACLES)
 from .queries_ext25 import Q_ATTRIBUTION_SQL as _QAT  # noqa: E402
 
 ORACLES["q_stream_attribution"] = _QAT
+from .queries_ext27 import EXT27_ORACLES, EXT27_QUERIES  # noqa: E402
+
+QUERIES.update(EXT27_QUERIES)
+ORACLES.update(EXT27_ORACLES)
