@@ -1496,3 +1496,11 @@ from .queries_ext27 import EXT27_ORACLES, EXT27_QUERIES  # noqa: E402
 
 QUERIES.update(EXT27_QUERIES)
 ORACLES.update(EXT27_ORACLES)
+from .queries_ext28 import EXT28_ORACLES, EXT28_QUERIES  # noqa: E402
+
+QUERIES.update(EXT28_QUERIES)
+ORACLES.update(EXT28_ORACLES)
+# streamed KS ≡ batch KS: the batch oracle verbatim
+from .queries_ext26 import Q_KS_STATISTIC_SQL as _QKS  # noqa: E402
+
+ORACLES["q_stream_ks"] = _QKS
