@@ -1504,3 +1504,7 @@ ORACLES.update(EXT28_ORACLES)
 from .queries_ext26 import Q_KS_STATISTIC_SQL as _QKS  # noqa: E402
 
 ORACLES["q_stream_ks"] = _QKS
+from .queries_ext29 import EXT29_ORACLES, EXT29_QUERIES  # noqa: E402
+
+QUERIES.update(EXT29_QUERIES)
+ORACLES.update(EXT29_ORACLES)
