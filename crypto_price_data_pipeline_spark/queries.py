@@ -1508,3 +1508,7 @@ from .queries_ext29 import EXT29_ORACLES, EXT29_QUERIES  # noqa: E402
 
 QUERIES.update(EXT29_QUERIES)
 ORACLES.update(EXT29_ORACLES)
+from .queries_ext30 import EXT30_ORACLES, EXT30_QUERIES  # noqa: E402
+
+QUERIES.update(EXT30_QUERIES)
+ORACLES.update(EXT30_ORACLES)
