@@ -1512,3 +1512,11 @@ from .queries_ext30 import EXT30_ORACLES, EXT30_QUERIES  # noqa: E402
 
 QUERIES.update(EXT30_QUERIES)
 ORACLES.update(EXT30_ORACLES)
+from .queries_ext31 import EXT31_ORACLES, EXT31_QUERIES  # noqa: E402
+
+QUERIES.update(EXT31_QUERIES)
+ORACLES.update(EXT31_ORACLES)
+# streamed reach ≡ batch reach: the batch oracle verbatim
+from .queries_ext30 import Q_CUMULATIVE_REACH_SQL as _QCRE  # noqa: E402
+
+ORACLES["q_stream_reach"] = _QCRE
