@@ -1520,3 +1520,11 @@ ORACLES.update(EXT31_ORACLES)
 from .queries_ext30 import Q_CUMULATIVE_REACH_SQL as _QCRE  # noqa: E402
 
 ORACLES["q_stream_reach"] = _QCRE
+from .queries_ext32 import EXT32_ORACLES, EXT32_QUERIES  # noqa: E402
+
+QUERIES.update(EXT32_QUERIES)
+ORACLES.update(EXT32_ORACLES)
+# streamed survival ≡ batch survival: the batch oracle verbatim
+from .queries_ext31 import Q_SURVIVAL_CURVE_SQL as _QSC  # noqa: E402
+
+ORACLES["q_stream_survival"] = _QSC
