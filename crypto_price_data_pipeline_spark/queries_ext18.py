@@ -120,7 +120,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
 Q_TFIDF_COSINE_PAIRS_SQL = r"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         list_filter(string_split_regex(lower(text), '\s+'),
                      t -> t <> '') AS t
   FROM documents),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -355,7 +355,7 @@ def q_zipf_check(spark: SparkSession, sf: str) -> DataFrame:
 
 Q_ZIPF_CHECK_SQL = r"""
 WITH freq AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
                 t -> t <> '')) AS term
   FROM documents),
 counted AS (SELECT term, COUNT(*) AS freq FROM freq GROUP BY 1),

@@ -166,7 +166,7 @@ def q_retrieval_agreement(spark: SparkSession, sf: str) -> DataFrame:
 Q_RETRIEVAL_AGREEMENT_SQL = r"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         list_filter(string_split_regex(lower(text), '\s+'),
                      t -> t <> '') AS t
   FROM documents),
 base AS (SELECT doc_id, t, len(t) AS dl FROM toked),

@@ -202,7 +202,7 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
 Q_RRF_FUSION_SQL = r"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         list_filter(string_split_regex(lower(text), '\s+'),
                      t -> t <> '') AS t
   FROM documents),
 base AS (SELECT doc_id, t, len(t) AS dl FROM toked),

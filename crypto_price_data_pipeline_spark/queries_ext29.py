@@ -150,11 +150,11 @@ def q_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
 
 Q_YIELD_CURVE_SQL = r"""
 WITH scored AS (
-  SELECT CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                               t -> t <> '')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
                                             t -> t <> ''))) AS DOUBLE)
-           / GREATEST(CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           / GREATEST(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                                            t -> t <> '')) AS BIGINT), 1) AS ratio
   FROM documents),
 thr AS (SELECT CAST(unnest([0.0, 0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS thr),
