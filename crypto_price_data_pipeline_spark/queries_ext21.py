@@ -181,16 +181,50 @@ SELECT * FROM zaudit UNION ALL SELECT * FROM laudit ORDER BY layout
 
 def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """16-bucket equi-depth histogram of o_totalprice — the planner
-    statistic (selectivity estimation) as a query: ntile(16) over the
-    totally-ordered (price, orderkey) window, then per-bucket
-    n/lo/hi. At warehouse scale the same artifact comes from
-    approx-percentile boundaries; the exact ntile form IS the oracle
-    contract here.
+    statistic (selectivity estimation) as a query, with NTILE(16)
+    semantics but NO global-sort window: the exact global rank of
+    (price, orderkey) comes from ``operators.ordering.
+    global_order_index`` (value-range pre-bucket → per-bucket local
+    row_number → broadcast bucket-prefix offsets — the packing.py
+    two-phase prefix-sum shape), and the NTILE bucket is derived from
+    the rank with the exact NTILE rule (first ``n mod 16`` tiles get
+    ``n div 16 + 1`` rows). Bit-identical to the ntile form the oracle
+    runs, parallel across ~256 range buckets instead of one task.
+    Heavily skewed value distributions would size the range buckets
+    from approx quantiles instead of min/max; uniform-width is right
+    for this column and keeps the boundary pass to one min/max agg.
     """
+    from .operators.ordering import global_order_index
+
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("o_totalprice").cast("double")).alias("lo"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hi"),
+    ).first()
+    n, lo, hi = int(stats["n"]), float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / 256.0 or 1.0
+    # monotone coarsening of the price order: floor((p - lo) / width)
+    # (decimal→double cast is order-preserving; collisions only merge
+    # adjacent buckets, never reorder)
+    range_bucket = F.least(
+        F.floor((F.col("o_totalprice").cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(255),
+    ).cast("long")
+    ranked = global_order_index(
+        orders, ["o_totalprice", "o_orderkey"], range_bucket, num_buckets=256
+    )
+    q, rem = divmod(n, 16)
+    if q == 0:  # fewer rows than tiles: NTILE gives each row its own tile
+        tile = F.col("pos")
+    else:
+        cut = rem * (q + 1)
+        tile = F.expr(
+            f"CASE WHEN pos <= {cut} THEN (pos - 1) DIV {q + 1} + 1 "
+            f"ELSE {rem} + (pos - 1 - {cut}) DIV {q} + 1 END"
+        )
     return (
-        orders.withColumn("bucket", F.ntile(16).over(w).cast("long"))
+        ranked.withColumn("bucket", tile.cast("long"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

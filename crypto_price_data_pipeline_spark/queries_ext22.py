@@ -132,19 +132,24 @@ def q_retrieval_agreement(spark: SparkSession, sf: str) -> DataFrame:
         .alias("rank_bm25"),
     )
     docs = load_table(spark, sf, "documents")
-    tf_rank = (
+    # top-k idiom: orderBy().limit(k) plans TakeOrderedAndProject (a
+    # per-partition bounded heap + k-row merge), so the matched set is
+    # never single-partitioned; the row_number window then runs on the
+    # 10-row result only. Same tiebreak ⇒ identical rows and ranks.
+    tf_top = (
         docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
         .where(F.col("term").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
-            .cast("long")
-            .alias("rank_tf"),
-        )
-        .where(F.col("rank_tf") <= 10)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(10)
+    )
+    tf_rank = tf_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank_tf"),
     )
     joined = bm25.join(tf_rank, "doc_id")
     return joined.agg(

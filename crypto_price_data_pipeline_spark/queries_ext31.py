@@ -46,13 +46,16 @@ def q_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     spans = ev.groupBy("user_id").agg(
         F.datediff(F.max("d"), F.min("d")).alias("span")
     )
+    # histogram FIRST: the ladder joins against ≤|distinct spans| rows
+    # (≤ the calendar window in days), never the per-user table — the
+    # curve's cost is |users|-independent past the one user hash agg.
+    hist = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_span"))
     n_users = spans.count()
     ks = spark.createDataFrame([(k,) for k in range(30)], "k long")
     return (
-        ks.crossJoin(spans)
-        .where(F.col("span") >= F.col("k"))
+        hist.join(F.broadcast(ks), F.col("span") >= F.col("k"))
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_surviving"))
+        .agg(F.sum("n_span").alias("n_surviving"))
         .select(
             "k",
             "n_surviving",
