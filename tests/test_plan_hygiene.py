@@ -9,9 +9,61 @@ Pandas, MapInPandas) is allowed — that's the sanctioned slow path."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 SF = "/root/testdata/sf0.001"
+
+# ---- raw single-partition-window detector -------------------------
+# A Window with no partitionBy plans `Exchange SinglePartition`: fine
+# when its input is already compressed (an aggregate / limit / local
+# table below the exchange bounds the rows funneled through the one
+# task), a 100 TB-killer when a raw FileScan feeds it directly (the
+# whole base table sorts on one executor). The detector walks the
+# executedPlan tree text: flag iff some Window's subtree contains an
+# Exchange SinglePartition whose input reaches a FileScan without
+# crossing a bounding node. Compressed-domain registry queries
+# (q_ks_statistic, q_weighted_median, q_exact_median_2pass, ...) pass
+# structurally — no allowlist.
+
+_MARK = re.compile(r"[+:]- ")
+_BOUNDING = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|GlobalLimit|LocalLimit|"
+    r"TakeOrderedAndProject|LocalTableScan|Scan ExistingRDD|BroadcastExchange|"
+    r"ReusedExchange|WindowGroupLimit"
+)
+
+
+def _depth(ln: str) -> int:
+    m = _MARK.search(ln)
+    return (m.start() // 3 + 1) if m else 0
+
+
+def raw_single_partition_window(plan: str) -> bool:
+    lines = plan.splitlines()
+    depths = [_depth(l) for l in lines]
+    for i, ln in enumerate(lines):
+        if "Window" not in ln or "WindowGroupLimit" in ln:
+            continue
+        di = depths[i]
+        j = i + 1
+        while j < len(lines) and depths[j] > di:
+            if "Exchange SinglePartition" in lines[j]:
+                dj = depths[j]
+                k, bounds = j + 1, []
+                while k < len(lines) and depths[k] > dj:
+                    dk = depths[k]
+                    while bounds and dk <= bounds[-1]:
+                        bounds.pop()
+                    if not bounds:
+                        if _BOUNDING.search(lines[k]):
+                            bounds.append(dk)
+                        elif "FileScan" in lines[k]:
+                            return True
+                    k += 1
+            j += 1
+    return False
 
 # streaming wrappers execute real streams on call — covered by their
 # own oracles/units; q_continuous_agg likewise.
@@ -38,9 +90,39 @@ def test_registry_plans_free_of_cartesian_and_row_python(spark):
             for t in _FORBIDDEN
             if t in plan and not (t == "BatchEvalPython" and name in _ALLOWED_ROW_PYTHON)
         ]
+        if raw_single_partition_window(plan):
+            hits.append("raw-FileScan -> Exchange SinglePartition -> Window")
         if hits:
             offenders[name] = hits
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_single_partition_window_detector_bites(spark):
+    """The detector must flag the anti-pattern it exists for — the
+    pre-round-8 q_equi_depth_histogram shape (ntile over the raw
+    orders table with no partitionBy) — and must NOT flag the same
+    window once an aggregate compresses the input below the exchange."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    bad = orders.withColumn("b", F.ntile(16).over(w))
+    assert raw_single_partition_window(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+    compressed = (
+        orders.groupBy("o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("o_totalprice"))
+        )
+    )
+    assert not raw_single_partition_window(
+        compressed._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_served_lsh_index_probe_prunes_partitions(spark, tmp_path):
