@@ -6,8 +6,12 @@ The naive ``groupBy(key).count()`` shuffles EVERY distinct key — at
 two-pass form here shuffles only the candidates:
 
 1. **Candidate pass (zero shuffle)**: each partition summarizes its
-   keys with a bounded Misra-Gries sketch (``den`` counters,
-   Arrow-batched ``mapInPandas``). MG's guarantee: a key undercounts
+   keys with a bounded Misra-Gries sketch (Arrow-batched
+   ``mapInPandas``; the MG decrement runs once per Arrow batch, so
+   peak sketch memory is ``den`` counters PLUS one Arrow batch's
+   distinct keys — bounded by
+   ``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k, not
+   by ``den`` alone). MG's guarantee: a key undercounts
    by at most ``n_p/(den+1)``, so ANY key with partition frequency
    above ``n_p/den`` survives — and a global heavy hitter (frequency
    > n/den) must exceed that in at least one partition (pigeonhole).
@@ -37,15 +41,19 @@ __all__ = ["heavy_hitters"]
 
 def heavy_hitters(df: DataFrame, col: str, *, den: int = 50) -> DataFrame:
     """Keys of ``df[col]`` with exact frequency > n/den, with their
-    exact counts, ordered by (freq desc, key). ``den`` bounds both the
-    result size (< den keys) and the per-partition sketch memory."""
+    exact counts, ordered by (freq desc, key). ``den`` bounds the
+    result size (< den keys); per-partition sketch memory is
+    ``den + one Arrow batch's distinct keys`` (module docstring)."""
     n = df.count()  # scalar collect, O(1) driver state
+    key_field = df.schema[col]
 
     def mg_partition(batches: Iterator) -> Iterator:
         import pandas as pd
 
         c: Counter = Counter()
+        dtype = None
         for pdf in batches:
+            dtype = pdf[col].dtype
             c.update(Counter(pdf[col].value_counts().to_dict()))
             if len(c) > den:
                 # batch-decrement: subtract the (den+1)-th largest count
@@ -54,11 +62,16 @@ def heavy_hitters(df: DataFrame, col: str, *, den: int = 50) -> DataFrame:
                 # the undercount-≤ n_p/(den+1) bound.
                 sub = sorted(c.values(), reverse=True)[den]
                 c = Counter({k: v - sub for k, v in c.items() if v > sub})
-        yield pd.DataFrame({col: list(c.keys())})
+        if c:
+            yield pd.DataFrame({col: pd.Series(list(c.keys()), dtype=dtype)})
+
+    # output schema derives from the input column's type — a bigint or
+    # date key round-trips exactly instead of coercing through string
+    from pyspark.sql.types import StructType
 
     cands = (
         df.select(col)
-        .mapInPandas(mg_partition, schema=f"{col} string")
+        .mapInPandas(mg_partition, schema=StructType([key_field]))
         .distinct()
     )
     return (

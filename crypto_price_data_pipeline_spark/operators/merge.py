@@ -40,6 +40,7 @@ def merge_upsert(
     op_col: str = "op",
     action_col: str = "merge_action",
     broadcast_changes: bool = True,
+    validate: bool = True,
 ) -> DataFrame:
     """Apply a keyed change batch to ``base`` with MERGE semantics.
 
@@ -55,7 +56,17 @@ def merge_upsert(
     ``('kept', 'updated', 'inserted')`` — deletes are absent by
     construction. Keys must be unique on both sides (standard MERGE
     precondition; a duplicate-key change batch would make the result
-    nondeterministic in any engine).
+    nondeterministic in any engine). With ``validate=True`` (default)
+    a duplicate change key FAILS THE JOB via an in-plan ``assert_true``
+    riding the changes projection — one per-key count window on the
+    (small) CDC batch — instead of silently fanning out base rows
+    through the left join and double-inserting via the anti join.
+    Disable it only for the full-snapshot-sized change path where the
+    extra changes-side shuffle matters AND uniqueness is guaranteed
+    upstream. Base-side duplicates are NOT checked (SQL MERGE only
+    requires source uniqueness; duplicate base keys each receive the
+    same change row, which is standard MERGE-on-non-unique-target
+    behavior).
 
     ``insert_values`` expressions are evaluated against the unmatched
     CHANGES rows, whose payload columns appear under a ``_chg_``
@@ -64,6 +75,27 @@ def merge_upsert(
     """
     payload_cols = [c for c in changes.columns if c != on]
     ch = changes.select(on, *[F.col(c).alias(f"_chg_{c}") for c in payload_cols])
+    if validate:
+        from pyspark.sql.window import Window
+
+        # in-plan uniqueness guard (packing.py idiom): assert_true is
+        # NULL on success, so coalesce-concat onto the op column keeps
+        # it referenced through column pruning; a duplicate key raises
+        # at execution instead of producing a silently-fanned-out merge.
+        guard = F.assert_true(
+            F.count(F.lit(1)).over(Window.partitionBy(on)) == F.lit(1),
+            F.concat(
+                F.lit(f"merge_upsert: duplicate key in changes on {on!r}: "),
+                F.col(on).cast("string"),
+            ),
+        )
+        ch = ch.withColumn(
+            f"_chg_{op_col}",
+            F.concat(
+                F.coalesce(guard.cast("string"), F.lit("")),
+                F.col(f"_chg_{op_col}"),
+            ),
+        )
     ch_b = F.broadcast(ch) if broadcast_changes else ch
     chg_op = F.col(f"_chg_{op_col}")
 

@@ -129,3 +129,28 @@ def test_hard_negatives_have_different_labels(spark):
     for r in rows:
         assert labels[r["vec_id"]] != labels[r["q_id"]]
         assert 1 <= r["neg_rank"] <= 3
+
+
+def test_merge_upsert_rejects_duplicate_change_keys(spark):
+    """ADVICE r7: a duplicate-key change batch must fail the job via
+    the in-plan guard, not silently fan out base rows; validate=False
+    keeps the documented caller-guaranteed fast path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    dup = spark.createDataFrame(
+        [(1, "upsert", 11), (1, "upsert", 12)], "id long, op string, v long"
+    )
+    merged = merge_upsert(
+        base, dup, "id", update_set={"v": "v"}, insert_values={"v": F.col("_chg_v")}
+    )
+    with pytest.raises(Exception, match="duplicate key in changes"):
+        merged.collect()
+    unique = dup.limit(1)
+    ok = merge_upsert(
+        base, unique, "id", update_set={"v": "v"}, insert_values={"v": F.col("_chg_v")}
+    )
+    assert {(r["id"], r["v"]) for r in ok.collect()} == {(1, 11), (2, 20)}

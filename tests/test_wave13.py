@@ -130,3 +130,20 @@ def test_interval_coverage_bounds(spark):
     for uid, r in out.items():
         assert r["n_islands"] >= 1
         assert max(durs[uid]) <= r["covered_micros"] <= sum(durs[uid])
+
+
+def test_heavy_hitters_numeric_key_schema(spark):
+    """ADVICE r7: the candidate schema derives from the input column's
+    type — a bigint key round-trips exactly instead of coercing
+    through string."""
+    from crypto_price_data_pipeline_spark.operators.frequency import heavy_hitters
+
+    df = spark.createDataFrame([(i % 4,) for i in range(100)] + [(99,)], "k long")
+    out = heavy_hitters(df, "k", den=5)
+    assert out.schema["k"].dataType.typeName() == "long"
+    assert {(r["k"], r["freq"]) for r in out.collect()} == {
+        (0, 25),
+        (1, 25),
+        (2, 25),
+        (3, 25),
+    }
