@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 from .operators.text import tokenize
 from .queries import S_DSUM, dsum
 
@@ -97,17 +98,9 @@ def q_stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         )
         partial.write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=docs.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     counts = (
         spark.read.schema("token string, freq bigint")

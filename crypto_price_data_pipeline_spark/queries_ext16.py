@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 from .queries import _dec
 
 
@@ -336,17 +337,9 @@ def q_stream_retention(spark: SparkSession, sf: str) -> DataFrame:
         firsts.write.mode("overwrite").parquet(f"{store}/firsts/batch_{batch_id:05d}")
         weeks.write.mode("overwrite").parquet(f"{store}/weeks/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     firsts = (
         spark.read.schema("user_id long, min_ts timestamp")

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # ---------------------------------------------- dedup provenance
@@ -274,17 +275,9 @@ def q_stream_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         pairs.write.mode("overwrite").parquet(f"{store}/pairs/batch_{batch_id:05d}")
         bounds.write.mode("overwrite").parquet(f"{store}/bounds/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     in_batch = (
         spark.read.schema("from_type string, to_type string, n bigint")

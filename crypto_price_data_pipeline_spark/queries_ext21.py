@@ -11,8 +11,9 @@ plus a streamed change-point.
   prunes on BOTH dims, linear on one. All-integer arithmetic — the
   oracle is bit-exact.
 - ``q_equi_depth_histogram`` — 16-bucket equi-depth histogram of
-  order totalprice (the CBO statistic): ntile over a totally-ordered
-  window, per-bucket n/min/max.
+  order totalprice (the CBO statistic): NTILE semantics from the
+  exact two-phase global rank (operators/ordering.py), per-bucket
+  n/min/max — no single-partition window.
 - ``q_clustering_factor`` — intra-order monotonicity of lineitem
   dates: per-order (partitioned window — no global sort) count of
   sequence breaks in ship/receipt dates scanned in linenumber order.
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # ------------------------------------------------ Z-order layout
@@ -350,17 +352,9 @@ def q_stream_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         )
         part.write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     daily = (
         spark.read.schema("day string, s decimal(38,6), c bigint")

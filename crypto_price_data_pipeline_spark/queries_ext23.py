@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # ------------------------------------------- peak concurrency
@@ -269,17 +270,9 @@ def q_stream_diversity(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("nl")
         ).write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=docs.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     counts = (
         spark.read.schema("source string, lang string, nl bigint")

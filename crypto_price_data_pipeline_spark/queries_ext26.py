@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # --------------------------------------- streamed attribution
@@ -96,17 +97,9 @@ def q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{store}/clicks/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     opt = {"recursiveFileLookup": "true"}
     gaps = (

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # ------------------------------------------------ streamed KS
@@ -58,17 +59,9 @@ def q_stream_ks(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((F.col("event_type") == "purchase").cast("long")).alias("cb"),
         ).write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     counts = (
         spark.read.schema("value double, ca long, cb long")

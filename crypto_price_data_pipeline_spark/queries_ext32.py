@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # ---------------------------------------------- GMV waterfall
@@ -195,17 +196,9 @@ def q_stream_survival(spark: SparkSession, sf: str) -> DataFrame:
             F.max(F.date_trunc("day", "ts").cast("date")).alias("dmax"),
         ).write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
 
     spans = (
         spark.read.schema("user_id long, dmin date, dmax date")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 
 
 # ----------------------------------------- persisted-index serving
@@ -483,17 +484,9 @@ def q_stream_mixture(spark: SparkSession, sf: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=docs.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
     return (
         spark.read.schema(docs.schema)
         .option("recursiveFileLookup", "true")

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .streaming.partial_store import run_partial_stream
 from .operators.text import tokenize
 
 
@@ -339,17 +340,9 @@ def q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
         )
         dropped.write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=docs.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
-    q.awaitTermination()
     bench.unpersist()
     return (
         spark.read.schema("doc_id long")

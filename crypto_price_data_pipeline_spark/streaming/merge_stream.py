@@ -23,7 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.window import Window
+
+from .partial_store import run_partial_stream
 
 
 def stream_cdc_log(
@@ -51,17 +54,9 @@ def stream_cdc_log(
         )
         latest.write.mode("overwrite").parquet(f"{log_dir}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=src, schema=schema, sink=sink, ckpt=checkpoint_dir
     )
-    q.awaitTermination()
 
 
 def read_cdc_changes(

@@ -1,0 +1,90 @@
+"""Shared runner for the per-batch_id partial-store streams.
+
+Every streamed≡batch twin in the registry follows one discipline: a
+file-chunked source replayed with ``maxFilesPerTrigger=1`` under an
+``availableNow`` trigger, a ``foreachBatch`` sink that computes a
+DETERMINISTIC partial of the micro-batch and lands it under
+``.../batch_<id>`` with OVERWRITE (so a replayed batch rewrites
+identical content — exactly-once without a transactional sink), and a
+read side that merges the partial store. This module owns the runner
+block those queries previously inlined, for two reasons:
+
+1. one definition of the replay contract instead of fifteen copies;
+2. a test seam: the parameterized crash/restart test
+   (``tests/test_stream_restart.py``) injects a crash AFTER a batch's
+   store write but BEFORE its checkpoint commit — the worst replay
+   window — restarts from the checkpoint, and asserts the store is
+   row-identical to an uninterrupted run, for EVERY store builder
+   that routes through here.
+
+Reference parity: the reference's crawler appends one row per poll with
+no replay story (`bpi_crawler.py:43-214`); the per-batch_id overwrite
+store is the [EXT] exactly-once generalization documented in
+SCALING.md.
+
+The hook is intentionally process-local and test-only: production
+callers never touch ``_test_hook``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+Sink = Callable[["DataFrame", int], None]  # noqa: F821 - doc alias
+
+# test seam (see module docstring). When set, a dict with:
+#   crash_after: int  - raise after this many successful sink calls
+#   runs: list        - every run_partial_stream call appends its
+#                       (src, schema, sink, ckpt) so a test can resume
+#                       the exact crashed stream with the real sink.
+_test_hook: dict | None = None
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def run_partial_stream(
+    spark: SparkSession,
+    *,
+    src: str,
+    schema: StructType,
+    sink: Sink,
+    ckpt: str,
+) -> None:
+    """Replay the chunked parquet source one file per micro-batch
+    through ``sink`` with availableNow + checkpoint semantics; blocks
+    until the stream drains. ``sink`` must be deterministic per batch
+    content and write with per-batch_id OVERWRITE (the replay
+    contract above)."""
+    effective = sink
+    if _test_hook is not None:
+        _test_hook.setdefault("runs", []).append(
+            {"src": src, "schema": schema, "sink": sink, "ckpt": ckpt}
+        )
+        crash_after = _test_hook.get("crash_after")
+        if crash_after is not None:
+            done: list[int] = []
+
+            def effective(batch, batch_id, _sink=sink, _done=done):  # noqa: F811
+                _sink(batch, batch_id)
+                _done.append(batch_id)
+                if len(_done) >= crash_after:
+                    raise _InjectedCrash(
+                        f"injected crash after store write of batch {batch_id}"
+                    )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(effective)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .partial_store import run_partial_stream
+
 
 def stream_scd2_log(
     spark: SparkSession,
@@ -57,17 +59,9 @@ def stream_scd2_log(
         )
         partial.write.mode("overwrite").parquet(f"{log_dir}/batch_{batch_id:05d}")
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(snapshots_src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src=snapshots_src, schema=schema, sink=sink, ckpt=checkpoint_dir
     )
-    q.awaitTermination()
 
 
 def read_scd2(
