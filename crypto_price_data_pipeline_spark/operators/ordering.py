@@ -112,3 +112,21 @@ def epoch_shuffle(
         pos_col=pos_col,
     )
     return out.drop("_shuffle_key")
+
+
+def ntile_from_rank(pos_col: str, n: int, tiles: int) -> Column:
+    """NTILE(tiles) bucket (1-based) computed from an exact 1-based
+    global rank column — the piece that lets a two-phase
+    ``global_order_index`` rank replace a single-partition NTILE
+    window. Exact NTILE rule: with ``n = q*tiles + rem``, the first
+    ``rem`` tiles hold ``q+1`` rows each, the rest ``q`` (SQL
+    standard; matches Spark and DuckDB). Integer DIV only — float
+    division could floor-err on exact bucket boundaries."""
+    q, rem = divmod(n, tiles)
+    if q == 0:  # fewer rows than tiles: each row gets its own tile
+        return F.col(pos_col)
+    cut = rem * (q + 1)
+    return F.expr(
+        f"CASE WHEN {pos_col} <= {cut} THEN ({pos_col} - 1) DIV {q + 1} + 1 "
+        f"ELSE {rem} + ({pos_col} - 1 - {cut}) DIV {q} + 1 END"
+    )

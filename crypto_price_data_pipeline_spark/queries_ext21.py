@@ -196,7 +196,7 @@ def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from approx quantiles instead of min/max; uniform-width is right
     for this column and keeps the boundary pass to one min/max agg.
     """
-    from .operators.ordering import global_order_index
+    from .operators.ordering import global_order_index, ntile_from_rank
 
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     stats = orders.agg(
@@ -216,17 +216,8 @@ def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ranked = global_order_index(
         orders, ["o_totalprice", "o_orderkey"], range_bucket, num_buckets=256
     )
-    q, rem = divmod(n, 16)
-    if q == 0:  # fewer rows than tiles: NTILE gives each row its own tile
-        tile = F.col("pos")
-    else:
-        cut = rem * (q + 1)
-        tile = F.expr(
-            f"CASE WHEN pos <= {cut} THEN (pos - 1) DIV {q + 1} + 1 "
-            f"ELSE {rem} + (pos - 1 - {cut}) DIV {q} + 1 END"
-        )
     return (
-        ranked.withColumn("bucket", tile.cast("long"))
+        ranked.withColumn("bucket", ntile_from_rank("pos", n, 16).cast("long"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

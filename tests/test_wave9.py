@@ -162,3 +162,28 @@ def test_stream_contamination_drops_every_planted_donor(spark):
         r["doc_id"] for r in QUERIES["q_stream_contamination"](spark, SF).collect()
     }
     assert donors <= dropped
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """The rank->tile rule must reproduce F.ntile EXACTLY for every
+    distribution shape: n < tiles (each row its own tile), n divisible
+    by tiles, and the ragged n = q*tiles + rem case — including
+    duplicate sort values (the unique tiebreak makes the rank total)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        ntile_from_rank,
+    )
+
+    for n in (5, 16, 32, 37, 100, 161):
+        rows = [(i, (i * 7919) % 13) for i in range(n)]  # dup values
+        df = spark.createDataFrame(rows, "id long, v long")
+        w = Window.orderBy("v", "id")
+        got = df.select(
+            "id",
+            F.row_number().over(w).alias("pos"),
+            F.ntile(16).over(w).alias("want"),
+        ).withColumn("tile", ntile_from_rank("pos", n, 16))
+        bad = got.where(F.col("tile") != F.col("want")).count()
+        assert bad == 0, f"n={n}: {bad} rank->tile mismatches vs F.ntile"
