@@ -74,7 +74,21 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist discipline (NOTES Catalyst traps): tf feeds both the df
+    # cap and the weight join; w feeds the norm agg AND both posting
+    # sides. AQE's ReusedExchange dedupes the identical posting sides,
+    # but the unpersisted plan still scanned+tokenized the corpus ~5×
+    # (10 FileScan mentions, 5 ReusedExchange at sf0.01) — a wash at
+    # local sf (ambient ±15% swamps it, measured 3.2-7.0s either way
+    # at sf0.1) but decisive at warehouse scale, where re-running the
+    # corpus scan chain dominates and MEMORY_AND_DISK spills
+    # gracefully. Eager-materialize + release (the minhash_then_exact
+    # pattern) keeps bench timing honest.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     df_ = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -84,7 +98,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "term",
         (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("w"),
-    )
+    ).persist()
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(_dec(F.col("w") * F.col("w"))).cast("double")).alias("nrm")
     )
@@ -102,7 +116,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
-    return (
+    out = (
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select(
@@ -115,6 +129,11 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("cos_r9") >= 0.25)
         .orderBy("id_a", "id_b")
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        w.unpersist()
+        tf.unpersist()
 
 
 Q_TFIDF_COSINE_PAIRS_SQL = r"""
