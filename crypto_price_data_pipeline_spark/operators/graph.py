@@ -65,6 +65,13 @@ def weighted_pagerank(
         F.col(dst).alias("_dst"),
         F.col(weight).cast("long").alias("_w"),
     )
+    # materialize the edge table ONCE: the loop below references it in
+    # every iteration, and without the checkpoint the full upstream
+    # edge-build plan (for q_graph_rank, a corpus-scale 4-table join)
+    # re-executes per iteration — measured 22 base-table scans in the
+    # unrolled plan. The function is already eager (nodes.count()
+    # below), so the checkpoint changes no laziness contract.
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))

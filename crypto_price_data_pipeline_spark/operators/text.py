@@ -371,8 +371,15 @@ def bigram_lm_scores(
     """
     from .dedup import tokens_col
 
-    toks = df.select(id_col, tokens_col(text_col).alias("_t")).where(
-        F.size("_t") >= 2
+    # persist discipline (NOTES Catalyst traps): toks feeds the
+    # unigram counts AND the bigram explode; pairs feeds the bigram
+    # counts AND the scoring join — unpersisted, the tokenize +
+    # explode chain re-ran ~4× (4 corpus scans in the plan).
+    # Eager-materialize + release keeps bench timing honest.
+    toks = (
+        df.select(id_col, tokens_col(text_col).alias("_t"))
+        .where(F.size("_t") >= 2)
+        .persist()
     )
     uni = (
         toks.select(F.explode("_t").alias("w1"))
@@ -389,9 +396,9 @@ def bigram_lm_scores(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("_bg"),
-    ).select(id_col, F.col("_bg.w1"), F.col("_bg.w2"))
+    ).select(id_col, F.col("_bg.w1"), F.col("_bg.w2")).persist()
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
-    return (
+    out = (
         pairs.join(big, ["w1", "w2"])
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -411,6 +418,11 @@ def bigram_lm_scores(
         )
         .select(id_col, F.round("_m", 9).alias(out_col))
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+        toks.unpersist()
 
 
 def feature_hash_embed(
