@@ -348,6 +348,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = 16,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding, verified with ``bit_count(xor)``.
 
@@ -378,7 +379,12 @@ def simhash_pairs(
     if bands * bits > 64:
         raise ValueError("bands * bits must fit in the 64-bit fingerprint")
     mask = (1 << bits) - 1
-    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    # sig: optional precomputed (id_col, simhash) table — pass a
+    # persisted signature when several bandings run over one corpus
+    # (q_simhash_pairs compares 4×16 vs 6×10) so the fingerprint pass
+    # runs once, not once per banding.
+    src = sig if sig is not None else simhash(df, id_col, text_col)
+    sh = src.select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
         "simhash",

@@ -1000,9 +1000,16 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.reverse(tokens_col("text")), " ").alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionAll(twins)
-    keyed = corpus.select(
-        "doc_id", F.sort_array(tokens_col("text")).alias("_k")
-    ).where(F.size("_k") > 0)
+    # staging (NOTES Catalyst traps): keyed feeds both ground-join
+    # sides; the simhash fingerprints feed the two hamming lookups AND
+    # both bandings (via sig=). Unstaged, the plan scanned documents
+    # 16× — one fingerprint pass and one tokenize pass now serve all
+    # consumers; eager-materialize + release keeps timing honest.
+    keyed = (
+        corpus.select("doc_id", F.sort_array(tokens_col("text")).alias("_k"))
+        .where(F.size("_k") > 0)
+        .persist()
+    )
     ground = (
         keyed.alias("a")
         .join(
@@ -1014,7 +1021,7 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
     )
-    sh = simhash(corpus)
+    sh = simhash(corpus).persist()
     out = (
         ground.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha")),
@@ -1032,13 +1039,22 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
             .alias("xx_hamming"),
         )
     )
-    p416 = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
-    p610 = simhash_pairs(docs, max_hamming=3, bands=6, bits=10).select(
-        "id_a", "id_b"
-    )
+    # both bandings reuse the one persisted fingerprint pass (twins
+    # filtered back out — fingerprints are per-row, so sh restricted
+    # to real ids IS simhash(docs))
+    sig_docs = sh.where(F.col("doc_id") < OFFSET)
+    p416 = simhash_pairs(docs, max_hamming=3, sig=sig_docs).select("id_a", "id_b")
+    p610 = simhash_pairs(
+        docs, max_hamming=3, bands=6, bits=10, sig=sig_docs
+    ).select("id_a", "id_b")
     sym_diff = p416.exceptAll(p610).unionAll(p610.exceptAll(p416))
     flag = sym_diff.agg((F.count(F.lit(1)) == 0).alias("banding_exact"))
-    return out.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
+    result = out.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+        keyed.unpersist()
 
 
 Q_SIMHASH_XX_SQL = """
