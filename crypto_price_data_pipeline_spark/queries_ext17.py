@@ -60,8 +60,13 @@ def q_dedup_provenance(spark: SparkSession, sf: str) -> DataFrame:
         comp.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("doc_id") != F.col("component"), F.col("doc_id")))
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("doc_id") != F.col("component"), F.col("doc_id"))
+                    )
+                ).cast("array<string>"),
+                ",",
             ).alias("absorbed_ids"),
             F.sum("doc_id").alias("member_checksum"),
         )
@@ -108,7 +113,8 @@ reach(n, l) AS (
 clusters AS (SELECT n AS doc_id, MIN(l) AS component FROM reach GROUP BY n)
 SELECT component AS survivor,
        COUNT(*) AS n_members,
-       list(doc_id ORDER BY doc_id) FILTER (WHERE doc_id <> component) AS absorbed_ids,
+       array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE doc_id <> component),
+                       ',') AS absorbed_ids,
        CAST(SUM(doc_id) AS BIGINT) AS member_checksum
 FROM clusters
 GROUP BY component HAVING COUNT(*) >= 2

@@ -368,36 +368,84 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segment rollup: quartile scores for recency / frequency /
     monetary per ordering customer, aggregated to segment counts.
 
-    Each ntile(4) rides a totally-ordered window ((metric, custkey) —
-    engine-identical bucketing); the segment rollup is a 64-key hash
-    agg. Recency score orders most-recent-first so 4 = best, matching
-    frequency/monetary orientation. The global ntile windows are the
-    exactness choice for the oracle; at 100 TB swap them for
-    approx-percentile quartile BOUNDARIES (one pass, no global sort)
-    and score by comparison — same segment semantics, boundary-tie
-    rows may shift one bucket.
+    Each quartile score is NTILE(4) over a total order ((metric,
+    custkey)), but computed WITHOUT the single-partition window the
+    naive spelling plans: the exact global rank comes from
+    ``operators.ordering.global_order_index`` (monotone range
+    pre-bucket → per-bucket local row_number → broadcast bucket-prefix
+    offsets; the driver sees 256 integers per metric, never a row),
+    and ``ntile_from_rank`` derives the engine-identical NTILE bucket
+    from the rank. per_cust is one row per ordering customer —
+    hundreds of millions at 100 TB — so three global-sort exchanges
+    there would serialize the whole table through one task thrice;
+    this shape keeps every pass parallel. Bit-identical to the ntile
+    windows the oracle runs (pinned in tests/test_wave19.py). Recency
+    orders most-recent-first so 4 = best, matching frequency/monetary
+    orientation; datediff negation is an order-reversing injection on
+    dates, so (neg_days, custkey) ASC == (last_dt DESC, custkey).
     """
+    from .operators.ordering import global_order_index, ntile_from_rank
+
     orders = load_table(spark, sf, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_dt"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("mon"),
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("mon"),
+        )
+        .withColumn(
+            "_neg_days",
+            (-F.datediff(F.col("last_dt"), F.lit("1992-01-01"))).cast("long"),
+        )
+        .withColumn("_mon_d", F.col("mon").cast("double"))
     )
-    r_w = Window.orderBy(F.col("last_dt").desc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("freq"), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("mon"), F.col("o_custkey"))
-    scored = per_cust.select(
+    stats = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_neg_days").alias("r_lo"),
+        F.max("_neg_days").alias("r_hi"),
+        F.min("freq").alias("f_lo"),
+        F.max("freq").alias("f_hi"),
+        F.min("_mon_d").alias("m_lo"),
+        F.max("_mon_d").alias("m_hi"),
+    ).first()
+    n = int(stats["n"])
+    if n == 0:
+        return spark.createDataFrame(
+            [], "r_score long, f_score long, m_score long, n_customers long"
+        )
+
+    def range_bucket(col: str, lo: float, hi: float):
+        # monotone coarsening: uniform-width range buckets over the
+        # metric domain (decimal→double is order-preserving;
+        # collisions only merge adjacent buckets, never reorder — the
+        # per-bucket sort still uses the exact column)
+        width = (float(hi) - float(lo)) / 256.0 or 1.0
+        return F.least(
+            F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width)),
+            F.lit(255),
+        ).cast("long")
+
+    ranked = per_cust
+    for pos, key, lo, hi in (
+        ("_pos_r", "_neg_days", stats["r_lo"], stats["r_hi"]),
+        ("_pos_f", "freq", stats["f_lo"], stats["f_hi"]),
+        ("_pos_m", "_mon_d", stats["m_lo"], stats["m_hi"]),
+    ):
+        ranked = global_order_index(
+            ranked,
+            [key, "o_custkey"],
+            range_bucket(key, lo, hi),
+            num_buckets=256,
+            pos_col=pos,
+        )
+    scored = ranked.select(
         "o_custkey",
-        F.ntile(4).over(r_w).cast("long").alias("_rinv"),
-        F.ntile(4).over(f_w).cast("long").alias("f_score"),
-        F.ntile(4).over(m_w).cast("long").alias("m_score"),
-    ).select(
-        "o_custkey",
-        (F.lit(5) - F.col("_rinv")).cast("long").alias("r_score"),
-        "f_score",
-        "m_score",
+        (F.lit(5) - ntile_from_rank("_pos_r", n, 4)).cast("long").alias("r_score"),
+        ntile_from_rank("_pos_f", n, 4).cast("long").alias("f_score"),
+        ntile_from_rank("_pos_m", n, 4).cast("long").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

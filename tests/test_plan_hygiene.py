@@ -216,3 +216,32 @@ def test_served_pq_scan_reads_only_codes_columns(spark, tmp_path):
     for ln in code_scans:
         schema = ln.split("ReadSchema:")[-1]
         assert "embedding" not in schema, ln
+
+
+def test_registry_outputs_are_driver_canonicalizer_safe(spark):
+    """No registered query may emit a top-level array/map/struct output
+    column: the driver's correctness gate sorts the collected result by
+    every column in pandas before hashing, and a list-valued cell raises
+    `TypeError: unhashable type: 'list'` there even when the values are
+    bit-exact (the round-8 q_dedup_provenance red row). List-shaped
+    results must be serialized (array_join / concat_ws on the Spark
+    side, array_to_string in the DuckDB oracle) before leaving the
+    query. Streaming wrappers execute real streams on call and are
+    covered by their batch twins' schemas — skipped here like the plan
+    sweep above."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if any(name.startswith(p) or name == p for p in _SKIP_EAGER_STREAMS):
+            continue
+        bad = [
+            f.name
+            for f in fn(spark, SF).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns (driver cannot sort): {offenders}"
