@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import materialize
+
 
 def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Plain append. At 100 TB, always pass partition_by (e.g. a date
@@ -87,7 +89,7 @@ def merge_upsert(
         merged = batch
     # localCheckpoint truncates lineage so overwriting the path we just
     # read from cannot re-trigger a scan of the overwritten files
-    merged = merged.localCheckpoint(eager=True)
+    merged = merged.transform(materialize)
     n = merged.count()
     overwrite_parquet(merged, path, partition_by)
     return n
@@ -141,7 +143,7 @@ def compact_parquet(
     if sort_cols:
         compacted = compacted.sortWithinPartitions(*sort_cols)
     # break lineage before overwriting the source path
-    compacted = compacted.localCheckpoint(eager=True)
+    compacted = compacted.transform(materialize)
     compacted.write.mode("overwrite").parquet(path)
     return n_files
 

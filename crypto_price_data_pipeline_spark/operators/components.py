@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 
 def connected_components(
     nodes: DataFrame,
@@ -51,8 +53,8 @@ def connected_components(
     if num_partitions is not None:
         edges = edges.repartition(num_partitions, "s")
         labels = labels.repartition(num_partitions, "n")
-    edges = edges.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
+    labels = labels.transform(materialize)
     prev_sum = labels.agg(F.sum("l")).collect()[0][0]
 
     for _ in range(max_iter):
@@ -62,7 +64,7 @@ def connected_components(
         merged = labels.unionByName(msgs).groupBy("n").agg(F.min("l").alias("l"))
         if num_partitions is not None:
             merged = merged.coalesce(num_partitions)
-        labels = merged.localCheckpoint(eager=True)
+        labels = merged.transform(materialize)
         cur_sum = labels.agg(F.sum("l")).collect()[0][0]
         if cur_sum == prev_sum:
             break

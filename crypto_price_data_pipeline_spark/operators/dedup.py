@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import materialize as _eager_materialize
+
 # deterministic universal-hash parameters (odd multipliers, fixed seed
 # lineage: simple LCG constants — public-domain folklore values).
 # 31-bit Mersenne prime: a*h stays < 2^62, so the universal hash never
@@ -287,7 +289,7 @@ def minhash_lsh_pairs(
     if not materialize:
         return out
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(_eager_materialize)
     finally:
         sig.unpersist()
 
@@ -679,7 +681,7 @@ def minhash_then_exact(
     if not materialize:
         return out
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(_eager_materialize)
     finally:
         sig.unpersist()
 
@@ -763,7 +765,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(_eager_materialize)
     finally:
         shingled.unpersist()
 
@@ -844,7 +846,7 @@ def ngram_overlap_pairs(
         .where(F.col("overlap") >= threshold)
     )
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(_eager_materialize)
     finally:
         shingled.unpersist()
 
@@ -914,7 +916,7 @@ def minhash_cross_pairs(
     if not materialize:
         return out
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(_eager_materialize)
     finally:
         sig_l.unpersist()
         sig_r.unpersist()

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 __all__ = ["weighted_pagerank", "bfs_hops"]
 
 
@@ -71,7 +73,7 @@ def weighted_pagerank(
     # re-executes per iteration — measured 22 base-table scans in the
     # unrolled plan. The function is already eager (nodes.count()
     # below), so the checkpoint changes no laziness contract.
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(materialize)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -137,10 +139,10 @@ def bfs_hops(
     edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionByName(
         pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     dist = sources.select(
         F.col(id_col).alias("n"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     prev = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
 
     for _ in range(max_iter):
@@ -151,7 +153,7 @@ def bfs_hops(
             dist.unionByName(msgs)
             .groupBy("n")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         cur = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
         if tuple(cur) == tuple(prev):

@@ -86,7 +86,9 @@ def merge_upsert(
             F.count(F.lit(1)).over(Window.partitionBy(on)) == F.lit(1),
             F.concat(
                 F.lit(f"merge_upsert: duplicate key in changes on {on!r}: "),
-                F.col(on).cast("string"),
+                # a NULL key would NULL the whole concat and erase the
+                # diagnostic from the raised error — coalesce keeps it
+                F.coalesce(F.col(on).cast("string"), F.lit("NULL")),
             ),
         )
         ch = ch.withColumn(

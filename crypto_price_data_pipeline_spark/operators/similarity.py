@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import materialize as _eager_materialize
+
 
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)).cast("double") for x in vec])
@@ -409,7 +411,7 @@ def pq_build(
         id_col, F.array(*[_code(j) for j in range(m)]).alias("_codes")
     )
     try:
-        return codes.localCheckpoint(eager=True), codebooks
+        return codes.transform(_eager_materialize), codebooks
     finally:
         base.unpersist()
 
@@ -645,8 +647,8 @@ def norm_vectors(
     ).withColumn("_n", F.sqrt(_dot(F.col("_e"), F.col("_e"))))
     if materialize:
         spark = df.sparkSession
-        out = out.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
-            eager=True
+        out = out.repartition(spark.sparkContext.defaultParallelism).transform(
+            _eager_materialize
         )
     return out
 
@@ -713,7 +715,7 @@ def mmr_rerank(
         cosine_topk(embeddings, query, k=shortlist, id_col=id_col, emb_col=emb_col)
         .withColumnRenamed("cosine_sim", "rel")
         .join(embeddings.select(id_col, emb_col), id_col)
-        .localCheckpoint(eager=True)  # tiny; stops Catalyst re-deriving
+        .transform(_eager_materialize)  # tiny; stops Catalyst re-deriving
         # the corpus top-k scan once per unrolled greedy stage
     )
     a = short.select(F.col(id_col).alias("_a"), F.col(emb_col).alias("_va"))
@@ -726,7 +728,7 @@ def mmr_rerank(
         a.crossJoin(F.broadcast(b))
         .where(F.col("_a") != F.col("_b"))
         .select("_a", "_b", sim.alias("_sim"))
-        .localCheckpoint(eager=True)
+        .transform(_eager_materialize)
     )
 
     picked = (
@@ -754,7 +756,7 @@ def mmr_rerank(
             .limit(1)
             .select(id_col, "rel", F.lit(step).alias("rank"), "mmr_score")
         )
-        picked = picked.unionByName(nxt).localCheckpoint(eager=True)
+        picked = picked.unionByName(nxt).transform(_eager_materialize)
     return picked.select("rank", id_col, F.round("mmr_score", 9).alias("mmr_score_r9")).orderBy(
         "rank"
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 # small top-stopword profiles for the language-ID heuristic
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
@@ -336,7 +338,7 @@ def winnowing_pairs(
         .where(F.col("n_shared") >= min_shared)
     )
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(materialize)
     finally:
         fp.unpersist()
 
@@ -419,7 +421,7 @@ def bigram_lm_scores(
         .select(id_col, F.round("_m", 9).alias(out_col))
     )
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(materialize)
     finally:
         pairs.unpersist()
         toks.unpersist()

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .session import materialize
 
 # ---------------------------------------------------------------- helpers
 
@@ -1051,7 +1052,7 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     flag = sym_diff.agg((F.count(F.lit(1)) == 0).alias("banding_exact"))
     result = out.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
     try:
-        return result.localCheckpoint(eager=True)
+        return result.transform(materialize)
     finally:
         sh.unpersist()
         keyed.unpersist()

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .session import materialize
 from .streaming.partial_store import run_partial_stream
 from .operators.text import tokenize
 from .queries_ext11 import Q_MERGE_UPSERT_SQL
@@ -373,7 +374,7 @@ def q_stream_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("token"))
         .limit(256)
         .select("token", F.lit(1).alias("_in_vocab"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     work = tempfile.mkdtemp(prefix="stream_vocab_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)

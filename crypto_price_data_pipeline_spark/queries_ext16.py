@@ -158,27 +158,72 @@ FROM per_nation ORDER BY r_name, n_name
 
 def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
     """Pareto/ABC classes by exact cumulative revenue share: parts
-    ordered by (revenue desc, partkey), decimal cumsum window, class
-    boundaries on the final double share. The window covers |parts|
-    aggregated rows; at fact-table cardinality the same cumsum comes
-    from the two-phase distributed prefix sum instead."""
+    ordered by (revenue desc, partkey), decimal cumsum, class
+    boundaries on the final double share.
+
+    The cumsum covers one row per PART — billions at 100 TB — so the
+    naive no-partitionBy window (an Exchange SinglePartition over the
+    per-part table) is replaced by the packing.py two-phase
+    distributed prefix sum: 256 revenue-range buckets (descending —
+    the bucket is a pure function of rev, hence a monotone coarsening
+    of the (rev DESC, partkey) order), per-bucket local decimal
+    cumsum windows in parallel, per-bucket decimal totals (256 rows)
+    collected and broadcast back as exclusive prefixes. Decimal
+    addition is associative, so local + prefix is bit-identical to
+    the global window the oracle runs; the driver sees 256 decimals,
+    never a part row."""
+    from decimal import Decimal
+
     li = load_table(spark, sf, "lineitem")
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_dec"))
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    classed = per_part.withColumn(
-        "cum_share",
-        F.sum("rev_dec").over(w).cast("double")
-        / F.sum("rev_dec").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).cast("double"),
-    ).withColumn(
-        "abc",
-        F.when(F.col("cum_share") <= 0.8, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
-        .otherwise("C"),
+    stats = per_part.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("rev_dec").cast("double")).alias("lo"),
+        F.max(F.col("rev_dec").cast("double")).alias("hi"),
+    ).first()
+    if int(stats["n"]) == 0:
+        return spark.createDataFrame(
+            [], "abc string, n_parts long, revenue double"
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / 256.0 or 1.0
+    # bucket 0 = highest revenue; decimal→double is order-preserving,
+    # collisions only merge adjacent buckets (exact rev_dec still
+    # orders inside each bucket)
+    bkt = F.least(
+        F.floor((F.lit(hi) - F.col("rev_dec").cast("double")) / F.lit(width)),
+        F.lit(255),
+    ).cast("long")
+    bucketed = per_part.withColumn("_bkt", bkt)
+    totals = {
+        r["_bkt"]: r["t"]
+        for r in bucketed.groupBy("_bkt").agg(F.sum("rev_dec").alias("t")).collect()
+    }
+    prefixes, acc = [], Decimal(0)
+    for b in sorted(totals):
+        prefixes.append((b, acc))
+        acc += totals[b]
+    pref_df = spark.createDataFrame(prefixes, "_bkt long, _pfx decimal(38,6)")
+    wloc = Window.partitionBy("_bkt").orderBy(
+        F.col("rev_dec").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_part.agg(F.sum("rev_dec").alias("_tot"))
+    classed = (
+        bucketed.withColumn("_loc", F.sum("rev_dec").over(wloc))
+        .join(F.broadcast(pref_df), "_bkt")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share",
+            (F.col("_loc") + F.col("_pfx")).cast("double")
+            / F.col("_tot").cast("double"),
+        )
+        .withColumn(
+            "abc",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
     )
     return (
         classed.groupBy("abc")

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .session import materialize
 
 
 # ------------------------------------- sparse TF-IDF cosine pairs
@@ -130,7 +131,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("id_a", "id_b")
     )
     try:
-        return out.localCheckpoint(eager=True)
+        return out.transform(materialize)
     finally:
         w.unpersist()
         tf.unpersist()

@@ -204,6 +204,12 @@ def q_equi_depth_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.col("o_totalprice").cast("double")).alias("lo"),
         F.max(F.col("o_totalprice").cast("double")).alias("hi"),
     ).first()
+    if int(stats["n"]) == 0:
+        # empty input: min/max are NULL — short-circuit with the
+        # output schema instead of a TypeError on float(None)
+        return spark.createDataFrame(
+            [], "bucket long, n long, lo double, hi double"
+        )
     n, lo, hi = int(stats["n"]), float(stats["lo"]), float(stats["hi"])
     width = (hi - lo) / 256.0 or 1.0
     # monotone coarsening of the price order: floor((p - lo) / width)

@@ -47,14 +47,20 @@ def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     interval count.
 
     Sweep-line: boundaries are net-summed PER INSTANT first (hash agg
-    — the compression step), then one ordered cumulative sum over
-    distinct instants. That final window is single-partition by
-    nature (a global running state); at warehouse scale it runs as
-    the two-phase distributed prefix sum (per-range partial sums +
-    broadcast range offsets — ``operators/packing.py`` implements
-    exactly this shape for pack offsets). Durations are integer
-    micros (value carries ≤6 decimals, so value·10⁶ is exact).
+    — the compression step), then the global running count comes from
+    ``operators.packing.with_global_offsets`` — the two-phase
+    distributed prefix sum (per-time-range local cumsums in parallel +
+    256 broadcast range offsets; the driver sees 256 integers, never a
+    row). Distinct instants ≈ rows at warehouse scale, so the naive
+    single-partition cumsum window would funnel the whole boundary
+    table through one task; this shape keeps the sweep parallel and
+    bit-identical (the groupBy makes ``t`` distinct, satisfying
+    with_global_offsets' total-order contract; inclusive cumsum =
+    exclusive offset + own delta). Durations are integer micros
+    (value carries ≤6 decimals, so value·10⁶ is exact).
     """
+    from .operators.packing import with_global_offsets
+
     ev = load_table(spark, sf, "events").select(
         F.unix_micros("ts").alias("t0"),
         (F.unix_micros("ts") + (F.col("value") * 1_000_000).cast("long")).alias(
@@ -66,8 +72,9 @@ def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
         ev.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
     )
     net = bounds.groupBy("t").agg(F.sum("d").alias("nd"))
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    swept = net.select("t", F.sum("nd").over(wcum).alias("cur"))
+    swept = with_global_offsets(
+        net, "t", "nd", num_buckets=256, offset_col="_excl"
+    ).select("t", (F.col("_excl") + F.col("nd")).cast("long").alias("cur"))
     peak = swept.orderBy(F.col("cur").desc(), "t").limit(1)
     return peak.select(
         F.col("cur").alias("peak_concurrency"),

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .session import materialize
 
 _DIM = 64
 _RRF_K = 60
@@ -167,11 +168,18 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("bm25").alias("src"),
     )
     docs = load_table(spark, sf, "documents")
+    # top-k idiom (q_retrieval_agreement): orderBy().limit(10) plans
+    # TakeOrderedAndProject (bounded per-partition heaps), so the
+    # row_number window rides the 10-row result — never the full
+    # matched-doc set. Same tiebreak ⇒ identical rows and ranks as the
+    # rank<=10 post-filter spelling.
     tf_rank = (
         docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
         .where(F.col("term").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(10)
         .select(
             "doc_id",
             F.row_number()
@@ -180,7 +188,6 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
             .alias("rank"),
             F.lit("tf").alias("src"),
         )
-        .where(F.col("rank") <= 10)
     )
     both = bm25.unionByName(tf_rank)
     return (
@@ -372,7 +379,7 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     thr = direct.agg(F.expr("percentile(w, 0.8)")).first()[0]
     edges = direct.where(F.col("w") >= F.lit(float(thr))).select("a", "b")
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     n_edges = edges.count()
     deg = (
         edges.select(F.col("a").alias("v"))

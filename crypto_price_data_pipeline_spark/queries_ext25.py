@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
+from .session import materialize
 
 
 # ------------------------------------------- last-touch attribution
@@ -110,7 +111,7 @@ def q_seasonal_forecast(spark: SparkSession, sf: str) -> DataFrame:
             .alias("i"),
         )
     )
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.transform(materialize)
     mo = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("i").cast("double").alias("si"),

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io.sources import load_table
+from .session import materialize
 from .streaming.partial_store import run_partial_stream
 
 
@@ -101,7 +102,7 @@ def q_dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     pairs = minhash_then_exact(docs, threshold=0.5).select("id_a", "id_b")
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(materialize)
     nodes = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))

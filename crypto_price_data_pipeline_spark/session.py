@@ -81,3 +81,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def materialize(df):
+    """Eagerly compute ``df`` and return a lineage-truncated handle —
+    the engine-wide replacement for bare ``localCheckpoint(eager=True)``
+    (use as ``df.transform(materialize)`` so call chains read the same).
+
+    With no checkpoint directory configured (the local bench/test
+    default) this IS ``localCheckpoint(eager=True)``: fastest, zero
+    I/O, but the pinned blocks are non-reliable — on a real cluster,
+    losing an executor loses the blocks AND the truncated lineage, so
+    the result is unrecoverable. When the session has a checkpoint dir
+    (``sc.setCheckpointDir(hdfs_path)`` — standard practice on a
+    cluster), reliable ``checkpoint(eager=True)`` is used instead: the
+    result is written to fault-tolerant storage and survives executor
+    loss. Callers opt into cluster-grade fault tolerance with one
+    session-level setting; no per-call flags."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine_pairs, norm_vectors
+from ..session import materialize
 from ..operators.text import feature_hash_embed
 
 
@@ -82,7 +83,7 @@ def make_semantic_processor(
         # own the batch vectors — no extra repartition of a micro-batch
         bvec = norm_vectors(emb, id_col, materialize=False).withColumnRenamed(
             id_col, "_id"
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         stored = _read_store(bspark, vec_schema, vec_store)
         # On replay the store may already hold THIS batch's vectors from
         # a failed attempt — identical rows; dropping the batch's own

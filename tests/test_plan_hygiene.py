@@ -23,21 +23,47 @@ SF = "/root/testdata/sf0.001"
 # whole base table sorts on one executor). The detector walks the
 # executedPlan tree text: flag iff some Window's subtree contains an
 # Exchange SinglePartition whose input reaches a FileScan without
-# crossing a bounding node. Compressed-domain registry queries
-# (q_ks_statistic, q_weighted_median, q_exact_median_2pass, ...) pass
-# structurally — no allowlist.
+# crossing a bounding node. Round-9 sharpening (per the r8 review):
+# an aggregate only BOUNDS the window when its grouping keys are a
+# genuinely compressed domain — a HashAggregate keyed by a
+# high-cardinality entity id (custkey, doc_id, user_id, ...) emits one
+# row per ENTITY, which scales linearly with the data (hundreds of
+# millions of customers at 100 TB), so it must NOT license a
+# single-partition window above it (the pre-round-9 q_rfm_segments
+# bug). Compressed-domain registry queries (q_ks_statistic,
+# q_weighted_median, q_exact_median_2pass, day-level cumsums) pass
+# structurally: their agg keys are value/day/bucket domains, not ids.
 
 _MARK = re.compile(r"[+:]- ")
+_AGG = re.compile(r"HashAggregate|SortAggregate|ObjectHashAggregate")
 _BOUNDING = re.compile(
     r"HashAggregate|SortAggregate|ObjectHashAggregate|GlobalLimit|LocalLimit|"
     r"TakeOrderedAndProject|LocalTableScan|Scan ExistingRDD|BroadcastExchange|"
     r"ReusedExchange|WindowGroupLimit"
+)
+# entity-id grouping keys whose cardinality scales with the fact data:
+# an aggregate keyed by any of these does not compress enough to bound
+# a single-partition window. Value/time domains (day, bucket, price,
+# nation, event_type, ...) are absent by design.
+_HIGH_CARD_KEY = re.compile(
+    r"keys=\[[^\]]*\b\w*(custkey|orderkey|partkey|suppkey|doc_id|user_id|"
+    r"vec_id|chunk_id|session_id|event_id)\w*#"
 )
 
 
 def _depth(ln: str) -> int:
     m = _MARK.search(ln)
     return (m.start() // 3 + 1) if m else 0
+
+
+def _bounds_window(ln: str) -> bool:
+    """True when this plan node genuinely caps the row count flowing
+    into a single-partition window above it."""
+    if not _BOUNDING.search(ln):
+        return False
+    if _AGG.search(ln) and _HIGH_CARD_KEY.search(ln):
+        return False  # per-entity agg: output ~ data size, not bounded
+    return True
 
 
 def raw_single_partition_window(plan: str) -> bool:
@@ -57,7 +83,7 @@ def raw_single_partition_window(plan: str) -> bool:
                     while bounds and dk <= bounds[-1]:
                         bounds.pop()
                     if not bounds:
-                        if _BOUNDING.search(lines[k]):
+                        if _bounds_window(lines[k]):
                             bounds.append(dk)
                         elif "FileScan" in lines[k]:
                             return True
@@ -245,3 +271,42 @@ def test_registry_outputs_are_driver_canonicalizer_safe(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-scalar output columns (driver cannot sort): {offenders}"
+
+
+def test_detector_rejects_per_entity_agg_below_global_window(spark):
+    """Round-9 sharpening must bite: the pre-round-9 q_rfm_segments
+    shape — a per-customer aggregate feeding a no-partitionBy ntile —
+    funnels one row PER CUSTOMER through one task (linear in the data
+    at 100 TB) and must be flagged even though a HashAggregate sits
+    below the exchange. A day-keyed aggregate (bounded domain) feeding
+    the same window shape must still pass."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("mon")
+    )
+    bad = per_cust.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("mon", "o_custkey"))
+    )
+    assert raw_single_partition_window(
+        bad._jdf.queryExecution().executedPlan().toString()
+    ), "per-entity agg must not bound a single-partition window"
+
+    per_day = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+    ok = per_day.withColumn(
+        "cum",
+        F.sum("rev").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert not raw_single_partition_window(
+        ok._jdf.queryExecution().executedPlan().toString()
+    ), "day-domain agg is genuinely compressed and must pass"

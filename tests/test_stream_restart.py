@@ -78,8 +78,22 @@ def _read_union(spark, leaf_dirs: list[str]):
     )
 
 
+@pytest.fixture
+def crash_hook_guard():
+    """Set/restore discipline for the module-global crash hook: the
+    suite is serial today, but if it ever runs parallel in one process
+    (pytest-xdist / concurrent sessions), a test entering with the
+    hook already set would capture another test's stream run — fail
+    loudly on entry and always restore on exit."""
+    assert (
+        partial_store._test_hook is None
+    ), "another test left partial_store._test_hook set"
+    yield
+    partial_store._test_hook = None
+
+
 @pytest.mark.parametrize("name", PARTIAL_STORE_STREAMS)
-def test_partial_store_restart_is_exactly_once(spark, name):
+def test_partial_store_restart_is_exactly_once(spark, name, crash_hook_guard):
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
     fn = QUERIES[name]
