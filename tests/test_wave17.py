@@ -20,9 +20,15 @@ def test_dedup_provenance_is_consistent_partition(spark):
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
     rows = QUERIES["q_dedup_provenance"](spark, SF).collect()
+
+    # absorbed_ids is serialized as a comma-joined string (round 9 —
+    # the driver canonicalizer can't sort list cells); parse it back
+    def absorbed(r) -> list[int]:
+        return [int(x) for x in r["absorbed_ids"].split(",") if x]
+
     seen: set[int] = set()
     for r in rows:
-        members = [r["survivor"], *r["absorbed_ids"]]
+        members = [r["survivor"], *absorbed(r)]
         assert r["survivor"] == min(members)
         assert len(members) == r["n_members"]
         assert sum(members) == r["member_checksum"]
@@ -36,8 +42,8 @@ def test_dedup_provenance_is_consistent_partition(spark):
         .select("doc_id")
         .collect()
     }
-    absorbed = {i for r in rows for i in r["absorbed_ids"]}
-    assert absorbed.isdisjoint(kept)
+    all_absorbed = {i for r in rows for i in absorbed(r)}
+    assert all_absorbed.isdisjoint(kept)
     assert all(r["survivor"] in kept for r in rows)
 
 

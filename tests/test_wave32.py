@@ -24,7 +24,10 @@ def test_dedup_rate_by_source_consistent_with_provenance(spark):
     rows = QUERIES["q_dedup_rate_by_source"](spark, SF).collect()
     total_absorbed = sum(r["n_absorbed"] for r in rows)
     prov = QUERIES["q_dedup_provenance"](spark, SF).collect()
-    assert total_absorbed == sum(len(p["absorbed_ids"]) for p in prov)
+    # absorbed_ids is a comma-joined string since round 9
+    assert total_absorbed == sum(
+        len([x for x in p["absorbed_ids"].split(",") if x]) for p in prov
+    )
     assert sum(r["n_docs"] for r in rows) == load_table(
         spark, SF, "documents"
     ).count()
