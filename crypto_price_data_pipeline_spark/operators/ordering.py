@@ -130,3 +130,60 @@ def ntile_from_rank(pos_col: str, n: int, tiles: int) -> Column:
         f"CASE WHEN {pos_col} <= {cut} THEN ({pos_col} - 1) DIV {q + 1} + 1 "
         f"ELSE {rem} + ({pos_col} - 1 - {cut}) DIV {q} + 1 END"
     )
+
+
+def global_order_index_inplan(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket: Column,
+    *,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """``global_order_index`` with the bucket-prefix phase IN-PLAN: the
+    per-bucket counts aggregate (≤ |bucket domain| rows by
+    construction) takes its exclusive running sum from a window over
+    that tiny aggregate — a bounded-domain single-partition window,
+    exactly the compressed-domain case the plan-hygiene gate permits —
+    and broadcasts back. Same contract as ``global_order_index``
+    (monotone bucket, total-order key_cols), same bit-identical
+    result, but ZERO driver round-trips: the whole rank is one lazy
+    plan, so a caller composing several ranks (e.g. three RFM metrics)
+    pays one job, not one collect per rank. Prefer this variant unless
+    the caller needs the bucket counts driver-side anyway (packing's
+    duplicate guard)."""
+    bucketed = df.withColumn(_BKT, bucket)
+    counts = bucketed.groupBy(_BKT).agg(F.count(F.lit(1)).alias("_ord_n"))
+    woff = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        _BKT, F.coalesce(F.sum("_ord_n").over(woff), F.lit(0)).alias("_ord_off")
+    )
+    local = Window.partitionBy(_BKT).orderBy(*[F.col(c) for c in key_cols])
+    return (
+        bucketed.withColumn("_ord_local", F.row_number().over(local))
+        .join(F.broadcast(offs), _BKT)
+        .withColumn(pos_col, (F.col("_ord_local") + F.col("_ord_off")).cast("long"))
+        .drop(_BKT, "_ord_local", "_ord_off")
+    )
+
+
+def ntile_from_rank_cols(pos: Column, n: Column, tiles: int) -> Column:
+    """``ntile_from_rank`` with ``n`` as a COLUMN (e.g. from a 1-row
+    broadcast count) instead of a driver-side int — lets the whole
+    NTILE-from-rank pipeline stay one lazy plan. Same exact NTILE
+    rule. Integer division is spelled ``(a - a % b) / b`` (the %
+    stays in long arithmetic, the division is then an exact multiple)
+    so no float-floor edge case can shift a boundary row."""
+
+    def idiv(a: Column, b: Column) -> Column:
+        return ((a - a % b) / b).cast("long")
+
+    t = F.lit(tiles).cast("long")
+    q = idiv(n.cast("long"), t)
+    rem = n.cast("long") % t
+    cut = rem * (q + 1)
+    p = pos.cast("long")
+    return F.when(q == 0, p).otherwise(
+        F.when(p <= cut, idiv(p - 1, q + 1) + 1).otherwise(
+            rem + idiv(p - 1 - cut, q) + 1
+        )
+    )

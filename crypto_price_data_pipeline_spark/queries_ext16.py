@@ -163,59 +163,55 @@ def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
 
     The cumsum covers one row per PART — billions at 100 TB — so the
     naive no-partitionBy window (an Exchange SinglePartition over the
-    per-part table) is replaced by the packing.py two-phase
-    distributed prefix sum: 256 revenue-range buckets (descending —
-    the bucket is a pure function of rev, hence a monotone coarsening
-    of the (rev DESC, partkey) order), per-bucket local decimal
-    cumsum windows in parallel, per-bucket decimal totals (256 rows)
-    collected and broadcast back as exclusive prefixes. Decimal
-    addition is associative, so local + prefix is bit-identical to
-    the global window the oracle runs; the driver sees 256 decimals,
-    never a part row."""
-    from decimal import Decimal
-
+    per-part table) is replaced by the two-phase distributed prefix
+    sum, fully IN-PLAN: 256 revenue-range buckets (descending — the
+    bucket is a pure function of rev, hence a monotone coarsening of
+    the (rev DESC, partkey) order), per-bucket local decimal cumsum
+    windows in parallel, and bucket offsets from a decimal cumsum
+    window over the ≤256-row per-bucket totals aggregate (the
+    bounded-domain single-partition case the plan-hygiene gate
+    permits), broadcast back. Decimal addition is associative, so
+    local + offset is bit-identical to the global window the oracle
+    runs; zero driver round-trips — range stats, bucket offsets, and
+    the grand total all ride broadcast 1-row/256-row aggregates in
+    one lazy plan."""
     li = load_table(spark, sf, "lineitem")
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_dec"))
     stats = per_part.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.col("rev_dec").cast("double")).alias("lo"),
-        F.max(F.col("rev_dec").cast("double")).alias("hi"),
-    ).first()
-    if int(stats["n"]) == 0:
-        return spark.createDataFrame(
-            [], "abc string, n_parts long, revenue double"
-        )
-    lo, hi = float(stats["lo"]), float(stats["hi"])
-    width = (hi - lo) / 256.0 or 1.0
+        F.min(F.col("rev_dec").cast("double")).alias("_lo"),
+        F.max(F.col("rev_dec").cast("double")).alias("_hi"),
+        F.sum("rev_dec").alias("_tot"),
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(256.0)
+    width = F.when(w == 0.0, F.lit(1.0)).otherwise(w)
     # bucket 0 = highest revenue; decimal→double is order-preserving,
     # collisions only merge adjacent buckets (exact rev_dec still
     # orders inside each bucket)
-    bkt = F.least(
-        F.floor((F.lit(hi) - F.col("rev_dec").cast("double")) / F.lit(width)),
-        F.lit(255),
-    ).cast("long")
-    bucketed = per_part.withColumn("_bkt", bkt)
-    totals = {
-        r["_bkt"]: r["t"]
-        for r in bucketed.groupBy("_bkt").agg(F.sum("rev_dec").alias("t")).collect()
-    }
-    prefixes, acc = [], Decimal(0)
-    for b in sorted(totals):
-        prefixes.append((b, acc))
-        acc += totals[b]
-    pref_df = spark.createDataFrame(prefixes, "_bkt long, _pfx decimal(38,6)")
+    bucketed = per_part.crossJoin(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.least(
+            F.floor((F.col("_hi") - F.col("rev_dec").cast("double")) / width),
+            F.lit(255),
+        ).cast("long"),
+    )
+    totals = bucketed.groupBy("_bkt").agg(F.sum("rev_dec").alias("_bt"))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_bkt",
+        F.coalesce(
+            F.sum("_bt").over(woff), F.lit(0).cast("decimal(38,6)")
+        ).alias("_off"),
+    )
     wloc = Window.partitionBy("_bkt").orderBy(
         F.col("rev_dec").desc(), F.col("l_partkey")
     ).rowsBetween(Window.unboundedPreceding, 0)
-    tot = per_part.agg(F.sum("rev_dec").alias("_tot"))
     classed = (
         bucketed.withColumn("_loc", F.sum("rev_dec").over(wloc))
-        .join(F.broadcast(pref_df), "_bkt")
-        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(offs), "_bkt")
         .withColumn(
             "cum_share",
-            (F.col("_loc") + F.col("_pfx")).cast("double")
+            (F.col("_loc") + F.col("_off")).cast("double")
             / F.col("_tot").cast("double"),
         )
         .withColumn(

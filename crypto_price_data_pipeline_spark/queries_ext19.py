@@ -370,21 +370,36 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
 
     Each quartile score is NTILE(4) over a total order ((metric,
     custkey)), but computed WITHOUT the single-partition window the
-    naive spelling plans: the exact global rank comes from
-    ``operators.ordering.global_order_index`` (monotone range
-    pre-bucket → per-bucket local row_number → broadcast bucket-prefix
-    offsets; the driver sees 256 integers per metric, never a row),
-    and ``ntile_from_rank`` derives the engine-identical NTILE bucket
-    from the rank. per_cust is one row per ordering customer —
-    hundreds of millions at 100 TB — so three global-sort exchanges
-    there would serialize the whole table through one task thrice;
-    this shape keeps every pass parallel. Bit-identical to the ntile
-    windows the oracle runs (pinned in tests/test_wave19.py). Recency
-    orders most-recent-first so 4 = best, matching frequency/monetary
-    orientation; datediff negation is an order-reversing injection on
-    dates, so (neg_days, custkey) ASC == (last_dt DESC, custkey).
+    naive spelling plans — and without a single driver round-trip:
+
+    - metric domains (min/max) and the customer count ride ONE 1-row
+      aggregate, broadcast-crossJoined back as columns;
+    - each metric gets a 256-range monotone pre-bucket (a pure
+      function of the metric value, so a monotone coarsening of the
+      (metric, custkey) order — any monotone bucketing yields the
+      same ranks);
+    - ``operators.ordering.global_order_index_inplan`` ranks each
+      metric: per-bucket local row_number windows (parallel,
+      bucket-keyed shuffles) + bucket offsets from a window over the
+      ≤256-row bucket-count aggregate (the bounded-domain
+      single-partition case the plan-hygiene gate permits),
+      broadcast back;
+    - ``ntile_from_rank_cols`` derives the engine-identical NTILE
+      bucket from each rank with n as a column.
+
+    per_cust is one row per ordering customer — hundreds of millions
+    at 100 TB — so the naive three global-sort exchanges would
+    serialize the whole table through one task thrice; this shape
+    keeps every customer-scale pass parallel, and the whole query is
+    ONE lazy plan (no collects, no persists — Spark's ReuseExchange
+    dedupes the shared per_cust aggregate across consumers).
+    Bit-identical to the ntile windows the oracle runs (pinned in
+    tests/test_wave19.py). Recency orders most-recent-first so
+    4 = best, matching frequency/monetary orientation; datediff
+    negation is an order-reversing injection on dates, so
+    (neg_days, custkey) ASC == (last_dt DESC, custkey).
     """
-    from .operators.ordering import global_order_index, ntile_from_rank
+    from .operators.ordering import global_order_index_inplan, ntile_from_rank_cols
 
     orders = load_table(spark, sf, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
@@ -403,49 +418,44 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("_mon_d", F.col("mon").cast("double"))
     )
     stats = per_cust.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("_neg_days").alias("r_lo"),
-        F.max("_neg_days").alias("r_hi"),
-        F.min("freq").alias("f_lo"),
-        F.max("freq").alias("f_hi"),
-        F.min("_mon_d").alias("m_lo"),
-        F.max("_mon_d").alias("m_hi"),
-    ).first()
-    n = int(stats["n"])
-    if n == 0:
-        return spark.createDataFrame(
-            [], "r_score long, f_score long, m_score long, n_customers long"
-        )
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_neg_days").alias("_r_lo"),
+        F.max("_neg_days").alias("_r_hi"),
+        F.min("freq").alias("_f_lo"),
+        F.max("freq").alias("_f_hi"),
+        F.min("_mon_d").alias("_m_lo"),
+        F.max("_mon_d").alias("_m_hi"),
+    )
+    withb = per_cust.crossJoin(F.broadcast(stats))
 
-    def range_bucket(col: str, lo: float, hi: float):
+    def range_bucket(col: str, lo: str, hi: str):
         # monotone coarsening: uniform-width range buckets over the
         # metric domain (decimal→double is order-preserving;
         # collisions only merge adjacent buckets, never reorder — the
         # per-bucket sort still uses the exact column)
-        width = (float(hi) - float(lo)) / 256.0 or 1.0
+        w = (F.col(hi).cast("double") - F.col(lo).cast("double")) / F.lit(256.0)
+        width = F.when(w == 0.0, F.lit(1.0)).otherwise(w)
         return F.least(
-            F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width)),
+            F.floor((F.col(col).cast("double") - F.col(lo).cast("double")) / width),
             F.lit(255),
         ).cast("long")
 
-    ranked = per_cust
-    for pos, key, lo, hi in (
-        ("_pos_r", "_neg_days", stats["r_lo"], stats["r_hi"]),
-        ("_pos_f", "freq", stats["f_lo"], stats["f_hi"]),
-        ("_pos_m", "_mon_d", stats["m_lo"], stats["m_hi"]),
-    ):
-        ranked = global_order_index(
+    ranked = withb
+    for mname, key in (("r", "_neg_days"), ("f", "freq"), ("m", "_mon_d")):
+        ranked = global_order_index_inplan(
             ranked,
             [key, "o_custkey"],
-            range_bucket(key, lo, hi),
-            num_buckets=256,
-            pos_col=pos,
+            range_bucket(key, f"_{mname}_lo", f"_{mname}_hi"),
+            pos_col=f"_pos_{mname}",
         )
+    n = F.col("_n")
     scored = ranked.select(
         "o_custkey",
-        (F.lit(5) - ntile_from_rank("_pos_r", n, 4)).cast("long").alias("r_score"),
-        ntile_from_rank("_pos_f", n, 4).cast("long").alias("f_score"),
-        ntile_from_rank("_pos_m", n, 4).cast("long").alias("m_score"),
+        (F.lit(5) - ntile_from_rank_cols(F.col("_pos_r"), n, 4))
+        .cast("long")
+        .alias("r_score"),
+        ntile_from_rank_cols(F.col("_pos_f"), n, 4).cast("long").alias("f_score"),
+        ntile_from_rank_cols(F.col("_pos_m"), n, 4).cast("long").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

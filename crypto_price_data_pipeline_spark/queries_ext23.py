@@ -48,38 +48,58 @@ def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
 
     Sweep-line: boundaries are net-summed PER INSTANT first (hash agg
     — the compression step), then the global running count comes from
-    ``operators.packing.with_global_offsets`` — the two-phase
-    distributed prefix sum (per-time-range local cumsums in parallel +
-    256 broadcast range offsets; the driver sees 256 integers, never a
-    row). Distinct instants ≈ rows at warehouse scale, so the naive
-    single-partition cumsum window would funnel the whole boundary
-    table through one task; this shape keeps the sweep parallel and
-    bit-identical (the groupBy makes ``t`` distinct, satisfying
-    with_global_offsets' total-order contract; inclusive cumsum =
-    exclusive offset + own delta). Durations are integer micros
-    (value carries ≤6 decimals, so value·10⁶ is exact).
+    the two-phase distributed prefix sum, fully IN-PLAN: 256
+    time-range buckets (monotone in t), per-bucket local cumsum
+    windows in parallel, bucket offsets from a window over the
+    ≤256-row per-bucket totals aggregate (the bounded-domain
+    single-partition case the plan-hygiene gate permits), broadcast
+    back. Long addition is associative ⇒ bit-identical to the naive
+    global cumsum window, which would funnel every distinct instant
+    (≈ rows at warehouse scale) through ONE task. Zero driver
+    round-trips — interval count, time-domain stats, and offsets all
+    ride broadcast 1-row/256-row aggregates in the same lazy plan.
+    Durations are integer micros (value carries ≤6 decimals, so
+    value·10⁶ is exact).
     """
-    from .operators.packing import with_global_offsets
-
     ev = load_table(spark, sf, "events").select(
         F.unix_micros("ts").alias("t0"),
         (F.unix_micros("ts") + (F.col("value") * 1_000_000).cast("long")).alias(
             "t1"
         ),
     )
-    n_intervals = ev.count()
+    n_iv = ev.agg(F.count(F.lit(1)).alias("_n_intervals"))
     bounds = ev.select(F.col("t0").alias("t"), F.lit(1).alias("d")).unionByName(
         ev.select(F.col("t1").alias("t"), F.lit(-1).alias("d"))
     )
     net = bounds.groupBy("t").agg(F.sum("d").alias("nd"))
-    swept = with_global_offsets(
-        net, "t", "nd", num_buckets=256, offset_col="_excl"
-    ).select("t", (F.col("_excl") + F.col("nd")).cast("long").alias("cur"))
+    stats = net.agg(F.min("t").alias("_lo"), F.max("t").alias("_hi"))
+    w = (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(256.0)
+    width = F.when(w == 0.0, F.lit(1.0)).otherwise(w)
+    bucketed = net.crossJoin(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.least(
+            F.floor((F.col("t") - F.col("_lo")).cast("double") / width),
+            F.lit(255),
+        ).cast("long"),
+    )
+    totals = bucketed.groupBy("_bkt").agg(F.sum("nd").alias("_bt"))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = Window.partitionBy("_bkt").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = (
+        bucketed.withColumn("_loc", F.sum("nd").over(wloc))
+        .join(F.broadcast(offs), "_bkt")
+        .select("t", (F.col("_loc") + F.col("_off")).cast("long").alias("cur"))
+    )
     peak = swept.orderBy(F.col("cur").desc(), "t").limit(1)
-    return peak.select(
+    return peak.crossJoin(F.broadcast(n_iv)).select(
         F.col("cur").alias("peak_concurrency"),
         F.col("t").alias("at_us"),
-        F.lit(n_intervals).cast("long").alias("n_intervals"),
+        F.col("_n_intervals").cast("long").alias("n_intervals"),
     )
 
 
