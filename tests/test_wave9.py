@@ -187,3 +187,61 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
         ).withColumn("tile", ntile_from_rank("pos", n, 16))
         bad = got.where(F.col("tile") != F.col("want")).count()
         assert bad == 0, f"n={n}: {bad} rank->tile mismatches vs F.ntile"
+
+
+def test_global_order_inplan_matches_global_window(spark):
+    """The IN-PLAN two-phase rank (bucket offsets from a window over
+    the bucket-count aggregate, zero driver round-trips) must be
+    bit-identical to the single-partition global window — including
+    skewed, gappy bucket layouts (most buckets empty) and a
+    multi-column total order."""
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        global_order_index_inplan,
+    )
+
+    rows = [(i, (i * 7919) % 13, (i * 31) % 997) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long, u long")
+    # monotone, skewed coarsening of v: collisions merge neighbors
+    bucket = F.least(F.floor(F.col("v") / F.lit(3)), F.lit(255)).cast("long")
+    got = {
+        r["id"]: r["pos"]
+        for r in global_order_index_inplan(
+            df, ["v", "u", "id"], bucket, pos_col="pos"
+        ).collect()
+    }
+    naive = {
+        r["id"]: r["pos"]
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy("v", "u", "id"))
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_ntile_from_rank_cols_matches_spark_ntile(spark):
+    """The column-typed rank->tile rule (n as a broadcast column, the
+    long-modulo integer division) must reproduce F.ntile EXACTLY for
+    n < tiles, divisible, and ragged shapes."""
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        ntile_from_rank_cols,
+    )
+
+    for n in (5, 16, 32, 37, 100, 161):
+        rows = [(i, (i * 7919) % 13) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        w = Window.orderBy("v", "id")
+        cnt = df.agg(F.count(F.lit(1)).alias("_n"))
+        got = (
+            df.crossJoin(F.broadcast(cnt))
+            .select(
+                "id",
+                "_n",
+                F.row_number().over(w).alias("pos"),
+                F.ntile(16).over(w).alias("want"),
+            )
+            .withColumn(
+                "tile", ntile_from_rank_cols(F.col("pos"), F.col("_n"), 16)
+            )
+        )
+        bad = got.where(F.col("tile") != F.col("want")).count()
+        assert bad == 0, f"n={n}: {bad} rank->tile mismatches vs F.ntile"
