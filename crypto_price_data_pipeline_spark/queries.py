@@ -865,7 +865,11 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import cosine_topk
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(_col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double")
+    query = [float(x) for x in _row["embedding"]]
     out = cosine_topk(emb, query, k=10)
     return out.select("vec_id", F.round("cosine_sim", 9).alias("cosine_sim_r9"))
 
@@ -1135,7 +1139,11 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import cosine_topk, hyperplane_lsh_buckets, lsh_cosine_topk
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(_col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     bucketed = hyperplane_lsh_buckets(emb, dim=len(query), bits=6)
     ann = lsh_cosine_topk(bucketed, query, k=10, bits=6, probe_radius=2)
@@ -1150,7 +1158,11 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import cosine_topk, ivf_build, ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(_col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     assigned, centroids = ivf_build(emb, n_lists=8)
     ann = ivf_topk(assigned, centroids, query, k=10, n_probe=5)
@@ -1170,7 +1182,11 @@ def q_stream_ann(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.ann_stream import stream_lsh_index
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(_col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     index = stream_lsh_index(spark, emb, dim=len(query), bits=6, n_chunks=3)
     ann = lsh_cosine_topk(index, query, k=10, bits=6, probe_radius=2)
@@ -1230,7 +1246,11 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import cosine_topk, pq_build, pq_topk
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(_col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(_col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     codes, codebooks = pq_build(emb, m=8, codebook_k=16)
     ann = pq_topk(emb, codes, codebooks, query, k=10, shortlist=200)

@@ -200,7 +200,13 @@ def q_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import mmr_rerank
 
     emb = load_table(spark, sf, "embeddings")
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    _row = emb.where(F.col("vec_id") == 7).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame(
+            [], "mmr_rank int, vec_id bigint, mmr_score_r9 double"
+        )
+    qv = [float(x) for x in _row["embedding"]]
     out = mmr_rerank(emb, qv, k=5, shortlist=12, lam=0.7)
     return out.withColumnRenamed("rank", "mmr_rank")
 

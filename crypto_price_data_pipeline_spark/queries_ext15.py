@@ -379,6 +379,11 @@ def q_decayed_score(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events").select("event_type", "ts", "value")
     tmax = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    if tmax is None:
+        # empty events: no decay anchor
+        return spark.createDataFrame(
+            [], "event_type string, n bigint, decayed_score double"
+        )
     weight = F.lit(1.0) / F.expr(
         f"shiftleft(1L, cast(({tmax}L - unix_micros(ts)) div 86400000000 as int))"
     ).cast("double")

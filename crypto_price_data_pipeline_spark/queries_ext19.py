@@ -65,6 +65,9 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "t", F.size("t").alias("dl")
     )
     n_docs = toked.count()
+    if n_docs == 0:
+        # empty corpus: no documents to rank
+        return spark.createDataFrame([], "doc_id bigint, bm25_r9 double")
     avgdl = (
         toked.agg(F.sum("dl")).first()[0] / float(n_docs)
     )

@@ -81,6 +81,13 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
         F.min("l_suppkey"),
         F.max("l_suppkey"),
     ).first()
+    if bounds[0] is None:
+        # empty fact table: nothing to lay out
+        return spark.createDataFrame(
+            [],
+            "layout string, n_buckets bigint, buckets_scanned bigint,"
+            " rows_scanned bigint",
+        )
     pk_lo, pk_hi, sk_lo, sk_hi = (int(x) for x in bounds)
     pk_span = max(pk_hi - pk_lo, 1)
     sk_span = max(sk_hi - sk_lo, 1)

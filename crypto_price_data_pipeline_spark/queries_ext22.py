@@ -74,14 +74,21 @@ def q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
         "n_signup",
         "n_click_7d",
         "n_purchase_7d",
-        F.round(
-            F.col("n_click_7d").cast("double") / F.col("n_signup").cast("double"),
-            9,
+        F.when(
+            F.col("n_signup") > 0,
+            F.round(
+                F.col("n_click_7d").cast("double")
+                / F.col("n_signup").cast("double"),
+                9,
+            ),
         ).alias("rate_click_r9"),
-        F.round(
-            F.col("n_purchase_7d").cast("double")
-            / F.col("n_click_7d").cast("double"),
-            9,
+        F.when(
+            F.col("n_click_7d") > 0,
+            F.round(
+                F.col("n_purchase_7d").cast("double")
+                / F.col("n_click_7d").cast("double"),
+                9,
+            ),
         ).alias("rate_purchase_r9"),
     )
 
@@ -235,7 +242,13 @@ def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         n_a, ndv_a = a.agg(F.count(F.lit(1)), F.countDistinct(ka)).first()
         n_b, ndv_b = b.agg(F.count(F.lit(1)), F.countDistinct(kb)).first()
         actual = a.join(b, F.col(ka) == F.col(kb)).count()
-        est = (float(n_a) * float(n_b)) / float(max(ndv_a, ndv_b))
+        # an empty side means zero distinct keys: the estimate (and the
+        # actual) are exactly 0 — avoid the 0/0
+        est = (
+            (float(n_a) * float(n_b)) / float(max(ndv_a, ndv_b))
+            if max(ndv_a, ndv_b) > 0
+            else 0.0
+        )
         return (name, n_a, n_b, actual, est)
 
     rows = [
@@ -252,8 +265,11 @@ def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
             "n_b",
             "actual",
             F.round("estimate", 6).alias("estimate_r6"),
-            F.round(
-                F.col("estimate") / F.col("actual").cast("double"), 9
+            F.when(
+                F.col("actual") > 0,
+                F.round(
+                    F.col("estimate") / F.col("actual").cast("double"), 9
+                ),
             ).alias("err_ratio_r9"),
         )
         .orderBy("join_name")

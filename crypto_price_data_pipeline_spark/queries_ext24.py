@@ -378,6 +378,13 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("a") < F.col("b"))
     )
     thr = direct.agg(F.expr("percentile(w, 0.8)")).first()[0]
+    if thr is None:
+        # empty graph: nothing to count
+        return spark.createDataFrame(
+            [],
+            "n_nodes bigint, n_edges bigint, n_triangles bigint,"
+            " n_wedges bigint, clustering_r9 double",
+        )
     edges = direct.where(F.col("w") >= F.lit(float(thr))).select("a", "b")
     edges = edges.transform(materialize)
     n_edges = edges.count()

@@ -121,9 +121,13 @@ def q_seasonal_forecast(spark: SparkSession, sf: str) -> DataFrame:
         F.max("d").alias("dmax"),
     ).first()
     n = float(mo["n"])
-    slope = (mo["siy"] - mo["si"] * mo["sy"] / n) / (
-        mo["sii"] - mo["si"] * mo["si"] / n
-    )
+    den = (mo["sii"] - mo["si"] * mo["si"] / n) if n else 0.0
+    if den == 0.0:
+        # empty or single-day series: no trend to fit
+        return spark.createDataFrame(
+            [], "h long, isodow long, forecast_r9 double"
+        )
+    slope = (mo["siy"] - mo["si"] * mo["sy"] / n) / den
     intercept = mo["sy"] / n - slope * (mo["si"] / n)
     trend = F.lit(intercept) + F.lit(slope) * F.col("i").cast("double")
     seasonal = (

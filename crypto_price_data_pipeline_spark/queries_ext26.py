@@ -148,6 +148,9 @@ def q_exact_median_2pass(spark: SparkSession, sf: str) -> DataFrame:
     side's scale strategy, not part of the semantics."""
     ev = load_table(spark, sf, "events").select("value")
     lo, hi, n = ev.agg(F.min("value"), F.max("value"), F.count(F.lit(1))).first()
+    if int(n) == 0:
+        # empty series: no median
+        return spark.createDataFrame([], "n long, k long, exact_median double")
     k = (int(n) + 1) // 2
     span = float(hi) - float(lo)
     if span <= 0.0:

@@ -110,6 +110,25 @@ def partitioned_staging_dir(spark: SparkSession, sf: str) -> str:
 _STAGING_DIRS: dict[str, str] = {}
 
 
+def read_partitioned_staging(spark: SparkSession, sf: str) -> DataFrame:
+    """Read the dt-partitioned staging table back. An EMPTY events
+    input writes only _SUCCESS (no dt= directories), and a raw
+    spark.read.parquet then dies with UNABLE_TO_INFER_SCHEMA —
+    synthesize the staged schema (events columns + DATE dt, the type
+    partition inference produces) in that case so downstream rollups
+    return empty instead of crashing."""
+    import glob as _glob
+    import os as _os
+
+    d = partitioned_staging_dir(spark, sf)
+    if not _glob.glob(_os.path.join(d, "dt=*")):
+        ev = load_table(spark, sf, "events")
+        return ev.withColumn(
+            "dt", F.date_format("ts", "yyyy-MM-dd").cast("date")
+        ).limit(0)
+    return spark.read.parquet(d)
+
+
 def q_partitioned_staging(spark: SparkSession, sf: str) -> DataFrame:
     """Date-ranged rollup over the dt-partitioned staging table. The dt
     predicate is a PARTITION filter — the scan plans only the 3 of 30
@@ -118,7 +137,7 @@ def q_partitioned_staging(spark: SparkSession, sf: str) -> DataFrame:
     staging scan into a 10 TB one. The oracle computes the same rollup
     from the raw events table, proving the partitioned round-trip
     loses nothing."""
-    staged = spark.read.parquet(partitioned_staging_dir(spark, sf))
+    staged = read_partitioned_staging(spark, sf)
     # partition-type inference reads the dt dirs back as DATE; cast to
     # string for the cross-engine compare
     return (

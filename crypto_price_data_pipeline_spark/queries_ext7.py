@@ -45,7 +45,11 @@ def q_lsh_served_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .queries import _ann_with_recall
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(F.col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     work = tempfile.mkdtemp(prefix="lsh_index_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -71,7 +75,11 @@ def q_ivf_served_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .queries import _ann_with_recall
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(F.col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     work = tempfile.mkdtemp(prefix="ivf_index_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -100,7 +108,11 @@ def q_pq_served_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .queries import _ann_with_recall
 
     emb = load_table(spark, sf, "embeddings")
-    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(F.col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "vec_id bigint, cosine_sim_r9 double, recall_ok boolean")
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     work = tempfile.mkdtemp(prefix="pq_index_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -164,7 +176,13 @@ def q_batch_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    dim = len(emb.first()["embedding"])
+    _row = emb.first()
+    if _row is None:
+        # empty corpus: no vectors to index or probe
+        return spark.createDataFrame(
+            [], "q_id bigint, vec_id bigint, cosine_sim_r9 double, recall_ok boolean"
+        )
+    dim = len(_row["embedding"])
     exact = cosine_topk_batch(emb, queries, k=10)
     bucketed = hyperplane_lsh_buckets(emb, dim=dim, bits=6)
     ann = lsh_topk_batch(

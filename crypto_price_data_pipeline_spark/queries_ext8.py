@@ -74,7 +74,11 @@ def q_text_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     emb = feature_hash_embed(docs, dim=_DIM)
-    query = [float(x) for x in emb.where(F.col("doc_id") == 0).first()["embedding"]]
+    _row = emb.where(F.col("doc_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame([], "doc_id bigint, cosine_sim_r9 double")
+    query = [float(x) for x in _row["embedding"]]
     out = cosine_topk(emb, query, k=10, id_col="doc_id")
     return out.select("doc_id", F.round("cosine_sim", 9).alias("cosine_sim_r9"))
 
@@ -212,7 +216,13 @@ def q_stream_text_ann(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     emb = feature_hash_embed(docs, dim=_DIM).withColumnRenamed("doc_id", "vec_id")
-    query = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    _row = emb.where(F.col("vec_id") == 0).first()
+    if _row is None:
+        # empty corpus: no probe vector exists; well-defined empty result
+        return spark.createDataFrame(
+            [], "doc_id bigint, cosine_sim_r9 double, recall_ok boolean"
+        )
+    query = [float(x) for x in _row["embedding"]]
     exact = cosine_topk(emb, query, k=10)
     index = stream_text_lsh_index(spark, docs, dim=_DIM, bits=6, n_chunks=3)
     ann = lsh_cosine_topk(
@@ -382,11 +392,13 @@ def q_rag_index(spark: SparkSession, sf: str) -> DataFrame:
         chunked, id_col="doc_id", text_col="chunk_text", dim=_DIM,
         keep_cols=["chunk_idx"],
     )
-    qrow = (
-        emb.where((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
-        .first()["embedding"]
-    )
-    query = [float(x) for x in qrow]
+    qrow = emb.where((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)).first()
+    if qrow is None:
+        # empty corpus: no probe chunk exists; well-defined empty result
+        return spark.createDataFrame(
+            [], "doc_id bigint, chunk_idx int, cosine_sim_r9 double"
+        )
+    query = [float(x) for x in qrow["embedding"]]
     qnorm = math.sqrt(sum(x * x for x in query))
     e = F.col("embedding")
     sim = _dot(e, _lit_vec(query)) / (F.sqrt(_dot(e, e)) * F.lit(qnorm))

@@ -499,9 +499,9 @@ def q_dpp_join(spark: SparkSession, sf: str) -> DataFrame:
     scan's PartitionFilters). This is the mechanism that saves the
     100-TB scan when the date list comes from a dimension, not a
     literal."""
-    from .queries_ext5 import partitioned_staging_dir
+    from .queries_ext5 import read_partitioned_staging
 
-    staged = spark.read.parquet(partitioned_staging_dir(spark, sf))
+    staged = read_partitioned_staging(spark, sf)
     ev = load_table(spark, sf, "events")
     # the dim's dt is DATE so the join lands on the RAW partition
     # column — casting the partition side would disable the pruning

@@ -1,0 +1,50 @@
+"""Empty-corpus robustness: every registry query must return a
+well-defined (typically empty) result on empty input tables instead of
+crashing.
+
+The round-8 advice flagged one instance (q_equi_depth_histogram's
+float(None) on an empty orders table); a round-9 sweep found the same
+CLASS in 25 queries — driver-side .first()/.count() arithmetic on
+None/zero (probe-vector selection, avgdl, percentile thresholds, CBO
+ratios), ANSI divide-by-zero on zero counts, and schema inference over
+an empty partitioned write. All are now guarded with empty
+short-circuits that preserve the non-empty output schema; this sweep
+pins the contract registry-wide so a new query with unguarded driver
+arithmetic fails CI, not a production run on a filtered-to-empty
+partition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Empty twins of every testdata table, real schemas preserved."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    d = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+def test_every_registry_query_survives_empty_input(spark, empty_sf_dir):
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    fails = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, empty_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            fails[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+    assert not fails, f"queries crashing on empty input: {fails}"
