@@ -225,9 +225,23 @@ def ivf_build(
     vecs = embeddings.withColumn(
         "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list").fit(
-        vecs
-    )
+    # Spark KMeans needs k >= 2 AND k <= n: clamp k to the corpus, and
+    # for a degenerate (< 2 row) corpus skip the fit entirely — the
+    # single vector IS the centroid, list 0 holds everything
+    n = vecs.count()
+    if n < 2:
+        assigned = embeddings.withColumn("_list", F.lit(0).cast("int"))
+        row = embeddings.select(
+            F.col(emb_col).cast("array<double>").alias("_e")
+        ).first()
+        centroids = [[float(x) for x in row["_e"]]] if row else []
+        return assigned, centroids
+    model = KMeans(
+        k=max(2, min(n_lists, n)),
+        seed=seed,
+        featuresCol="_features",
+        predictionCol="_list",
+    ).fit(vecs)
     assigned = model.transform(vecs).drop("_features")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centroids
@@ -363,6 +377,11 @@ def pq_build(
     # codebooks need ~thousands of vectors per centroid, not the corpus:
     # at 100 TB train on a seeded sample and encode everything
     train = base.sample(train_fraction, seed=seed) if train_fraction else base
+    # Spark KMeans needs k >= 2 AND k <= n: clamp to the train set;
+    # the < 2 row degenerate corpus skips the fits below (the single
+    # row's subvectors ARE the codebooks)
+    n_total = train.count()
+    codebook_k = max(2, min(codebook_k, n_total))
     if train_fraction:
         # a too-small sample can undercut codebook_k and fail the
         # KMeans fit with an unrelated error; fall back to the full
@@ -383,7 +402,10 @@ def pq_build(
         raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
     sub = dim // m
     codebooks: list[list[list[float]]] = []
-    for j in range(m):
+    if n_total < 2:
+        e = [float(x) for x in first["_e"]]
+        codebooks = [[e[j * sub : (j + 1) * sub]] for j in range(m)]
+    for j in range(m) if n_total >= 2 else ():
         vecs = train.withColumn("_f", array_to_vector(F.slice("_e", j * sub + 1, sub)))
         model = KMeans(
             k=codebook_k,

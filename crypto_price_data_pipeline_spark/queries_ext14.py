@@ -305,10 +305,14 @@ def q_stream_moments(spark: SparkSession, sf: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
-    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
-    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
-    corr = cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    # n==1 / zero-variance groups -> NULL (q_stats_moments' guards,
+    # applied identically so streamed == batch on degenerate input)
+    var_x = F.when(n > 1.0, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    var_y = F.when(n > 1.0, (syy - sy * sy / n) / (n - F.lit(1.0)))
+    cov = F.when(n > 1.0, (sxy - sx * sy / n) / (n - F.lit(1.0)))
+    corr = F.when(
+        (var_x > 0) & (var_y > 0), cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    )
     return totals.select(
         "l_returnflag",
         var_x.alias("var_qty"),

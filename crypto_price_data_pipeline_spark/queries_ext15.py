@@ -334,9 +334,11 @@ def q_linear_trend(spark: SparkSession, sf: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
-    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
-    slope = cov / var_x
+    # n==1 / zero-time-spread groups: slope undefined -> NULL; no-op
+    # wherever the group spans more than one instant
+    var_x = F.when(n > 1.0, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    cov = F.when(n > 1.0, (sxy - sx * sy / n) / (n - F.lit(1.0)))
+    slope = F.when(var_x > 0, cov / var_x)
     intercept = sy / n - slope * (sx / n)
     return agg.select(
         "event_type",

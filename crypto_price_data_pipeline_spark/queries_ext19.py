@@ -243,9 +243,13 @@ def q_gini_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("i") * F.col("x")).cast("double").alias("sum_ix"),
     )
     n = F.col("n_cust").cast("double")
-    gini = (F.lit(2.0) * F.col("sum_ix")) / (n * F.col("sum_x")) - (
-        n + F.lit(1.0)
-    ) / n
+    # zero-total-spend nations (all customers order-less): G is
+    # undefined -> NULL; no-op wherever any spend exists
+    gini = F.when(
+        F.col("sum_x") > 0,
+        (F.lit(2.0) * F.col("sum_ix")) / (n * F.col("sum_x"))
+        - (n + F.lit(1.0)) / n,
+    )
     return (
         agg.select(
             "c_nationkey",

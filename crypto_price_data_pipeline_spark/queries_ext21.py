@@ -292,11 +292,14 @@ def q_clustering_factor(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(col).alias("column_name"),
                 "n_breaks",
                 "n_compared",
-                F.round(
-                    F.lit(1.0)
-                    - F.col("n_breaks").cast("double")
-                    / F.col("n_compared").cast("double"),
-                    9,
+                F.when(
+                    F.col("n_compared") > 0,
+                    F.round(
+                        F.lit(1.0)
+                        - F.col("n_breaks").cast("double")
+                        / F.col("n_compared").cast("double"),
+                        9,
+                    ),
                 ).alias("monotone_frac_r9"),
             )
         )

@@ -67,10 +67,15 @@ def q_fairness_audit(spark: SparkSession, sf: str) -> DataFrame:
             "n_customers",
             "n_with_orders",
             F.round("rate", 9).alias("rate_r9"),
-            F.round(F.col("rate") / F.col("orate"), 9).alias("vs_overall_r9"),
-            F.round(F.col("min_rate") / F.col("max_rate"), 9).alias(
-                "disparate_impact_r9"
-            ),
+            # zero-order populations: the ratios are undefined -> NULL
+            # (no-op whenever anyone anywhere has an order)
+            F.when(
+                F.col("orate") > 0, F.round(F.col("rate") / F.col("orate"), 9)
+            ).alias("vs_overall_r9"),
+            F.when(
+                F.col("max_rate") > 0,
+                F.round(F.col("min_rate") / F.col("max_rate"), 9),
+            ).alias("disparate_impact_r9"),
         )
         .orderBy("c_mktsegment")
     )

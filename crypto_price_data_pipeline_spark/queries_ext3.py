@@ -1045,12 +1045,17 @@ def q_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    var_x = (sxx - sx * sx / n) / (n - F.lit(1.0))
-    var_y = (syy - sy * sy / n) / (n - F.lit(1.0))
-    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    # n==1 (sample variance undefined) and zero-variance groups go
+    # NULL instead of raising ANSI DIVIDE_BY_ZERO — the guards are
+    # no-ops on any group with >=2 rows and non-constant values
+    var_x = F.when(n > 1.0, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    var_y = F.when(n > 1.0, (syy - sy * sy / n) / (n - F.lit(1.0)))
+    cov = F.when(n > 1.0, (sxy - sx * sy / n) / (n - F.lit(1.0)))
     # corr from cov/sd·sd (not the n·Sxy − Sx·Sy form): a*b − c*d invites
     # compiler FMA contraction in native engines → last-ulp drift
-    corr = cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    corr = F.when(
+        (var_x > 0) & (var_y > 0), cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    )
     return agg.select(
         "l_returnflag",
         var_x.alias("var_qty"),

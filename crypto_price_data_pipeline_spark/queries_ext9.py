@@ -406,7 +406,10 @@ def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
         dec(v * v).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    z = (v - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    # n==1 / zero-variance groups: z undefined -> NULL (never an
+    # outlier); no-op wherever the group has spread
+    var = F.when(n > 1.0, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    z = F.when(var > 0, (v - sx / n) / F.sqrt(var))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.round(F.abs(z), 9) > 2.5)

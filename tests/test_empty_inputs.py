@@ -38,13 +38,40 @@ def empty_sf_dir(spark, tmp_path_factory):
     return d
 
 
-def test_every_registry_query_survives_empty_input(spark, empty_sf_dir):
+def _sweep(spark, sf_dir):
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
     fails = {}
     for name, fn in QUERIES.items():
         try:
-            fn(spark, empty_sf_dir).collect()
+            fn(spark, sf_dir).collect()
         except Exception as e:  # noqa: BLE001 - collecting a report
             fails[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+    return fails
+
+
+def test_every_registry_query_survives_empty_input(spark, empty_sf_dir):
+    fails = _sweep(spark, empty_sf_dir)
     assert not fails, f"queries crashing on empty input: {fails}"
+
+
+@pytest.fixture(scope="session")
+def tiny_sf_dir(spark, tmp_path_factory):
+    """Single-row twins: degenerate domains (span 0, n=1 variance,
+    KMeans with fewer samples than clusters, one-day series)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    d = str(tmp_path_factory.mktemp("sf_tiny"))
+    for t in TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+def test_every_registry_query_survives_single_row_input(spark, tiny_sf_dir):
+    """The round-9 degenerate sweep: n==1 sample variance, zero spans,
+    zero denominators, and sub-k KMeans fits all go NULL/empty/
+    direct-centroid instead of raising — pinned registry-wide."""
+    fails = _sweep(spark, tiny_sf_dir)
+    assert not fails, f"queries crashing on single-row input: {fails}"
