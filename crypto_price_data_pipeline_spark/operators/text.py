@@ -261,9 +261,11 @@ def winnowing_fingerprints(
         F.sequence(F.lit(1), F.greatest(F.size("_g") - (w - 1), F.lit(1))),
         lambda i: F.array_min(F.slice("_g", i, w)),
     )
-    return (
-        staged.select(id_col, F.explode(F.array_distinct(mins)).alias("fingerprint"))
-        .distinct()
+    # no .distinct(): array_distinct makes fp unique within the row
+    # and id differs across rows, so (id, fingerprint) is already a
+    # set — the global distinct was a pure-overhead extra shuffle
+    return staged.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 
 
@@ -287,11 +289,16 @@ def _winnowing_fp_hashes(
         F.sequence(F.lit(1), F.greatest(F.size("_g") - (w - 1), F.lit(1))),
         lambda i: F.array_min(F.slice("_g", i, w)),
     )
-    hashed = F.transform(F.array_distinct(mins), lambda g: F.xxhash64(g))
-    return (
-        staged.select(id_col, F.explode(hashed).alias("fp"))
-        .distinct()
+    # outer array_distinct: a within-row xxhash64 collision between
+    # two distinct grams must still yield ONE posting (the behavior
+    # the former global distinct guaranteed) — in-row dedup is free
+    hashed = F.array_distinct(
+        F.transform(F.array_distinct(mins), lambda g: F.xxhash64(g))
     )
+    # no global .distinct(): fp is unique within the row and id
+    # differs across rows, so (id, fp) is already a set — the global
+    # distinct was a pure-overhead extra shuffle
+    return staged.select(id_col, F.explode(hashed).alias("fp"))
 
 
 def winnowing_pairs(
