@@ -225,11 +225,15 @@ def ivf_build(
     vecs = embeddings.withColumn(
         "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
     )
-    # Spark KMeans needs k >= 2 AND k <= n: clamp k to the corpus, and
-    # for a degenerate (< 2 row) corpus skip the fit entirely — the
-    # single vector IS the centroid, list 0 holds everything
-    n = vecs.count()
-    if n < 2:
+    # Spark KMeans needs k >= 2    # ... and k <= |distinct points| (10 copies of one vector fit no
+    # 2-means): clamp by the DISTINCT vector count, and when that is
+    # < 2 skip the fit — the one distinct vector IS the centroid
+    n_distinct = (
+        vecs.select(F.col(emb_col).cast("array<double>").alias("_e"))
+        .distinct()
+        .count()
+    )
+    if n_distinct < 2:
         assigned = embeddings.withColumn("_list", F.lit(0).cast("int"))
         row = embeddings.select(
             F.col(emb_col).cast("array<double>").alias("_e")
@@ -237,7 +241,7 @@ def ivf_build(
         centroids = [[float(x) for x in row["_e"]]] if row else []
         return assigned, centroids
     model = KMeans(
-        k=max(2, min(n_lists, n)),
+        k=max(2, min(n_lists, n_distinct)),
         seed=seed,
         featuresCol="_features",
         predictionCol="_list",

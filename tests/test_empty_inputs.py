@@ -75,3 +75,35 @@ def test_every_registry_query_survives_single_row_input(spark, tiny_sf_dir):
     direct-centroid instead of raising — pinned registry-wide."""
     fails = _sweep(spark, tiny_sf_dir)
     assert not fails, f"queries crashing on single-row input: {fails}"
+
+
+@pytest.fixture(scope="session")
+def dup_sf_dir(spark, tmp_path_factory):
+    """Ten identical copies of one row per table: zero variance with
+    n > 1, KMeans over coincident points, tie-heavy ordering."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    d = str(tmp_path_factory.mktemp("sf_dup"))
+    for t in TABLES:
+        one = load_table(spark, "/root/testdata/sf0.001", t).limit(1)
+        ten = one.crossJoin(spark.range(10).select(F.lit(1).alias("_x"))).drop(
+            "_x"
+        )
+        ten.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+def test_every_registry_query_survives_duplicate_rows(spark, dup_sf_dir):
+    """Third degenerate class: duplicated rows. Zero-variance guards
+    and the distinct-clamped KMeans must hold; the ONE intended
+    exception is q_seq_packing, whose with_global_offsets duplicate-id
+    guard exists precisely to FAIL THE JOB on a corrupt (duplicate
+    doc_id) corpus — asserted as the designed diagnostic, not skipped."""
+    fails = _sweep(spark, dup_sf_dir)
+    packing = fails.pop("q_seq_packing", None)
+    assert packing is not None and "duplicate" in packing, (
+        f"q_seq_packing must reject duplicate doc_ids loudly; got: {packing}"
+    )
+    assert not fails, f"queries crashing on duplicated rows: {fails}"
