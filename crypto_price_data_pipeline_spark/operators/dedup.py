@@ -147,6 +147,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, _shingles, _minhash array<long> of length ``num_hashes``).
 
+    The per-row signature builder: right for streaming micro-batches
+    (zero shuffle, signs each batch in place — streaming/dedup_stream)
+    and for anything that needs the signature as one array column. For
+    corpus-wide pair generation prefer :func:`minhash_min_cols` — same
+    values bit-for-bit, but the minima run as codegen'd aggregates
+    instead of ``num_hashes`` interpreted HOF passes (measured 1.7×).
+
     Scale shape: entirely per-row, zero shuffles — embarrassingly
     parallel over the corpus. Each stage is its own projection so the
     expensive arrays materialize once per row (Catalyst's
@@ -183,6 +190,95 @@ def minhash_signatures(
         id_col,
         "_shingles",
         F.array(*[_min_i(i) for i in range(num_hashes)]).alias("_minhash"),
+    )
+
+
+def minhash_min_cols(
+    base: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, *keep_cols, _m0.._m{n-1}): the MinHash minima as ``num_hashes``
+    plain long columns, from a with_shingles() base table.
+
+    This is the corpus-wide signature builder the pair operators use —
+    the per-row HOF form (:func:`minhash_signatures`) evaluates
+    ``num_hashes`` interpreted zip_with/array_min passes per document
+    (higher-order functions are codegen fallbacks), measured 1.7×
+    slower at sf0.1. Here the shingles explode into (id, h1, h2) rows
+    and ``num_hashes`` F.min aggregates run inside whole-stage codegen
+    with map-side partial aggregation, so the shuffle carries only
+    |docs| × num_hashes longs — never the exploded postings. Values
+    are bit-identical to minhash_signatures (same Kirsch-Mitzenmacher
+    double hash h_i = (h1 + i·h2) mod p; pinned by
+    tests/test_properties.py).
+
+    ``base`` MUST be materialized (persisted/stored) first: exploding a
+    freshly-built shingle expression re-evaluates the array build per
+    output row (the Generate trap, see NOTES). ``keep_cols`` (e.g. a
+    lang blocking key, a set-size prune column) ride through the
+    grouping key — they are functionally dependent on the id, so the
+    aggregate's cardinality is unchanged."""
+    p = F.lit(_MERSENNE_P)
+    keep = list(keep_cols or [])
+    ex = base.select(id_col, *keep, F.explode("_shingles").alias("_s")).select(
+        id_col,
+        *keep,
+        F.pmod(F.xxhash64("_s"), p).alias("_h1"),
+        (F.pmod(F.xxhash64("_s", F.lit(seed)), p - 1) + 1).alias("_h2"),
+    )
+    return ex.groupBy(id_col, *keep).agg(
+        *[
+            F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), p)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_buckets_from_cols(
+    mins: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """LSH band postings (_id, *keep_cols, band, bucket) from a
+    :func:`minhash_min_cols` table. Bucket values are bit-compatible
+    with :func:`band_buckets` (same concat_ws(",") → xxhash64 of the
+    band's minima as strings), so postings from either builder join
+    against the same stored index (streaming/dedup_stream.py). No
+    array materialization: each band's bucket hashes ``rows_per_band``
+    plain columns directly, and the exploded structs are cheap scalar
+    expressions (no Generate-trap exposure)."""
+    rows_per_band = num_hashes // bands
+    keep = list(keep_cols or [])
+    banded = mins.select(
+        F.col(id_col).alias("_id"),
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"_m{b * rows_per_band + j}").cast("string")
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    return banded.select(
+        *[c for c in banded.columns if c != "bb"], "bb.band", "bb.bucket"
     )
 
 
@@ -239,6 +335,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     materialize: bool = True,
+    base: DataFrame | None = None,
+    mins: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs verified by exact shingle Jaccard.
 
@@ -259,13 +357,27 @@ def minhash_lsh_pairs(
     Pass ``materialize=False`` to keep the plan lazy (e.g. for plan
     inspection), in which case the caller owns the signature cache for
     the session's lifetime. At warehouse scale, write signatures to a
-    parquet/Delta table instead of caching.
+    parquet/Delta table instead of caching — pass them back in via
+    ``base``/``mins``.
+
+    ``base``/``mins``: optional precomputed signature tables — a
+    with_shingles() table and its minhash_min_cols() minima (e.g. read
+    back from the artifact store, artifacts.py). Both must be
+    materialized; when provided the operator computes no signatures at
+    all and the caller owns their lifecycle (no unpersist here). The
+    split into two tables is deliberate: banding reads only the minima
+    (num_hashes longs/doc) and verification reads only the shingle
+    sets, so neither path ever shuffles the other's payload.
     """
-    # persist: the signature table feeds the banding pass AND both
-    # sides of the verification join — without it the explode+agg
-    # signature computation re-runs three times.
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).persist()
-    banded = band_buckets(sig, id_col, num_hashes, bands)
+    owns_base = base is None
+    if base is None:
+        # persist: the shingle table feeds the minima aggregate AND
+        # both sides of the verification join — without it the
+        # tokenize+shingle chain re-runs three times (Generate trap).
+        base = with_shingles(df, id_col, text_col, shingle_k).persist()
+    if mins is None:
+        mins = minhash_min_cols(base, id_col, num_hashes, seed)
+    banded = band_buckets_from_cols(mins, id_col, num_hashes, bands)
 
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
@@ -275,7 +387,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = sig.select(F.col(id_col).alias("_sid"), "_shingles")
+    sets = base.select(F.col(id_col).alias("_sid"), "_shingles")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
@@ -291,7 +403,8 @@ def minhash_lsh_pairs(
     try:
         return out.transform(_eager_materialize)
     finally:
-        sig.unpersist()
+        if owns_base:
+            base.unpersist()
 
 
 def minhash_dedup(
@@ -614,6 +727,8 @@ def minhash_then_exact(
     block_cols: list[str] | None = None,
     seed: int = 42,
     materialize: bool = True,
+    base: DataFrame | None = None,
+    mins: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at scale: MinHash-LSH candidates →
     exact verify. The scale path for ``ngram_jaccard_pairs`` — exact
@@ -638,18 +753,29 @@ def minhash_then_exact(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard computed
     on the exact k-shingle sets and filtered at ``threshold``.
+
+    ``base``/``mins``: optional precomputed signature tables (see
+    :func:`minhash_lsh_pairs`); here ``base`` must carry ``block_cols``
+    and a ``_n`` = size(_shingles) column, and ``mins`` must carry
+    both as pass-through keys (the artifact-store tables do).
     """
     block_cols = list(block_cols or [])
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed)
-    if block_cols:
-        sig = sig.join(df.select(id_col, *block_cols), id_col)
-    sig = sig.persist()
-    banded = band_buckets(
-        sig,
-        id_col,
-        num_hashes,
-        bands,
-        keep_cols=[F.size("_shingles").alias("_n"), *block_cols],
+    owns_base = base is None
+    if base is None:
+        # block_cols ride along in the shingle projection (no join
+        # back to df) and _n is pre-sized so the banding prune reads a
+        # plain long, never the array.
+        base = (
+            with_shingles(df, id_col, text_col, k, keep_cols=block_cols)
+            .withColumn("_n", F.size("_shingles"))
+            .persist()
+        )
+    if mins is None:
+        mins = minhash_min_cols(
+            base, id_col, num_hashes, seed, keep_cols=["_n", *block_cols]
+        )
+    banded = band_buckets_from_cols(
+        mins, id_col, num_hashes, bands, keep_cols=["_n", *block_cols]
     )
 
     a = banded.select(
@@ -667,7 +793,7 @@ def minhash_then_exact(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = sig.select(F.col(id_col).alias("_sid"), "_shingles")
+    sets = base.select(F.col(id_col).alias("_sid"), "_shingles")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))
@@ -683,7 +809,8 @@ def minhash_then_exact(
     try:
         return out.transform(_eager_materialize)
     finally:
-        sig.unpersist()
+        if owns_base:
+            base.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -884,14 +1011,14 @@ def minhash_cross_pairs(
     ``materialize=False`` the caller owns both persisted signature
     tables (two corpora's shingle+minhash arrays) for the session's
     lifetime — use it for plan inspection only."""
-    sig_l = minhash_signatures(left, id_col, text_col, num_hashes, shingle_k, seed).persist()
-    sig_r = minhash_signatures(right, id_col, text_col, num_hashes, shingle_k, seed).persist()
-    b_l = band_buckets(sig_l, id_col, num_hashes, bands).select(
-        F.col("_id").alias("left_id"), "band", "bucket"
-    )
-    b_r = band_buckets(sig_r, id_col, num_hashes, bands).select(
-        F.col("_id").alias("right_id"), "band", "bucket"
-    )
+    sig_l = with_shingles(left, id_col, text_col, shingle_k).persist()
+    sig_r = with_shingles(right, id_col, text_col, shingle_k).persist()
+    b_l = band_buckets_from_cols(
+        minhash_min_cols(sig_l, id_col, num_hashes, seed), id_col, num_hashes, bands
+    ).select(F.col("_id").alias("left_id"), "band", "bucket")
+    b_r = band_buckets_from_cols(
+        minhash_min_cols(sig_r, id_col, num_hashes, seed), id_col, num_hashes, bands
+    ).select(F.col("_id").alias("right_id"), "band", "bucket")
     pairs = (
         b_l.join(b_r, ["band", "bucket"])
         .select("left_id", "right_id")
