@@ -464,6 +464,7 @@ def simhash_pairs(
     bands: int = 4,
     bits: int = 16,
     sig: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding, verified with ``bit_count(xor)``.
 
@@ -497,8 +498,17 @@ def simhash_pairs(
     # sig: optional precomputed (id_col, simhash) table — pass a
     # persisted signature when several bandings run over one corpus
     # (q_simhash_pairs compares 4×16 vs 6×10) so the fingerprint pass
-    # runs once, not once per banding.
-    src = sig if sig is not None else simhash(df, id_col, text_col)
+    # runs once, not once per banding. When building it here, persist
+    # it first: the banded postings feed BOTH sides of the self-join,
+    # and the unpersisted explode→agg fingerprint pipeline re-runs per
+    # side (alias-renamed subtrees defeat exchange reuse — measured
+    # 1.4s of q_simhash_md5_pairs' 5.4s at sf0.1).
+    owns_sig = sig is None
+    src = sig
+    if src is None:
+        src = simhash(df, id_col, text_col)
+        if materialize:
+            src = src.persist()  # released below after the eager compute
     sh = src.select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
@@ -522,7 +532,7 @@ def simhash_pairs(
     # hamming filter BEFORE dropDuplicates: bit_count(xor) is free inside
     # the join's codegen stage, so the dedup shuffle carries only true
     # pairs (× band multiplicity) instead of every bucket candidate.
-    return (
+    out = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -533,6 +543,12 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not (owns_sig and materialize):
+        return out
+    try:
+        return out.transform(_eager_materialize)
+    finally:
+        src.unpersist()
 
 
 def simhash_pairs_combination(
@@ -563,7 +579,11 @@ def simhash_pairs_combination(
         raise ValueError("need 0 < max_hamming < blocks")
     bits = 64 // blocks
     mask = (1 << bits) - 1
-    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    # persist: the C(blocks,d)-replicated postings feed both self-join
+    # sides; unpersisted, the fingerprint pipeline runs twice (see
+    # simhash_pairs).
+    src = simhash(df, id_col, text_col).persist()
+    sh = src.select(F.col(id_col).alias("_id"), "simhash")
 
     def _block(i: int) -> Column:
         return F.shiftright("simhash", bits * i).bitwiseAND(F.lit(mask))
@@ -587,7 +607,7 @@ def simhash_pairs_combination(
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_h_a"), "comb", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_h_b"), "comb", "bucket")
     # hamming filter before the dedup shuffle (see simhash_pairs)
-    return (
+    out = (
         a.join(b, ["comb", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -598,6 +618,10 @@ def simhash_pairs_combination(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    try:
+        return out.transform(_eager_materialize)
+    finally:
+        src.unpersist()
 
 
 def simhash_md5(
@@ -655,6 +679,8 @@ def simhash_md5_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 8,
+    sig: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs on the 32-bit md5 SimHash via COMBINATION
     blocking, verified with bit_count(xor). The fingerprint splits into
@@ -679,7 +705,18 @@ def simhash_md5_pairs(
         raise ValueError("blocks must divide 32")
     bits = 32 // blocks
     mask = (1 << bits) - 1
-    sh = simhash_md5(df, id_col, text_col).select(F.col(id_col).alias("_id"), "simhash32")
+    # sig/materialize contract as in simhash_pairs: a caller-provided
+    # fingerprint table (e.g. the artifact store's) is used as-is; a
+    # locally-built one is persisted so the self-join's two sides don't
+    # each re-run the md5 explode→agg pipeline (measured 5.4→4.0s at
+    # sf0.1), then released after the eager compute.
+    owns_sig = sig is None
+    src = sig
+    if src is None:
+        src = simhash_md5(df, id_col, text_col)
+        if materialize:
+            src = src.persist()
+    sh = src.select(F.col(id_col).alias("_id"), "simhash32")
 
     def _block(i: int) -> Column:
         return F.shiftright("simhash32", bits * i).bitwiseAND(F.lit(mask))
@@ -703,7 +740,7 @@ def simhash_md5_pairs(
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "comb", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "comb", "bucket")
     # hamming filter before the dedup shuffle (see simhash_pairs)
-    return (
+    out = (
         a.join(b, ["comb", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -714,6 +751,12 @@ def simhash_md5_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not (owns_sig and materialize):
+        return out
+    try:
+        return out.transform(_eager_materialize)
+    finally:
+        src.unpersist()
 
 
 def minhash_then_exact(
