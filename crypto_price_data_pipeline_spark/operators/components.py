@@ -64,7 +64,10 @@ def connected_components(
         merged = labels.unionByName(msgs).groupBy("n").agg(F.min("l").alias("l"))
         if num_partitions is not None:
             merged = merged.coalesce(num_partitions)
-        labels = merged.transform(materialize)
+        # per-iteration truncation, not fault tolerance: force the
+        # local form even when the session has a checkpoint dir
+        # (reliable files are never auto-deleted; see session.materialize)
+        labels = merged.transform(lambda d: materialize(d, reliable=False))
         cur_sum = labels.agg(F.sum("l")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -153,7 +153,8 @@ def bfs_hops(
             dist.unionByName(msgs)
             .groupBy("n")
             .agg(F.min("dist").alias("dist"))
-            .transform(materialize)
+            # per-iteration truncation only (see session.materialize)
+            .transform(lambda d: materialize(d, reliable=False))
         )
         cur = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
         if tuple(cur) == tuple(prev):

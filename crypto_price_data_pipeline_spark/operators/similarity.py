@@ -225,27 +225,35 @@ def ivf_build(
     vecs = embeddings.withColumn(
         "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
     )
-    # Spark KMeans needs k >= 2    # ... and k <= |distinct points| (10 copies of one vector fit no
-    # 2-means): clamp by the DISTINCT vector count, and when that is
-    # < 2 skip the fit — the one distinct vector IS the centroid
-    n_distinct = (
-        vecs.select(F.col(emb_col).cast("array<double>").alias("_e"))
-        .distinct()
-        .count()
-    )
-    if n_distinct < 2:
-        assigned = embeddings.withColumn("_list", F.lit(0).cast("int"))
-        row = embeddings.select(
-            F.col(emb_col).cast("array<double>").alias("_e")
-        ).first()
-        centroids = [[float(x) for x in row["_e"]]] if row else []
-        return assigned, centroids
-    model = KMeans(
-        k=max(2, min(n_lists, n_distinct)),
-        seed=seed,
-        featuresCol="_features",
-        predictionCol="_list",
-    ).fit(vecs)
+
+    def _fit(k: int):
+        return KMeans(
+            k=k, seed=seed, featuresCol="_features", predictionCol="_list"
+        ).fit(vecs)
+
+    # Spark KMeans needs k >= 2 and k <= |distinct points| (10 copies
+    # of one vector fit no 2-means). The common path pays NO guard —
+    # an always-on distinct().count() was a full extra corpus pass at
+    # the target scale. Only the failure path (degenerate corpora by
+    # construction: empty, single-vector, duplicate-heavy) computes
+    # the exact distinct count, then clamps k or skips the fit — the
+    # one distinct vector IS the centroid.
+    try:
+        model = _fit(max(2, n_lists))
+    except Exception:
+        n_distinct = (
+            vecs.select(F.col(emb_col).cast("array<double>").alias("_e"))
+            .distinct()
+            .count()
+        )
+        if n_distinct < 2:
+            assigned = embeddings.withColumn("_list", F.lit(0).cast("int"))
+            row = embeddings.select(
+                F.col(emb_col).cast("array<double>").alias("_e")
+            ).first()
+            centroids = [[float(x) for x in row["_e"]]] if row else []
+            return assigned, centroids
+        model = _fit(max(2, min(n_lists, n_distinct)))
     assigned = model.transform(vecs).drop("_features")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centroids
@@ -381,26 +389,27 @@ def pq_build(
     # codebooks need ~thousands of vectors per centroid, not the corpus:
     # at 100 TB train on a seeded sample and encode everything
     train = base.sample(train_fraction, seed=seed) if train_fraction else base
-    # Spark KMeans needs k >= 2 AND k <= n: clamp to the train set;
-    # the < 2 row degenerate corpus skips the fits below (the single
-    # row's subvectors ARE the codebooks)
     n_total = train.count()
-    codebook_k = max(2, min(codebook_k, n_total))
-    if train_fraction:
-        # a too-small sample can undercut codebook_k and fail the
-        # KMeans fit with an unrelated error; fall back to the full
-        # corpus (still cheaper than a failed job) with a clear signal
-        n_train = train.count()
-        if n_train < codebook_k:
-            import warnings
+    # ORDER MATTERS (r9 advice): resolve the undersized-sample fallback
+    # BEFORE clamping codebook_k, else the clamp swallows the check —
+    # a 2..k-1-row sample would silently train k=|sample| centroids,
+    # and a 0/1-row sample from a big corpus would hit the degenerate
+    # single-centroid branch even after train was reset to the corpus.
+    if train_fraction and n_total < codebook_k:
+        import warnings
 
-            warnings.warn(
-                f"pq_build: train_fraction={train_fraction} sampled "
-                f"{n_train} rows < codebook_k={codebook_k}; training on "
-                "the full corpus instead",
-                stacklevel=2,
-            )
-            train = base
+        warnings.warn(
+            f"pq_build: train_fraction={train_fraction} sampled "
+            f"{n_total} rows < codebook_k={codebook_k}; training on "
+            "the full corpus instead",
+            stacklevel=2,
+        )
+        train = base
+        n_total = base.count()
+    # Spark KMeans needs k >= 2 AND k <= n: clamp to the FINAL train
+    # set; the < 2 row degenerate corpus skips the fits below (the
+    # single row's subvectors ARE the codebooks)
+    codebook_k = max(2, min(codebook_k, n_total))
     dim = len(first["_e"])
     if dim % m:
         raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
@@ -411,13 +420,35 @@ def pq_build(
         codebooks = [[e[j * sub : (j + 1) * sub]] for j in range(m)]
     for j in range(m) if n_total >= 2 else ():
         vecs = train.withColumn("_f", array_to_vector(F.slice("_e", j * sub + 1, sub)))
-        model = KMeans(
-            k=codebook_k,
-            seed=seed + j,
-            maxIter=max_iter,
-            featuresCol="_f",
-            predictionCol="_c",
-        ).fit(vecs)
+
+        def _fit(k: int):
+            return KMeans(
+                k=k,
+                seed=seed + j,
+                maxIter=max_iter,
+                featuresCol="_f",
+                predictionCol="_c",
+            ).fit(vecs)
+
+        try:
+            model = _fit(codebook_k)
+        except Exception:
+            # duplicate-collapsed SUBSPACE (k distinct full vectors can
+            # still share one subvector): same failure-path-only guard
+            # as ivf_build — clamp by this subspace's distinct count,
+            # or take the single distinct subvector as the codebook
+            nd = (
+                train.select(F.slice("_e", j * sub + 1, sub).alias("_s"))
+                .distinct()
+                .count()
+            )
+            if nd < 2:
+                row = train.select(
+                    F.slice("_e", j * sub + 1, sub).alias("_s")
+                ).first()
+                codebooks.append([[float(x) for x in row["_s"]]])
+                continue
+            model = _fit(max(2, min(codebook_k, nd)))
         codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
 
     def _code(j: int) -> Column:
@@ -782,7 +813,10 @@ def mmr_rerank(
             .limit(1)
             .select(id_col, "rel", F.lit(step).alias("rank"), "mmr_score")
         )
-        picked = picked.unionByName(nxt).transform(_eager_materialize)
+        # per-step truncation only (see session.materialize)
+        picked = picked.unionByName(nxt).transform(
+            lambda d: _eager_materialize(d, reliable=False)
+        )
     return picked.select("rank", id_col, F.round("mmr_score", 9).alias("mmr_score_r9")).orderBy(
         "rank"
     )

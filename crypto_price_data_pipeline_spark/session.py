@@ -83,7 +83,7 @@ def get_spark(
     return spark
 
 
-def materialize(df):
+def materialize(df, reliable: bool | None = None):
     """Eagerly compute ``df`` and return a lineage-truncated handle —
     the engine-wide replacement for bare ``localCheckpoint(eager=True)``
     (use as ``df.transform(materialize)`` so call chains read the same).
@@ -97,12 +97,28 @@ def materialize(df):
     cluster), reliable ``checkpoint(eager=True)`` is used instead: the
     result is written to fault-tolerant storage and survives executor
     loss. Callers opt into cluster-grade fault tolerance with one
-    session-level setting; no per-call flags."""
-    sc = df.sparkSession.sparkContext
-    try:
-        reliable = sc.getCheckpointDir() is not None
-    except Exception:
-        reliable = False
+    session-level setting; no per-call flags for the common case.
+
+    RETENTION COST of the reliable path: Spark does NOT delete
+    reliable checkpoint files by default
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is false),
+    so every reliable materialize leaves files on the distributed FS
+    until the directory is cleaned externally. Sessions that set a
+    checkpoint dir should also set that conf to ``true`` (GC-driven
+    cleanup), or hot iterative loops pay a DFS write per iteration
+    AND accumulate unbounded checkpoint data. For those loops —
+    fixpoint iteration where lineage truncation, not fault tolerance,
+    is the goal (connected_components, bfs_hops, pagerank, MMR's
+    per-step rerank) — pass ``reliable=False`` to force the local
+    form regardless of session config: each iteration is recomputable
+    from the previous materialized step, so losing non-reliable
+    blocks costs one re-run of a loop body, not the job."""
+    if reliable is None:
+        sc = df.sparkSession.sparkContext
+        try:
+            reliable = sc.getCheckpointDir() is not None
+        except Exception:
+            reliable = False
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
