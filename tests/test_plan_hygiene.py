@@ -43,12 +43,42 @@ _BOUNDING = re.compile(
 )
 # entity-id grouping keys whose cardinality scales with the fact data:
 # an aggregate keyed by any of these does not compress enough to bound
-# a single-partition window. Value/time domains (day, bucket, price,
-# nation, event_type, ...) are absent by design.
-_HIGH_CARD_KEY = re.compile(
-    r"keys=\[[^\]]*\b\w*(custkey|orderkey|partkey|suppkey|doc_id|user_id|"
-    r"vec_id|chunk_id|session_id|event_id)\w*#"
-)
+# a single-partition window. Round-10 (per the r9 watch item): the key
+# list is DERIVED from the testdata schemas — every *_id / *key column
+# of the tables — so a new entity-id column in a future testdata drop
+# is covered without editing this file. Two hand-maintained pieces
+# remain, both explicit: the compressed-domain allowlist (nation /
+# region keys — fixed-size dimension domains, 25 and 5 values, which
+# genuinely bound a window) and ids MINTED by operators rather than
+# read from tables (chunk ids, sessionization ids).
+
+_DIM_BOUNDED = re.compile(r"nationkey|regionkey")
+_DERIVED_IDS = ("chunk_id", "session_id")
+
+
+def _schema_id_keys(sf_dir: str = SF) -> set[str]:
+    """Suffix-normalized id/key column names from the testdata parquet
+    schemas (table prefixes like ``o_`` stripped so plan aliases that
+    keep only the logical name still match)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    keys = set(_DERIVED_IDS)
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        for name in pq.read_schema(path).names:
+            low = re.sub(r"^[a-z]_", "", name.lower())
+            if (low.endswith("_id") or low.endswith("key") or low == "id") and not _DIM_BOUNDED.search(low):
+                keys.add(low)
+    return keys
+
+
+def _high_card_key_pattern(keys: set[str]) -> re.Pattern:
+    return re.compile(r"keys=\[[^\]]*\b\w*(" + "|".join(sorted(keys)) + r")\w*#")
+
+
+_HIGH_CARD_KEY = _high_card_key_pattern(_schema_id_keys())
 
 
 def _depth(ln: str) -> int:
@@ -310,3 +340,34 @@ def test_detector_rejects_per_entity_agg_below_global_window(spark):
     assert not raw_single_partition_window(
         ok._jdf.queryExecution().executedPlan().toString()
     ), "day-domain agg is genuinely compressed and must pass"
+
+
+def test_high_card_keys_derived_from_schema():
+    """The derived key set must (a) cover everything the pre-round-10
+    hardcoded regex covered, (b) exclude the bounded dimension domains,
+    and (c) pick up a NEW entity-id column from a future schema without
+    a code change (simulated via the pattern factory)."""
+    keys = _schema_id_keys()
+    for legacy in (
+        "custkey", "orderkey", "partkey", "suppkey", "doc_id",
+        "user_id", "vec_id", "chunk_id", "session_id", "event_id",
+    ):
+        assert legacy in keys, f"legacy high-card key {legacy} lost"
+    assert "nationkey" not in keys and "regionkey" not in keys
+
+    # a hypothetical future fact column outside today's hardcoded list
+    pat = _high_card_key_pattern(keys | {"item_id"})
+    assert pat.search("HashAggregate(keys=[item_id#42L], functions=[...])")
+    assert not pat.search("HashAggregate(keys=[n_nationkey#7L], functions=[...])")
+
+
+def test_detector_uses_derived_keys_not_literals():
+    """Belt-and-braces for the derivation being live: a plan line keyed
+    by a schema-derived id must be rejected as a bounding node, and a
+    value-domain key accepted."""
+    assert not _bounds_window(
+        "+- HashAggregate(keys=[o_custkey#12L], functions=[sum(x)])"
+    )
+    assert _bounds_window(
+        "+- HashAggregate(keys=[day#3, bucket#4], functions=[sum(x)])"
+    )
