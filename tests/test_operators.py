@@ -488,6 +488,114 @@ def test_multimodal_decode_resize(spark):
         decode_image(media, codec="pil")
 
 
+def test_png_codec_roundtrip_pure_python():
+    """Driver-side codec contract: every filter type round-trips
+    byte-exactly; malformed and unsupported inputs raise the documented
+    errors. (No Spark — the codec itself is plain Python.)"""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        png_decode,
+        png_encode_gray,
+    )
+
+    data = bytes((i * 37 + 11) % 256 for i in range(64))
+    for ft in range(5):
+        png = png_encode_gray(data, 8, filter_type=ft)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, px = png_decode(png)
+        assert (w, h) == (8, 8)
+        assert bytes(v for row in px for v in row) == data, f"filter {ft}"
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # 16-bit / interlaced / palette are documented as unsupported
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        png_decode(bad)
+
+
+def test_png_decode_rgb_and_rgba_pack_24bit():
+    """Color PNGs decode to packed 0xRRGGBB ints; alpha participates in
+    filter reversal but is dropped from the packed value."""
+    import struct
+    import zlib
+
+    from crypto_price_data_pipeline_spark.operators.multimodal import png_decode
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def make(color, bpp, rows):
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, len(rows), 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rgb = make(2, 3, [bytes([255, 0, 0, 0, 255, 0]), bytes([0, 0, 255, 1, 2, 3])])
+    w, h, px = png_decode(rgb)
+    assert (w, h) == (2, 2)
+    assert px == [[0xFF0000, 0x00FF00], [0x0000FF, 0x010203]]
+
+    rgba = make(6, 4, [bytes([9, 8, 7, 255, 1, 2, 3, 0])])
+    w, h, px = png_decode(rgba)
+    assert (w, h) == (2, 1)
+    assert px == [[0x090807, 0x010203]]
+
+
+def test_decode_image_png_codec_through_spark(spark):
+    """decode_image(codec='png') runs the stdlib decoder inside
+    mapInPandas and round-trips real compressed PNG payloads."""
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        png_encode_gray,
+    )
+    from pyspark.sql import functions as F
+
+    data1 = bytes(range(16))
+    data2 = bytes(reversed(range(16)))
+    rows = [
+        (1, bytearray(png_encode_gray(data1, 4, filter_type=4))),
+        (2, bytearray(png_encode_gray(data2, 4, filter_type=2))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary").withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+    out = {r["media_id"]: r for r in decode_image(media, codec="png").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 4)
+    assert bytes(v for row in out[1]["pixels"] for v in row) == data1
+    assert bytes(v for row in out[2]["pixels"] for v in row) == data2
+
+
 def test_multimodal_sample_frames(spark):
     from crypto_price_data_pipeline_spark.operators.multimodal import (
         documents_as_media,
