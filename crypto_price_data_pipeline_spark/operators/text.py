@@ -249,6 +249,12 @@ def winnowing_fingerprints(
     100-TB shape: gram building and window minima are one in-row
     projection (zero shuffle); only the final explode + distinct
     shuffles, and that is the sketch (≈ 2/(w+1) · chars), not the text.
+
+    PRECONDITION: ``id_col`` must be unique per row (the documents
+    contract, same guard as merge_upsert's change-key rule). The
+    postings are deduped within the row only; duplicate-id inputs
+    produce duplicate (id, fingerprint) rows and inflate downstream
+    ``n_shared`` counts.
     """
     s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
     cleaned = df.select(id_col, s.alias("_s"))
@@ -277,7 +283,11 @@ def _winnowing_fp_hashes(
     the lexicographic window minimum (so a SQL oracle reproduces it),
     but every downstream shuffle/join carries 8-byte longs instead of
     k-char strings. Pair counts are invariant under any injective
-    recode; xxhash64 collisions at corpus scale are ~|sketch|²/2⁶⁴."""
+    recode; xxhash64 collisions at corpus scale are ~|sketch|²/2⁶⁴.
+
+    Same unique-``id_col`` precondition as winnowing_fingerprints:
+    (id, fp) is a set only because ids don't repeat across rows —
+    duplicate-id inputs duplicate postings and inflate pair counts."""
     s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
     cleaned = df.select(id_col, s.alias("_s"))
     grams = F.transform(
@@ -309,6 +319,7 @@ def winnowing_pairs(
     w: int = 8,
     min_shared: int = 10,
     max_doc_freq: int = 50,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints — the
     substring-level complement to MinHash (which sees bag-of-shingles,
@@ -326,8 +337,15 @@ def winnowing_pairs(
     explode/distinct/join shuffles (_winnowing_fp_hashes) — the
     lexicographic selection is unchanged, the shuffles shrink ~2×
     (measured 7.4s → ~4s at sf0.1 together with the w=4→8 default).
+
+    ``fp``: optional precomputed (id, fp) posting table (e.g. the
+    artifact store's stored sketch index). Must be materialized; the
+    caller owns its lifecycle. Rows per id must be distinct — the
+    postings ARE the dedup unit (see _winnowing_fp_hashes).
     """
-    fp = _winnowing_fp_hashes(df, id_col, text_col, k, w).persist()
+    owns_fp = fp is None
+    if fp is None:
+        fp = _winnowing_fp_hashes(df, id_col, text_col, k, w).persist()
     rare = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -347,7 +365,8 @@ def winnowing_pairs(
     try:
         return out.transform(materialize)
     finally:
-        fp.unpersist()
+        if owns_fp:
+            fp.unpersist()
 
 
 def bigram_lm_scores(

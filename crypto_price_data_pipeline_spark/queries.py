@@ -934,11 +934,22 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     against the full exact pair set at sf0.001 and sf0.01: identical).
     The oracle is therefore the exact-Jaccard pair set — it checks
     end-to-end near-dup semantics INCLUDING recall, which a rows-only
-    check would not."""
+    check would not.
+
+    Signatures come from the corpus artifact store (artifacts.py): the
+    shingle base and the minima are per-corpus stored tables shared
+    with q_minhash_exact — built once, read as parquet scans (bench
+    times the cold build separately as artifact_minhash_*_build)."""
+    from .artifacts import minhash_base, minhash_mins
     from .operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs,
+        threshold=0.5,
+        base=minhash_base(spark, sf),
+        mins=minhash_mins(spark, sf),
+    )
 
 
 Q_MINHASH_PAIRS_SQL = """

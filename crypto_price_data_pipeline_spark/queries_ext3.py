@@ -839,12 +839,22 @@ def q_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
     recall: every pair the exhaustive block scan finds at Jaccard ≥0.4
     survives the r=2×b=32 banding on this corpus (measured at sf0.01:
     33,487 within-lang pairs → 62 LSH candidates, 540×, same 6-pair
-    result)."""
+    result). Signatures come from the per-corpus artifact store
+    (artifacts.py), shared with q_minhash_pairs — the banding/threshold
+    parameters differ per query, the signature tables don't."""
+    from .artifacts import minhash_base, minhash_mins
     from .operators.dedup import minhash_then_exact
 
     docs = load_table(spark, sf, "documents")
     return minhash_then_exact(
-        docs, k=3, threshold=0.4, num_hashes=64, bands=32, block_cols=["lang"]
+        docs,
+        k=3,
+        threshold=0.4,
+        num_hashes=64,
+        bands=32,
+        block_cols=["lang"],
+        base=minhash_base(spark, sf),
+        mins=minhash_mins(spark, sf),
     ).orderBy("id_a", "id_b")
 
 
@@ -1178,8 +1188,80 @@ FROM documents, LATERAL (
 """
 
 
+# ------------------------------------------------- stdlib PNG decode
+
+
+def q_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real image decode through the multimodal plumbing ([EXT] §2.11):
+    each document's first 64 bytes become an 8×8 grayscale PNG via the
+    stdlib encoder (filter type cycles with doc_id % 5 so every
+    scanline-filter reversal path — None/Sub/Up/Average/Paeth — runs on
+    corpus data), then ``decode_image(codec="png")`` decodes the real
+    compressed PNGs back to pixel tensors inside Arrow-batched
+    mapInPandas. The output is an exact per-image pixel checksum
+    (sum and position-weighted dot) that the oracle reproduces from the
+    original text bytes — decode(encode(x)) == x verified value-exactly
+    on every image, closing the round-8/9 'codec slots are stubs' gap
+    for PNG. (Scale shape: one mapInPandas pass each way, no shuffle
+    until the final sort; the pixel checksum folds in-row.)"""
+    import pandas as _pd
+
+    from .operators.multimodal import decode_image, png_encode_gray
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def to_png(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                b = bytes(raw or b"")[:64]
+                b = b + b"\x00" * (64 - len(b))
+                payloads.append(png_encode_gray(b, 8, filter_type=int(mid) % 5))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    pngs = media.mapInPandas(to_png, "media_id long, payload binary")
+    decoded = decode_image(pngs, codec="png")
+    flat = F.flatten("pixels")
+    weighted = F.zip_with(
+        flat, F.sequence(F.lit(1), F.lit(64)), lambda v, i: v.cast("long") * i
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(flat, F.lit(0).cast("long"), lambda a, x: a + x).alias("px_sum"),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "px_dot"
+        ),
+    ).orderBy("media_id")
+
+
+# testdata documents are pure ASCII (see Q_FRAME_SAMPLE_SQL note), so
+# VARCHAR positions are byte positions and ascii() IS the payload byte.
+Q_PNG_DECODE_SQL = """
+WITH px AS (
+  SELECT doc_id, i,
+         CASE WHEN i <= length(substr(text, 1, 64))
+              THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END AS v
+  FROM documents, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(SUM(v * i) AS BIGINT) AS px_dot
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 EXT3_QUERIES = {
     "q_ts_similarity": q_ts_similarity,
+    "q_png_decode": q_png_decode,
     "q_cms_counts": q_cms_counts,
     "q_continuous_agg": q_continuous_agg,
     "q_fingerprint_md5": q_fingerprint_md5,
@@ -1209,6 +1291,7 @@ EXT3_QUERIES = {
 
 EXT3_ORACLES = {
     "q_ts_similarity": _ts_sql(),
+    "q_png_decode": Q_PNG_DECODE_SQL,
     "q_cms_counts": Q_CMS_COUNTS_SQL,
     "q_continuous_agg": Q_CONTINUOUS_AGG_SQL,
     "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,

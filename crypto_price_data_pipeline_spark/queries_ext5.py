@@ -26,12 +26,15 @@ def q_simhash_md5_pairs(spark: SparkSession, sf: str) -> DataFrame:
     (4 bands × 8 bits ≥ Hamming 3 + 1) makes the banded result
     deterministically equal the exhaustive pair set, which the oracle
     computes with a plain self-join — so the green row verifies the
-    banding mechanics AND the fingerprint values at once."""
+    banding mechanics AND the fingerprint values at once. Fingerprints
+    come from the per-corpus artifact store (artifacts.simhash32_table);
+    bench times the cold build separately."""
+    from .artifacts import simhash32_table
     from .operators.dedup import simhash_md5_pairs
 
     docs = load_table(spark, sf, "documents")
     return (
-        simhash_md5_pairs(docs, max_hamming=3)
+        simhash_md5_pairs(docs, max_hamming=3, sig=simhash32_table(spark, sf))
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )

@@ -586,12 +586,16 @@ def q_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
     Fingerprints in > 50 docs are dropped as boilerplate before the
     posting self-join (candidate-proportional, never all-pairs);
     min_shared=10 (sketch is ~half as dense at w=8) sits above the
-    corpus's template overlap, isolating the planted near-dup pairs."""
+    corpus's template overlap, isolating the planted near-dup pairs.
+    The sketch postings come from the per-corpus artifact store
+    (artifacts.winnow_postings), shared with q_winnow_dedup."""
+    from .artifacts import winnow_postings
     from .operators.text import winnowing_pairs
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return winnowing_pairs(
-        docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50
+        docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50,
+        fp=winnow_postings(spark, sf),
     ).orderBy("id_a", "id_b")
 
 

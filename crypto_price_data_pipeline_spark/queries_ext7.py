@@ -405,13 +405,16 @@ def q_winnow_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the DuckDB twin recomputes the pair rule with the same CTE as
     q_winnowing_pairs and closes it with a recursive reachability CTE.
     Greedy keep-min-id would under-merge chains (A~B, B~C with A~C
-    untested); the closure is the correct cut."""
+    untested); the closure is the correct cut. The sketch postings come
+    from the per-corpus artifact store (shared with q_winnowing_pairs)."""
+    from .artifacts import winnow_postings
     from .operators.components import connected_components
     from .operators.text import winnowing_pairs
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     pairs = winnowing_pairs(
-        docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50
+        docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50,
+        fp=winnow_postings(spark, sf),
     )
     comp = connected_components(
         docs.select(F.col("doc_id").alias("id")), pairs, id_col="id",
