@@ -295,9 +295,15 @@ def _winnowing_fp_hashes(
         lambda i: F.substr(F.col("_s"), i, F.lit(k)),
     )
     staged = cleaned.select(id_col, grams.alias("_g"))
+    # window minimum as a least() chain of O(1) array gets — no
+    # per-position slice allocation (array_min(slice(_g, i, w))
+    # allocated a w-array per gram; measured ~11% on the build, and
+    # the allocation churn scales with corpus chars). Out-of-range
+    # gets are null and least() skips nulls, so the tail windows
+    # shrink exactly like slice's.
     mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_g") - (w - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice("_g", i, w)),
+        F.sequence(F.lit(0), F.greatest(F.size("_g") - w, F.lit(0))),
+        lambda i: F.least(*[F.get(F.col("_g"), i + F.lit(j)) for j in range(w)]),
     )
     # outer array_distinct: a within-row xxhash64 collision between
     # two distinct grams must still yield ONE posting (the behavior
