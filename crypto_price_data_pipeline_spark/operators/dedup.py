@@ -923,6 +923,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
     max_docs: int | None = 100_000,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked pairs (the non-probabilistic
     baseline the MinHash path approximates). ``block_cols`` bounds the
@@ -955,13 +956,23 @@ def ngram_jaccard_pairs(
     Exploding a freshly-built shingle expression re-evaluates the
     array per output row (the Generate trap), so the shingle table is
     persisted first and released after an eager checkpoint.
+
+    ``base``: optional precomputed with_shingles() table (the artifact
+    store's — must carry ``block_cols`` and be materialized; caller
+    owns its lifecycle).
     """
     _gate_corpus_size(df, max_docs, "ngram_jaccard_pairs", "minhash_then_exact")
+    owns_shingled = base is None
+    src = base if base is not None else with_shingles(
+        df, id_col, text_col, k, keep_cols=block_cols
+    )
     shingled = (
-        with_shingles(df, id_col, text_col, k, keep_cols=block_cols)
+        src.select(id_col, *(block_cols or []), "_shingles")
         .withColumnRenamed("_shingles", "_sh")
         .withColumnRenamed(id_col, "_sid")
-    ).persist()
+    )
+    if owns_shingled:
+        shingled = shingled.persist()
     posting = shingled.select(
         "_sid", *(block_cols or []), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
@@ -996,7 +1007,8 @@ def ngram_jaccard_pairs(
     try:
         return out.transform(_eager_materialize)
     finally:
-        shingled.unpersist()
+        if owns_shingled:
+            shingled.unpersist()
 
 
 def ngram_overlap_pairs(
@@ -1007,6 +1019,7 @@ def ngram_overlap_pairs(
     threshold: float = 0.6,
     block_cols: list[str] | None = None,
     max_docs: int | None = 100_000,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Overlap-coefficient (containment) near-dup pairs:
     ``|A∩B| / min(|A|,|B|)`` over k-word shingle sets — the detector
@@ -1042,13 +1055,22 @@ def ngram_overlap_pairs(
     minhash_signatures' design notes — 9.0s → 0.5s for this posting
     scan at sf0.1). The result is eagerly checkpointed and the cache
     released before returning (minhash_lsh_pairs semantics).
+
+    ``base``: optional precomputed with_shingles() table (see
+    :func:`ngram_jaccard_pairs`).
     """
     _gate_corpus_size(df, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
+    owns_shingled = base is None
+    src = base if base is not None else with_shingles(
+        df, id_col, text_col, k, keep_cols=block_cols
+    )
     shingled = (
-        with_shingles(df, id_col, text_col, k, keep_cols=block_cols)
+        src.select(id_col, *(block_cols or []), "_shingles")
         .withColumnRenamed("_shingles", "_sh")
         .withColumnRenamed(id_col, "_sid")
-    ).persist()
+    )
+    if owns_shingled:
+        shingled = shingled.persist()
     posting = shingled.select(
         "_sid", *(block_cols or []), F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
     )
@@ -1077,7 +1099,8 @@ def ngram_overlap_pairs(
     try:
         return out.transform(_eager_materialize)
     finally:
-        shingled.unpersist()
+        if owns_shingled:
+            shingled.unpersist()
 
 
 def minhash_cross_pairs(

@@ -821,11 +821,13 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     oracle uses the string shingles themselves — Jaccard is invariant
     to any injective shingle encoding, so the values match bit-exactly
     (int/int division both sides; collisions would need ~2^32 shingles)."""
+    from .artifacts import minhash_base
     from .operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf, "documents")
     return ngram_jaccard_pairs(
-        docs, block_cols=["lang"], k=3, threshold=0.4
+        docs, block_cols=["lang"], k=3, threshold=0.4,
+        base=minhash_base(spark, sf),
     ).orderBy("id_a", "id_b")
 
 

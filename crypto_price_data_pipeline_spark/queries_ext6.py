@@ -191,12 +191,15 @@ def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     that Jaccard structurally misses. Spark shingles via xxhash64
     longs, the oracle via string shingles; overlap is invariant to any
     injective shingle encoding, and int/int division is bit-exact on
-    both engines."""
+    both engines. Shingle sets come from the per-corpus artifact store
+    (shared with the MinHash family — same k=3 sets)."""
+    from .artifacts import minhash_base
     from .operators.dedup import ngram_overlap_pairs
 
     docs = load_table(spark, sf, "documents")
     return ngram_overlap_pairs(
-        docs, block_cols=["lang"], k=3, threshold=0.6
+        docs, block_cols=["lang"], k=3, threshold=0.6,
+        base=minhash_base(spark, sf),
     ).orderBy("id_a", "id_b")
 
 
