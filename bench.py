@@ -42,6 +42,7 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q_array_funcs",
     "q_frame_sample",
+    "q_png_decode",
     "q_ngram_jaccard",
     "q_minhash_exact",
     "q_embedding_neardup",
