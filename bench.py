@@ -266,29 +266,55 @@ def main() -> None:
     spark.stop()
 
 
+def _parse_driver_bench(data: dict) -> dict | None:
+    """The driver wraps bench.py's JSON line under "parsed", but when
+    that is null it still keeps the line (front-truncated at an
+    arbitrary offset inside the leading '{"metric"' key) under "tail"
+    — reattach the missing prefix and parse. Returns None when neither
+    form yields a dict."""
+    parsed = data.get("parsed")
+    if isinstance(parsed, dict):
+        return parsed
+    if "metric" in data:  # a raw bench.py line, not a driver wrapper
+        return data
+    tail = (data.get("tail") or "").strip()
+    if not tail:
+        return None
+    prefix = '{"metric"'
+    for k in range(len(prefix) + 1):
+        if tail.startswith(prefix[k:]):
+            tail = prefix[:k] + tail
+            break
+    try:
+        out = json.loads(tail)
+    except json.JSONDecodeError:
+        return None
+    return out if isinstance(out, dict) else None
+
+
 def _latest_prior_bench() -> tuple[int | None, dict | None]:
-    """Newest BENCH_r{N}.json in the repo root — the prior round's
-    numbers, so per-query regressions surface in this round's output
-    instead of requiring archaeology across files."""
+    """Newest parseable BENCH_r{N}.json in the repo root — the prior
+    round's numbers, so per-query regressions surface in this round's
+    output instead of requiring archaeology across files."""
     import glob
     import re
 
+    candidates = []
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = None, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
-        if not m:
+        if m:
+            candidates.append((int(m.group(1)), path))
+    for n, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
             continue
-        n = int(m.group(1))
-        if best_n is None or n > best_n:
-            try:
-                with open(path) as fh:
-                    data = json.load(fh)
-                # the driver wraps bench.py's JSON line under "parsed"
-                best_n, best = n, data.get("parsed", data)
-            except (OSError, json.JSONDecodeError):
-                continue
-    return best_n, best
+        parsed = _parse_driver_bench(data)
+        if parsed and parsed.get("queries"):
+            return n, parsed
+    return None, None
 
 
 if __name__ == "__main__":
