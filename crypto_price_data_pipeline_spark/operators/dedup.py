@@ -181,15 +181,21 @@ def minhash_signatures(
         ).alias("_H2"),
     )
 
-    def _min_i(i: int) -> Column:
-        return F.array_min(
-            F.zip_with("_H1", "_H2", lambda a, b: F.pmod(a + F.lit(i) * b, p))
-        )
-
+    # one F.expr per hash function (the Column-API zip_with lambda cost
+    # ~6 py4j round-trips each; this path builds per STREAMING BATCH,
+    # so construction time is recurring, not one-off)
     return hashed.select(
         id_col,
         "_shingles",
-        F.array(*[_min_i(i) for i in range(num_hashes)]).alias("_minhash"),
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(zip_with(_H1, _H2,"
+                    f" (a, b) -> pmod(a + {i} * b, {_MERSENNE_P})))"
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("_minhash"),
     )
 
 
@@ -229,9 +235,12 @@ def minhash_min_cols(
         F.pmod(F.xxhash64("_s"), p).alias("_h1"),
         (F.pmod(F.xxhash64("_s", F.lit(seed)), p - 1) + 1).alias("_h2"),
     )
+    # expr strings: one py4j round-trip per aggregate instead of ~5
+    # (construction time, ~0.6s/call at 64 hashes, is part of query
+    # latency in serving paths)
     return ex.groupBy(id_col, *keep).agg(
         *[
-            F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), p)).alias(f"_m{i}")
+            F.expr(f"min(pmod(_h1 + {i} * _h2, {_MERSENNE_P}))").alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -254,28 +263,19 @@ def band_buckets_from_cols(
     expressions (no Generate-trap exposure)."""
     rows_per_band = num_hashes // bands
     keep = list(keep_cols or [])
+    structs = ", ".join(
+        f"struct({b} as band, xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(_m{b * rows_per_band + j} as string)"
+            for j in range(rows_per_band)
+        )
+        + ")) as bucket)"
+        for b in range(bands)
+    )
     banded = mins.select(
         F.col(id_col).alias("_id"),
         *keep,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"_m{b * rows_per_band + j}").cast("string")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     )
     return banded.select(
         *[c for c in banded.columns if c != "bb"], "bb.band", "bb.bucket"
@@ -439,21 +439,43 @@ def simhash(
     hashed = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
     ).select(id_col, F.xxhash64("_t").alias("_h"))
+    # expr-string construction (the 64 conditional sums + 64-term OR
+    # chain cost ~1.2s/call in py4j Column building). The fingerprint
+    # assembles by SUM of disjoint powers of two — identical to the OR
+    # for distinct bits, including the sign bit via shiftleft(1L, 63).
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(case when (shiftright(_h, {i}) & 1) = 1 then 1 else -1 end)"
             ).alias(f"_v{i}")
             for i in range(64)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        bit = F.shiftleft(F.lit(1).cast("long"), i)
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        " + ".join(
+            f"(case when _v{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+            for i in range(64)
         )
+    )
     return votes.select(F.col(id_col), fp.alias(out_col))
+
+
+def _comb_explode_sql(
+    fp_col: str, combos: list[tuple[int, ...]], bits: int, mask: int
+) -> str:
+    """explode(array(struct(comb, bucket)…)) for combination blocking,
+    as ONE SQL string. Semantically identical to the Column-API form
+    (same xxhash64 over the same shifted-and-masked long children, so
+    bucket values are bit-compatible with previously stored postings),
+    but built in a single py4j call: at C(8,5)=56 combos the per-struct
+    Column construction cost ~2s of driver time PER OPERATOR CALL."""
+    structs = ", ".join(
+        f"struct({ci} as comb, xxhash64("
+        + ", ".join(f"(shiftright({fp_col}, {bits * i}) & {mask})" for i in combo)
+        + ") as bucket)"
+        for ci, combo in enumerate(combos)
+    )
+    return f"explode(array({structs}))"
 
 
 def _canonical_key_filter(
@@ -505,13 +527,18 @@ def _canonical_key_filter(
                 first = ci
                 break
         table.append(first)
-    cleanmask = None
-    for i in range(n_blocks):
-        bit = F.when(
-            F.shiftright("_x", bits * i).bitwiseAND(F.lit(mask)) == 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        cleanmask = bit if cleanmask is None else cleanmask + bit
-    canon = F.element_at(F.lit(table), cleanmask + 1)
+    # built as ONE SQL string: the column-API form issued a py4j
+    # round-trip per literal/when (256-entry lookup + 8 whens), which
+    # dominated the operator's DataFrame-construction time (~2s/call
+    # measured at blocks=8 together with the banding structs below)
+    cleanmask = " + ".join(
+        f"(case when (shiftright(_x, {bits * i}) & {mask}) = 0 "
+        f"then {1 << i} else 0 end)"
+        for i in range(n_blocks)
+    )
+    canon = F.expr(
+        f"element_at(array({','.join(map(str, table))}), ({cleanmask}) + 1)"
+    )
     return (
         stage.where(F.bit_count("_x") <= max_hamming)
         .where(F.col(key_col) == canon)
@@ -645,24 +672,11 @@ def simhash_pairs_combination(
     src = simhash(df, id_col, text_col).persist()
     sh = src.select(F.col(id_col).alias("_id"), "simhash")
 
-    def _block(i: int) -> Column:
-        return F.shiftright("simhash", bits * i).bitwiseAND(F.lit(mask))
-
     combos = list(combinations(range(blocks), blocks - max_hamming))
     banded = sh.select(
         "_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("comb"),
-                        F.xxhash64(*[_block(i) for i in combo]).alias("bucket"),
-                    )
-                    for ci, combo in enumerate(combos)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(_comb_explode_sql("simhash", combos, bits, mask)).alias("bb"),
     ).select("_id", "simhash", "bb.comb", "bb.bucket")
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_h_a"), "comb", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_h_b"), "comb", "bucket")
@@ -715,20 +729,23 @@ def simhash_md5(
         F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
     )
     hashed = toks.join(F.broadcast(vocab), "_t").select(id_col, "_h")
+    # expr-string construction + sum-of-disjoint-powers assembly (see
+    # simhash); 32 bits all positive, but shiftleft keeps the twins
+    # textually parallel
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(case when (shiftright(_h, {i}) & 1) = 1 then 1 else -1 end)"
             ).alias(f"_v{i}")
             for i in range(32)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(32):
-        bit = F.shiftleft(F.lit(1).cast("long"), i)
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        " + ".join(
+            f"(case when _v{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+            for i in range(32)
         )
+    )
     return votes.select(F.col(id_col), fp.alias(out_col))
 
 
@@ -777,24 +794,11 @@ def simhash_md5_pairs(
             src = src.persist()
     sh = src.select(F.col(id_col).alias("_id"), "simhash32")
 
-    def _block(i: int) -> Column:
-        return F.shiftright("simhash32", bits * i).bitwiseAND(F.lit(mask))
-
     combos = list(combinations(range(blocks), blocks - max_hamming))
     banded = sh.select(
         "_id",
         "simhash32",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("comb"),
-                        F.xxhash64(*[_block(i) for i in combo]).alias("bucket"),
-                    )
-                    for ci, combo in enumerate(combos)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(_comb_explode_sql("simhash32", combos, bits, mask)).alias("bb"),
     ).select("_id", "simhash32", "bb.comb", "bb.bucket")
     a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "comb", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "comb", "bucket")
