@@ -29,7 +29,16 @@ from ..session import materialize as _eager_materialize
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    """Literal double array in ONE py4j call. Element-wise
+    F.lit().cast() was ~2 driver round-trips per component — a 64-dim
+    query vector cost ~130 round-trips, and the LSH builders embed one
+    literal vector PER HYPERPLANE (measured: 2.5s of pure DataFrame
+    construction in the batched-LSH query). repr() emits the shortest
+    string that round-trips to the same IEEE double and Spark's
+    string→double cast is correctly rounded, so values are bit-exact
+    vs the element-wise form (pinned by the ANN oracles)."""
+    vals = ", ".join(f"cast('{float(x)!r}' as double)" for x in vec)
+    return F.expr(f"array({vals})")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -452,7 +461,16 @@ def pq_build(
         codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
 
     def _code(j: int) -> Column:
-        cj = F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in codebooks[j]])
+        # one expr per codebook (k×d/m element-wise lits were ~256
+        # py4j round-trips per subspace; see _lit_vec)
+        cj = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"cast('{float(x)!r}' as double)" for x in cent) + ")"
+                for cent in codebooks[j]
+            )
+            + ")"
+        )
         s = F.slice("_e", j * sub + 1, sub)
         d2 = F.transform(
             cj,
@@ -501,11 +519,17 @@ def pq_topk(
     for j in range(m):
         qs = query[j * sub : (j + 1) * sub]
         luts.append([sum(a * b for a, b in zip(qs, cent)) for cent in codebooks[j]])
+    # one expr per subspace LUT (element-wise lits were k round-trips
+    # each; see _lit_vec)
     adc = reduce(
         add,
         [
             F.element_at(
-                F.array(*[F.lit(v) for v in luts[j]]),
+                F.expr(
+                    "array("
+                    + ", ".join(f"cast('{float(v)!r}' as double)" for v in luts[j])
+                    + ")"
+                ),
                 F.get("_codes", j).cast("int") + 1,
             )
             for j in range(m)
@@ -608,7 +632,9 @@ def lsh_topk_batch(
             q_id_col,
             q_emb_col,
             F.explode(
-                F.array(*[F.lit(m).cast("long") for m in masks])
+                F.expr(
+                    "array(" + ", ".join(f"{m}L" for m in masks) + ")"
+                )
             ).alias("_m"),
             "_qb",
         )
