@@ -167,6 +167,38 @@ def test_minhash_exact_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pair_join_has_no_dedup_shuffle(spark):
+    """Round-10 structural property: canonical-block filtering removed
+    the dropDuplicates exchange from the SimHash pair stage — with a
+    precomputed fingerprint table, the whole pair computation must plan
+    as a broadcast (or at worst one bucket-keyed) join with NO
+    hash-partitioning exchange above it, and no aggregate at all (the
+    old dedup was a HashAggregate over pairs × C(blocks,d) rows)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        simhash_md5,
+        simhash_md5_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    sig = simhash_md5(docs).persist()
+    try:
+        sig.count()
+        df = simhash_md5_pairs(docs, max_hamming=3, sig=sig)
+        plan = _plan(df)
+        # nothing above the pair join aggregates or repartitions the
+        # pair stream (the persisted fingerprint's own cached build
+        # plan — which legitimately aggregates votes — prints BELOW
+        # the join inside InMemoryRelation, so scope to the prefix)
+        join_pos = plan.find("Join")
+        assert join_pos != -1, plan
+        above = plan[:join_pos]
+        assert "Aggregate" not in above, plan[:1500]
+        assert "Exchange" not in above, plan[:1500]
+    finally:
+        sig.unpersist()
+
+
 def test_scd2_single_window_shuffle(spark):
     """SCD2 history must stay one (key, ts) sort-shuffle — a self-join
     formulation would double the exchanges."""
