@@ -8,13 +8,17 @@ are column-pruned unless selected).
 The Spark-side plumbing here is real and tested: schema, Arrow-batched
 UDF signatures over ``mapInPandas``, batch shapes, and a deterministic
 byte-histogram feature extractor (computable without media libraries).
-Codecs: PNG decode is REAL — a stdlib zlib+struct implementation
-(:func:`png_decode`: 8-bit non-interlaced gray/RGB/RGBA, all five
-scanline filters) wired behind ``decode_image(codec="png")`` and
-verified byte-exact by an oracled query (q_png_decode). Full image
-libraries (``codec="pil"``) and video containers (``codec="ffmpeg"``)
-remain gated behind ``NotImplementedError`` — this container has no
-media libs — with the mapInPandas plumbing codec-agnostic.
+Codecs: PNG and WAV decode are REAL — stdlib implementations
+(:func:`png_decode`: zlib+struct, 8-bit non-interlaced gray/RGB/RGBA,
+all five scanline filters; :func:`wav_decode`: struct-only RIFF
+chunk walker, 16-bit PCM any channel count) wired behind
+``decode_image(codec="png")`` / ``decode_audio(codec="wav")`` and
+each verified value-exact by an oracled roundtrip query
+(q_png_decode, q_wav_decode). Full image libraries (``codec="pil"``),
+compressed audio (mp3/flac/opus) and video containers
+(``codec="ffmpeg"``) remain gated behind ``NotImplementedError`` —
+this container has no media libs — with the mapInPandas plumbing
+codec-agnostic.
 """
 
 from __future__ import annotations
@@ -313,6 +317,106 @@ def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return decoded.mapInPandas(resample, DECODED_SCHEMA)
+
+
+# ------------------------- stdlib WAV codec (no external libs) -----
+
+
+def wav_encode_pcm16(
+    samples: list[int], sample_rate: int = 16_000, n_channels: int = 1
+) -> bytes:
+    """Minimal deterministic WAV writer: RIFF/WAVE with one fmt and one
+    data chunk, 16-bit little-endian PCM. ``samples`` are interleaved
+    int16 values (frame-major for multi-channel); length must be a
+    multiple of ``n_channels``. Pure struct — the encoder the
+    oracle-backed WAV query uses to build ground-truth audio from
+    document bytes."""
+    import struct
+
+    if len(samples) % n_channels:
+        raise ValueError("sample count must be a multiple of n_channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
+    """Stdlib WAV decoder (struct only): RIFF/WAVE, 16-bit PCM
+    (format tag 1), any channel count, chunk-walking (extra chunks
+    like LIST/cue are skipped). Returns (sample_rate, n_channels,
+    interleaved int16 samples). Raises ValueError on non-WAV bytes and
+    NotImplementedError for non-PCM16 encodings (float, ADPCM, 8/24/
+    32-bit) — the full-codec slot stays gated like image's 'pil'."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} / {bits}-bit unsupported "
+            "(16-bit PCM only)"
+        )
+    n = len(data) // 2
+    return sample_rate, n_channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+DECODED_AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, samples array<int>"
+)
+
+
+def decode_audio(media: DataFrame, codec: str = "wav") -> DataFrame:
+    """payload → PCM sample rows via Arrow-batched ``mapInPandas`` —
+    the audio twin of :func:`decode_image`. ``codec="wav"`` uses the
+    stdlib :func:`wav_decode`; other codecs (mp3/flac/opus) raise the
+    documented NotImplementedError until a real audio library is
+    present."""
+    if codec != "wav":
+        raise NotImplementedError(
+            f"audio codec {codec!r} not available in this environment; "
+            "plug a soundfile/ffmpeg decoder into the extract closure"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "n_channels": [], "samples": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, samples = wav_decode(
+                    b"" if payload is None else bytes(payload)
+                )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["samples"].append(samples)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, DECODED_AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_len int, frame binary"

@@ -1244,6 +1244,77 @@ def q_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# ------------------------------------------------- stdlib WAV decode
+
+
+def q_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real audio decode through the multimodal plumbing ([EXT] §2.11),
+    the PNG query's audio twin: each document's first 64 bytes map to
+    deterministic int16 samples (ascii·257 − 16384, exercising negative
+    values), are written as a real 16 kHz mono PCM16 WAV by the stdlib
+    encoder, and ``decode_audio(codec="wav")`` parses the RIFF
+    container back inside Arrow-batched mapInPandas. Output is an
+    exact per-clip sample checksum (sum and position-weighted dot) the
+    oracle reproduces from the raw text bytes — decode(encode(x)) == x
+    value-exact per clip. Same scale shape as q_png_decode: one
+    mapInPandas pass each way, zero shuffle before the final sort."""
+    import pandas as _pd
+
+    from .operators.multimodal import decode_audio, wav_encode_pcm16
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def to_wav(batches):
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw or b"")[:64]
+                b = b + b"\x00" * (64 - len(b))
+                samples = [v * 257 - 16384 for v in b]
+                payloads.append(wav_encode_pcm16(samples, 16_000, 1))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    wavs = media.mapInPandas(to_wav, "media_id long, payload binary")
+    decoded = decode_audio(wavs, codec="wav")
+    weighted = F.zip_with(
+        "samples", F.sequence(F.lit(1), F.lit(64)), lambda v, i: v.cast("long") * i
+    )
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        F.aggregate("samples", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "s_sum"
+        ),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "s_dot"
+        ),
+    ).orderBy("media_id")
+
+
+Q_WAV_DECODE_SQL = """
+WITH px AS (
+  SELECT doc_id, i,
+         (CASE WHEN i <= length(substr(text, 1, 64))
+               THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END) * 257
+           - 16384 AS v
+  FROM documents, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+)
+SELECT doc_id AS media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * i) AS BIGINT) AS s_dot
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 # testdata documents are pure ASCII (see Q_FRAME_SAMPLE_SQL note), so
 # VARCHAR positions are byte positions and ascii() IS the payload byte.
 Q_PNG_DECODE_SQL = """
@@ -1264,6 +1335,7 @@ FROM px GROUP BY doc_id ORDER BY media_id
 EXT3_QUERIES = {
     "q_ts_similarity": q_ts_similarity,
     "q_png_decode": q_png_decode,
+    "q_wav_decode": q_wav_decode,
     "q_cms_counts": q_cms_counts,
     "q_continuous_agg": q_continuous_agg,
     "q_fingerprint_md5": q_fingerprint_md5,
@@ -1294,6 +1366,7 @@ EXT3_QUERIES = {
 EXT3_ORACLES = {
     "q_ts_similarity": _ts_sql(),
     "q_png_decode": Q_PNG_DECODE_SQL,
+    "q_wav_decode": Q_WAV_DECODE_SQL,
     "q_cms_counts": Q_CMS_COUNTS_SQL,
     "q_continuous_agg": Q_CONTINUOUS_AGG_SQL,
     "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,

@@ -596,6 +596,65 @@ def test_decode_image_png_codec_through_spark(spark):
     assert bytes(v for row in out[2]["pixels"] for v in row) == data2
 
 
+def test_wav_codec_roundtrip_pure_python():
+    """WAV encode/decode round-trips int16 samples exactly (mono and
+    stereo, negative values, odd-length data chunk padding); malformed
+    and unsupported inputs raise the documented errors."""
+    import struct
+
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    mono = [0, 1, -1, 32767, -32768, 1234, -4321]
+    rate, ch, out = wav_decode(wav_encode_pcm16(mono, 8000, 1))
+    assert (rate, ch, out) == (8000, 1, mono)
+
+    stereo = [10, -10, 20, -20, 30, -30]
+    rate, ch, out = wav_decode(wav_encode_pcm16(stereo, 44100, 2))
+    assert (rate, ch, out) == (44100, 2, stereo)
+
+    # extra chunk before data is skipped (chunk-walking, word-aligned)
+    base = wav_encode_pcm16([5, -5], 16000, 1)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd length, padded
+    patched = base[:fmt_end] + junk + base[fmt_end:]
+    rate, ch, out = wav_decode(patched)
+    assert (rate, ch, out) == (16000, 1, [5, -5])
+
+    with pytest.raises(ValueError):
+        wav_decode(b"definitely not a wav")
+    with pytest.raises(ValueError):
+        wav_encode_pcm16([1, 2, 3], 8000, 2)  # not a multiple of channels
+    # float / non-16-bit PCM is the documented unsupported corner
+    bad = bytearray(wav_encode_pcm16([1], 8000, 1))
+    bad[20:22] = struct.pack("<H", 3)  # format tag 3 = IEEE float
+    with pytest.raises(NotImplementedError):
+        wav_decode(bytes(bad))
+
+
+def test_decode_audio_wav_through_spark(spark):
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        wav_encode_pcm16,
+    )
+    import pytest
+
+    rows = [
+        (1, bytearray(wav_encode_pcm16([100, -200, 300], 16000, 1))),
+        (2, bytearray(wav_encode_pcm16([-1, -2, -3, -4], 22050, 2))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_audio(media, codec="wav").collect()}
+    assert out[1]["sample_rate"] == 16000 and out[1]["samples"] == [100, -200, 300]
+    assert out[2]["n_channels"] == 2 and out[2]["samples"] == [-1, -2, -3, -4]
+    with pytest.raises(NotImplementedError):
+        decode_audio(media, codec="mp3")
+
+
 def test_multimodal_sample_frames(spark):
     from crypto_price_data_pipeline_spark.operators.multimodal import (
         documents_as_media,
