@@ -43,6 +43,7 @@ HEADLINE = [
     "q_array_funcs",
     "q_frame_sample",
     "q_png_decode",
+    "q_wav_decode",
     "q_ngram_jaccard",
     "q_minhash_exact",
     "q_embedding_neardup",

@@ -419,6 +419,113 @@ def decode_audio(media: DataFrame, codec: str = "wav") -> DataFrame:
     return media.mapInPandas(extract, DECODED_AUDIO_SCHEMA)
 
 
+# --------------------- stdlib Y4M video container (no external libs)
+
+
+def y4m_encode(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    colorspace: str = "mono",
+    fps: str = "25:1",
+) -> bytes:
+    """Minimal deterministic YUV4MPEG2 writer — the raw-video
+    interchange container of the ffmpeg/x264 toolchains, and simple
+    enough to emit with no libraries: one text header, then
+    ``FRAME\\n`` + raw planes per frame. ``colorspace`` "mono" (frame =
+    W·H luma bytes) or "420" (+ two quarter-size chroma planes)."""
+    if colorspace == "mono":
+        flen, ctag = width * height, "Cmono"
+    elif colorspace == "420":
+        flen, ctag = width * height * 3 // 2, "C420"
+    else:
+        raise ValueError("colorspace must be 'mono' or '420'")
+    for f in frames:
+        if len(f) != flen:
+            raise ValueError(f"frame length {len(f)} != {flen} for {ctag}")
+    header = f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 {ctag}\n".encode()
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def y4m_decode(payload: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Stdlib YUV4MPEG2 parser: header tags W/H/C (F/I/A accepted and
+    ignored), then fixed-size frames, each introduced by a ``FRAME``
+    line (per-frame parameters after ``FRAME`` are tolerated). Returns
+    (width, height, colorspace, luma_planes) — for C420 the chroma
+    planes are parsed (frame stride honors them) but only the W·H luma
+    plane is returned, which is what downstream grayscale feature
+    extractors consume. Raises ValueError on non-Y4M bytes and
+    NotImplementedError for colorspaces other than mono/420 (the
+    compressed-video slot stays gated like image's 'pil')."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream: bad signature")
+    width = height = None
+    colorspace = "420"  # the Y4M default when no C tag is present
+    for tag in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tag.startswith("W"):
+            width = int(tag[1:])
+        elif tag.startswith("H"):
+            height = int(tag[1:])
+        elif tag.startswith("C"):
+            colorspace = tag[1:]
+    if not width or not height:
+        raise ValueError("not a Y4M stream: missing W/H")
+    if colorspace.startswith("420"):
+        colorspace, flen = "420", width * height * 3 // 2
+    elif colorspace == "mono":
+        flen = width * height
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace!r} unsupported")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M stream: missing FRAME marker")
+        data = payload[fnl + 1:fnl + 1 + flen]
+        if len(data) != flen:
+            raise ValueError("corrupt Y4M stream: truncated frame")
+        frames.append(data[: width * height])  # luma plane
+        pos = fnl + 1 + flen
+    return width, height, colorspace, frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, frame binary"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 2, codec: str = "y4m"
+) -> DataFrame:
+    """Real-container frame sampling: parse each payload as Y4M and
+    emit every ``every_n``-th frame's luma plane — the video twin of
+    :func:`decode_image`/:func:`decode_audio` (per-batch explode
+    inside mapInPandas, like :func:`sample_frames`). ``codec="y4m"``
+    only; compressed containers (mp4/webm → ``"ffmpeg"``) stay gated."""
+    if codec != "y4m":
+        raise NotImplementedError(
+            f"video codec {codec!r} not available in this environment"
+        )
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _cs, frames = y4m_decode(
+                    b"" if payload is None else bytes(payload)
+                )
+                for idx in range(0, len(frames), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(frames[idx])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(explode_frames, VIDEO_FRAME_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_len int, frame binary"
 
 

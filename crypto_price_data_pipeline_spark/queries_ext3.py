@@ -1244,6 +1244,64 @@ def q_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# -------------------------------------------- stdlib Y4M frame sample
+
+
+def q_y4m_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Real video-container frame sampling ([EXT] §2.11): each
+    document's first 128 bytes (right-padded with 'x' — an ASCII pad
+    so the oracle can reproduce it as text) become an 8-frame 4×4
+    grayscale YUV4MPEG2 clip via the stdlib writer;
+    ``sample_video_frames(codec="y4m")`` parses the container back and
+    keeps every 2nd frame. Output is the per-frame luma md5 — the
+    oracle md5s the same 16-char slices of the padded text, so
+    parse(emit(x)) == x byte-exact per sampled frame. Completes the
+    real-codec trio (PNG image / WAV audio / Y4M video); compressed
+    codecs stay gated behind NotImplementedError."""
+    import pandas as _pd
+
+    from .operators.multimodal import sample_video_frames, y4m_encode
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 128), "UTF-8").alias("raw"),
+    )
+
+    def to_y4m(batches):
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw or b"")[:128]
+                b = b + b"x" * (128 - len(b))
+                frames = [b[i * 16:(i + 1) * 16] for i in range(8)]
+                payloads.append(y4m_encode(frames, 4, 4, colorspace="mono"))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    clips = media.mapInPandas(to_y4m, "media_id long, payload binary")
+    sampled = sample_video_frames(clips, every_n=2, codec="y4m")
+    return sampled.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.md5("frame").alias("frame_md5"),
+    ).orderBy("media_id", "frame_idx")
+
+
+Q_Y4M_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       md5(substring(rpad(substring(text, 1, 128), 128, 'x'),
+                     CAST(idx * 16 + 1 AS BIGINT), 16)) AS frame_md5
+FROM documents, LATERAL (SELECT unnest(range(0, 8, 2)) AS idx) t
+ORDER BY media_id, frame_idx
+"""
+
+
 # ------------------------------------------------- stdlib WAV decode
 
 
@@ -1336,6 +1394,7 @@ EXT3_QUERIES = {
     "q_ts_similarity": q_ts_similarity,
     "q_png_decode": q_png_decode,
     "q_wav_decode": q_wav_decode,
+    "q_y4m_frames": q_y4m_frames,
     "q_cms_counts": q_cms_counts,
     "q_continuous_agg": q_continuous_agg,
     "q_fingerprint_md5": q_fingerprint_md5,
@@ -1367,6 +1426,7 @@ EXT3_ORACLES = {
     "q_ts_similarity": _ts_sql(),
     "q_png_decode": Q_PNG_DECODE_SQL,
     "q_wav_decode": Q_WAV_DECODE_SQL,
+    "q_y4m_frames": Q_Y4M_FRAMES_SQL,
     "q_cms_counts": Q_CMS_COUNTS_SQL,
     "q_continuous_agg": Q_CONTINUOUS_AGG_SQL,
     "q_fingerprint_md5": Q_FINGERPRINT_MD5_SQL,

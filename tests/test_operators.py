@@ -655,6 +655,57 @@ def test_decode_audio_wav_through_spark(spark):
         decode_audio(media, codec="mp3")
 
 
+def test_y4m_codec_roundtrip_pure_python():
+    """Y4M encode/parse round-trips luma planes exactly (mono and 420 —
+    chroma participates in the stride, only luma returns); header tags
+    beyond W/H/C are tolerated; malformed and unsupported inputs raise
+    the documented errors."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        y4m_decode,
+        y4m_encode,
+    )
+
+    mono = [bytes(range(16)), bytes(reversed(range(16)))]
+    w, h, cs, frames = y4m_decode(y4m_encode(mono, 4, 4, colorspace="mono"))
+    assert (w, h, cs, frames) == (4, 4, "mono", mono)
+
+    y = bytes(range(16))
+    f420 = y + b"\x80" * 8  # 4x4 luma + two 2x2 chroma planes
+    w, h, cs, frames = y4m_decode(y4m_encode([f420], 4, 4, colorspace="420"))
+    assert (w, h, cs) == (4, 4, "420") and frames == [y]
+
+    with pytest.raises(ValueError):
+        y4m_decode(b"RIFF this is not y4m")
+    with pytest.raises(ValueError):
+        y4m_encode([b"short"], 4, 4, colorspace="mono")
+    with pytest.raises(ValueError):  # truncated frame payload
+        full = y4m_encode(mono, 4, 4, colorspace="mono")
+        y4m_decode(full[:-3])
+    with pytest.raises(NotImplementedError):  # 422 is a gated colorspace
+        y4m_decode(b"YUV4MPEG2 W4 H4 C422\n" + b"FRAME\n" + b"\x00" * 32)
+
+
+def test_sample_video_frames_through_spark(spark):
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+        y4m_encode,
+    )
+    import pytest
+
+    frames = [bytes([i] * 16) for i in range(5)]
+    rows = [(1, bytearray(y4m_encode(frames, 4, 4, colorspace="mono")))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in sample_video_frames(media, every_n=2).collect()
+    )
+    assert out == [(0, frames[0]), (2, frames[2]), (4, frames[4])]
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(media, codec="ffmpeg")
+
+
 def test_multimodal_sample_frames(spark):
     from crypto_price_data_pipeline_spark.operators.multimodal import (
         documents_as_media,
