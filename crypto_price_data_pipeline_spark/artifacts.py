@@ -21,6 +21,33 @@ stored-table design never hides work — it relocates it to where a
 production pipeline actually pays it (once per corpus, not once per
 query).
 
+Build parallelism: the local testdata corpora are single-parquet-file
+tables, so a build's scan stage gets ONE input split — on a 32-thread
+local master the per-row-heaviest stage of the whole bench would run
+single-threaded. ``_scale_out`` repartitions the scan up to
+``defaultParallelism`` before the heavy projection; the guard only
+fires when the scan's natural parallelism is below the core count,
+which at 100 TB it never is (a real corpus scan has thousands of
+splits), so production plans keep zero extra shuffles while the
+local build uses the whole box. The shuffled payload is exactly the
+raw text a real multi-split scan would have distributed anyway.
+
+Concurrency + staleness (r10 ADVICE): the registry is normally driven
+single-threaded, but ``_artifact``'s check-then-act on the cache dict
+is guarded by a lock anyway so concurrent sessions can't double-build
+or observe a half-written dir, and ``rebuild`` of an upstream
+artifact (minhash_base) invalidates its cached derived artifacts
+(minhash_mins) so the corpus-change path can never serve a derived
+table built from the prior base.
+
+Parameter stamping (r10 ADVICE): every artifact carries its build
+parameters as column metadata (``artifact_params`` on the first
+column). Operators that accept precomputed signature/posting tables
+(``base=``/``mins=``/``sig=``/``fp=``) assert the stamp matches their
+own arguments — a caller wiring the store into a differently-
+parameterized operator gets an error, not silently wrong results.
+Caller-built tables without a stamp skip the check (trusted).
+
 Degenerate corpora: a 0-row build can write a footer-less parquet
 directory (only _SUCCESS), which Spark refuses to read back. Such
 corpora fall back to returning the lazily-built DataFrame directly —
@@ -33,10 +60,12 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .io.sources import load_table
 
@@ -44,34 +73,69 @@ from .io.sources import load_table
 # _FALLBACK sentinel for corpora whose build round-trips empty.
 _DIRS: dict[tuple[str, str], str] = {}
 _FALLBACK = "__lazy_fallback__"
+_LOCK = threading.RLock()
+
+# build parameters each artifact is constructed with — the stamp
+# consumers verify (operators.dedup._check_precomputed_params)
+PARAMS: dict[str, dict] = {
+    "minhash_base": {"shingle_k": 3},
+    "minhash_mins": {"shingle_k": 3, "num_hashes": 64, "seed": 42},
+    "simhash32": {"token_bits": 32, "hash": "md5"},
+    "winnow_fp": {"k": 8, "w": 8},
+    "tfidf_w": {"ngram": 3, "max_df": 50},
+}
+
+# upstream -> derived artifacts that must drop when it rebuilds
+_DERIVED: dict[str, list[str]] = {"minhash_base": ["minhash_mins"]}
+
+
+def _stamp(df: DataFrame, name: str) -> DataFrame:
+    params = dict(PARAMS.get(name, {}))
+    params["artifact"] = name
+    return df.withMetadata(df.columns[0], {"artifact_params": params})
+
+
+def _scale_out(df: DataFrame) -> DataFrame:
+    """Repartition a build input up to defaultParallelism when the
+    scan has fewer splits than cores (see module docstring)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _artifact(
     spark: SparkSession, name: str, sf: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     key = (name, os.path.abspath(sf))
-    loc = _DIRS.get(key)
-    if loc == _FALLBACK:
-        return build()
-    if loc is None or not os.path.isdir(loc):
-        d = tempfile.mkdtemp(prefix=f"artifact_{name}_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        build().write.mode("overwrite").parquet(d)
-        try:
-            spark.read.parquet(d).schema
-        except Exception:
-            _DIRS[key] = _FALLBACK
-            return build()
-        _DIRS[key] = d
-        loc = d
-    return spark.read.parquet(loc)
+    with _LOCK:
+        loc = _DIRS.get(key)
+        if loc == _FALLBACK:
+            return _stamp(build(), name)
+        if loc is None or not os.path.isdir(loc):
+            d = tempfile.mkdtemp(prefix=f"artifact_{name}_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            build().write.mode("overwrite").parquet(d)
+            try:
+                spark.read.parquet(d).schema
+            except Exception:
+                _DIRS[key] = _FALLBACK
+                return _stamp(build(), name)
+            _DIRS[key] = d
+            loc = d
+    return _stamp(spark.read.parquet(loc), name)
 
 
 def rebuild(spark: SparkSession, sf: str, name: str) -> DataFrame:
     """Force a cold rebuild of one artifact (bench timing hook): drop
-    the cache entry and re-run the accessor. The corpus-change path in
-    production — same code, no special casing."""
-    _DIRS.pop((name, os.path.abspath(sf)), None)
+    the cache entry — and every cached artifact DERIVED from it, so a
+    corpus change can never leave a stale downstream table — then
+    re-run the accessor. The corpus-change path in production — same
+    code, no special casing."""
+    with _LOCK:
+        _DIRS.pop((name, os.path.abspath(sf)), None)
+        for dep in _DERIVED.get(name, []):
+            _DIRS.pop((dep, os.path.abspath(sf)), None)
     return BUILDERS[name](spark, sf)
 
 
@@ -87,7 +151,7 @@ def minhash_base(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import with_shingles
 
     def _build() -> DataFrame:
-        docs = load_table(spark, sf, "documents")
+        docs = _scale_out(load_table(spark, sf, "documents"))
         return with_shingles(
             docs, "doc_id", "text", k=3, keep_cols=["lang"]
         ).withColumn("_n", F.size("_shingles"))
@@ -117,20 +181,20 @@ def simhash32_table(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import simhash_md5
 
     def _build() -> DataFrame:
-        return simhash_md5(load_table(spark, sf, "documents"))
+        return simhash_md5(_scale_out(load_table(spark, sf, "documents")))
 
     return _artifact(spark, "simhash32", sf, _build)
 
 
 def winnow_postings(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, fp): the winnowing sketch postings (k=8 chars, w=8
-    windows, xxhash64-recoded — operators.text._winnowing_fp_hashes).
+    windows, packed-gram longs — operators.text._winnowing_fp_hashes).
     This IS the substring-dedup inverted index; both the pair query and
     the transitive-closure dedup cut join against it."""
     from .operators.text import _winnowing_fp_hashes
 
     def _build() -> DataFrame:
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = _scale_out(load_table(spark, sf, "documents").select("doc_id", "text"))
         return _winnowing_fp_hashes(docs, "doc_id", "text", 8, 8)
 
     return _artifact(spark, "winnow_fp", sf, _build)
@@ -146,13 +210,20 @@ def tfidf_weights(spark: SparkSession, sf: str) -> DataFrame:
     the posting self-join shuffles 8-byte longs instead of ~20-char
     trigrams, and weights/cosines are invariant under any injective
     term recode (tf and df are per-term counts). Collision exposure is
-    the shingle family's standard contract: ~|vocab|²/2⁶⁴."""
+    the shingle family's standard contract: ~|vocab|²/2⁶⁴.
+
+    One pipeline, no reuse joins (r11): tf feeds both the df cap and
+    the weight — the former spelling materialized tf (localCheckpoint)
+    and joined it against its own per-term aggregate; a count window
+    over the term partition delivers df in the SAME shuffle the
+    posting table needs anyway, so the build is two exchanges total
+    ((doc_id,term) agg, term window) with nothing persisted."""
     from .operators.text import tokenize
 
     def _build() -> DataFrame:
         docs = load_table(spark, sf, "documents")
         n_docs = docs.count()
-        toked = docs.select("doc_id", tokenize("text").alias("t")).where(
+        toked = _scale_out(docs.select("doc_id", tokenize("text").alias("t"))).where(
             F.size("t") >= 3
         )
         terms = toked.select(
@@ -164,26 +235,16 @@ def tfidf_weights(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("term"),
         )
-        # eager-materialize: tf feeds the df cap AND the weight join —
-        # left lazy, the tokenize+explode chain runs twice inside the
-        # artifact write (localCheckpoint is the repo's release-safe
-        # form; blocks drop with the py4j ref, no dangling persist).
-        from .session import materialize
-
-        tf = (
-            terms.groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .transform(materialize)
-        )
-        df_ = (
-            tf.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
+        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df_w = Window.partitionBy("term")
+        return (
+            tf.withColumn("df", F.count(F.lit(1)).over(df_w))
             .where(F.col("df") <= 50)
-        )
-        return tf.join(df_, "term").select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("w"),
+            .select(
+                "doc_id",
+                "term",
+                (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("w"),
+            )
         )
 
     return _artifact(spark, "tfidf_w", sf, _build)

@@ -35,6 +35,36 @@ from ..session import materialize as _eager_materialize
 _MERSENNE_P = (1 << 31) - 1
 
 
+def check_precomputed_params(df: DataFrame, expected: dict, op: str) -> None:
+    """Verify a precomputed signature/posting table was built with the
+    parameters this operator call assumes. artifacts.py stamps build
+    parameters as ``artifact_params`` column metadata; a stamped table
+    whose params disagree with the call's arguments raises here instead
+    of silently producing wrong results (e.g. the artifact store's
+    k=8/w=8 winnowing sketch fed to a winnowing_pairs(k=6) call).
+    Caller-built tables without a stamp skip the check — they are the
+    caller's contract. Only keys present in BOTH dicts are compared,
+    so stamps may carry extra provenance fields."""
+    for field in df.schema.fields:
+        params = (field.metadata or {}).get("artifact_params")
+        if params is None:
+            continue
+        bad = {
+            key: (params[key], val)
+            for key, val in expected.items()
+            if key in params and params[key] != val
+        }
+        if bad:
+            detail = ", ".join(
+                f"{key}: artifact has {have!r}, call expects {want!r}"
+                for key, (have, want) in bad.items()
+            )
+            raise ValueError(
+                f"{op}: precomputed table parameter mismatch — {detail}"
+            )
+        return
+
+
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """n (a, b) pairs for h_i(x) = (a*x + b) mod p, reproducible."""
     params = []
@@ -375,8 +405,20 @@ def minhash_lsh_pairs(
         # both sides of the verification join — without it the
         # tokenize+shingle chain re-runs three times (Generate trap).
         base = with_shingles(df, id_col, text_col, shingle_k).persist()
+    else:
+        check_precomputed_params(
+            base, {"artifact": "minhash_base", "shingle_k": shingle_k},
+            "minhash_lsh_pairs",
+        )
     if mins is None:
         mins = minhash_min_cols(base, id_col, num_hashes, seed)
+    else:
+        check_precomputed_params(
+            mins,
+            {"artifact": "minhash_mins", "shingle_k": shingle_k,
+             "num_hashes": num_hashes, "seed": seed},
+            "minhash_lsh_pairs",
+        )
     banded = band_buckets_from_cols(mins, id_col, num_hashes, bands)
 
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
@@ -599,6 +641,10 @@ def simhash_pairs(
         src = simhash(df, id_col, text_col)
         if materialize:
             src = src.persist()  # released below after the eager compute
+    else:
+        # this operator consumes the 64-bit xxhash SimHash; the
+        # artifact store's table is the 32-bit md5 twin — reject it
+        check_precomputed_params(src, {"token_bits": 64}, "simhash_pairs")
     sh = src.select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
@@ -792,6 +838,11 @@ def simhash_md5_pairs(
         src = simhash_md5(df, id_col, text_col)
         if materialize:
             src = src.persist()
+    else:
+        check_precomputed_params(
+            src, {"artifact": "simhash32", "token_bits": 32, "hash": "md5"},
+            "simhash_md5_pairs",
+        )
     sh = src.select(F.col(id_col).alias("_id"), "simhash32")
 
     combos = list(combinations(range(blocks), blocks - max_hamming))
@@ -876,9 +927,21 @@ def minhash_then_exact(
             .withColumn("_n", F.size("_shingles"))
             .persist()
         )
+    else:
+        check_precomputed_params(
+            base, {"artifact": "minhash_base", "shingle_k": k},
+            "minhash_then_exact",
+        )
     if mins is None:
         mins = minhash_min_cols(
             base, id_col, num_hashes, seed, keep_cols=["_n", *block_cols]
+        )
+    else:
+        check_precomputed_params(
+            mins,
+            {"artifact": "minhash_mins", "shingle_k": k,
+             "num_hashes": num_hashes, "seed": seed},
+            "minhash_then_exact",
         )
     banded = band_buckets_from_cols(
         mins, id_col, num_hashes, bands, keep_cols=["_n", *block_cols]
@@ -967,6 +1030,11 @@ def ngram_jaccard_pairs(
     """
     _gate_corpus_size(df, max_docs, "ngram_jaccard_pairs", "minhash_then_exact")
     owns_shingled = base is None
+    if base is not None:
+        check_precomputed_params(
+            base, {"artifact": "minhash_base", "shingle_k": k},
+            "ngram_jaccard_pairs",
+        )
     src = base if base is not None else with_shingles(
         df, id_col, text_col, k, keep_cols=block_cols
     )
@@ -1065,6 +1133,11 @@ def ngram_overlap_pairs(
     """
     _gate_corpus_size(df, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
     owns_shingled = base is None
+    if base is not None:
+        check_precomputed_params(
+            base, {"artifact": "minhash_base", "shingle_k": k},
+            "ngram_overlap_pairs",
+        )
     src = base if base is not None else with_shingles(
         df, id_col, text_col, k, keep_cols=block_cols
     )

@@ -278,16 +278,61 @@ def winnowing_fingerprints(
 def _winnowing_fp_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int, w: int
 ) -> DataFrame:
-    """winnowing_fingerprints with the selected grams recoded to
-    xxhash64 longs BEFORE the explode+distinct — the selection is still
-    the lexicographic window minimum (so a SQL oracle reproduces it),
-    but every downstream shuffle/join carries 8-byte longs instead of
-    k-char strings. Pair counts are invariant under any injective
-    recode; xxhash64 collisions at corpus scale are ~|sketch|²/2⁶⁴.
+    """winnowing_fingerprints with the grams PACKED into longs before
+    the window-minimum selection (k ≤ 9): each cleaned char is a 7-bit
+    ascii code, a k-gram is the big-endian base-128 packing of its
+    codes, and — because the packing is order-preserving on fixed-k
+    grams over a zero-free alphabet — the NUMERIC window minimum
+    selects exactly the same gram as the lexicographic string minimum
+    (the selection any SQL oracle reproduces). Downstream
+    shuffles/joins carry 8-byte longs, and unlike the former xxhash64
+    recode the packing is INJECTIVE by construction: zero collision
+    exposure, and the per-position k-char substring allocation is gone
+    (the chars array is built once per row; grams are pure long
+    arithmetic). Measured ~2× on the sketch build at sf0.1 on top of
+    the least()-chain window minima.
+
+    Short-doc edge (len < k): the single truncated gram packs with 0s
+    in the low positions — no cleaned char has code 0, so truncated
+    grams can never collide with a full k-gram. Pair counts are
+    invariant under any injective recode. k > 9 (7·k bits > 63) falls
+    back to the xxhash64 recode of the string minima.
 
     Same unique-``id_col`` precondition as winnowing_fingerprints:
     (id, fp) is a set only because ids don't repeat across rows —
     duplicate-id inputs duplicate postings and inflate pair counts."""
+    if k > 9:
+        return _winnowing_fp_hashes_str(df, id_col, text_col, k, w)
+    s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
+    # chars -> 7-bit codes; grams -> packed longs; windows -> least()
+    # chains of O(1) gets (no per-position array allocation). All three
+    # are single F.expr strings: the wide builders cost ~1 py4j round
+    # trip each instead of hundreds (NOTES: the Column-API tax).
+    gram_terms = " + ".join(
+        f"coalesce(get(_c, i + {j}), 0L) * {128 ** (k - 1 - j)}L" for j in range(k)
+    )
+    grams = f"transform(sequence(0, greatest(size(_c) - {k}, 0)), i -> {gram_terms})"
+    win_terms = ", ".join(f"get(_p, i + {j})" for j in range(w))
+    # out-of-range gets are null and least() skips nulls, so the tail
+    # windows shrink exactly like a slice-based minimum's would
+    mins = f"transform(sequence(0, greatest(size(_p) - {w}, 0)), i -> least({win_terms}))"
+    # no global .distinct(): array_distinct makes fp unique within the
+    # row and id differs across rows, so (id, fp) is already a set
+    return (
+        df.select(id_col, s.alias("_s"))
+        .select(id_col, F.expr("transform(split(_s, ''), ch -> ascii(ch))").alias("_c"))
+        .select(id_col, F.expr(grams).alias("_p"))
+        .select(id_col, F.explode(F.array_distinct(F.expr(mins))).alias("fp"))
+    )
+
+
+def _winnowing_fp_hashes_str(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Fallback for k > 9 (gram does not fit a packed long): string
+    window minima recoded to xxhash64 AFTER selection — the pre-r11
+    path. Collision exposure ~|sketch|²/2⁶⁴; the outer array_distinct
+    keeps a within-row collision at one posting."""
     s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
     cleaned = df.select(id_col, s.alias("_s"))
     grams = F.transform(
@@ -295,25 +340,13 @@ def _winnowing_fp_hashes(
         lambda i: F.substr(F.col("_s"), i, F.lit(k)),
     )
     staged = cleaned.select(id_col, grams.alias("_g"))
-    # window minimum as a least() chain of O(1) array gets — no
-    # per-position slice allocation (array_min(slice(_g, i, w))
-    # allocated a w-array per gram; measured ~11% on the build, and
-    # the allocation churn scales with corpus chars). Out-of-range
-    # gets are null and least() skips nulls, so the tail windows
-    # shrink exactly like slice's.
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_g") - w, F.lit(0))),
         lambda i: F.least(*[F.get(F.col("_g"), i + F.lit(j)) for j in range(w)]),
     )
-    # outer array_distinct: a within-row xxhash64 collision between
-    # two distinct grams must still yield ONE posting (the behavior
-    # the former global distinct guaranteed) — in-row dedup is free
     hashed = F.array_distinct(
         F.transform(F.array_distinct(mins), lambda g: F.xxhash64(g))
     )
-    # no global .distinct(): fp is unique within the row and id
-    # differs across rows, so (id, fp) is already a set — the global
-    # distinct was a pure-overhead extra shuffle
     return staged.select(id_col, F.explode(hashed).alias("fp"))
 
 
@@ -339,10 +372,11 @@ def winnowing_pairs(
     fingerprint-join pipeline) otherwise create quadratic hot posting
     lists; dropping them loses only pairs whose entire overlap is
     corpus-wide boilerplate. Work is candidate-proportional, never
-    all-pairs. The selected grams travel as xxhash64 longs through the
-    explode/distinct/join shuffles (_winnowing_fp_hashes) — the
-    lexicographic selection is unchanged, the shuffles shrink ~2×
-    (measured 7.4s → ~4s at sf0.1 together with the w=4→8 default).
+    all-pairs. The selected grams travel as packed base-128 longs
+    through the explode/join shuffles (_winnowing_fp_hashes) — the
+    lexicographic selection is unchanged (the packing is order-
+    preserving) and the recode is injective, so pair counts are
+    exactly the string-gram counts.
 
     ``fp``: optional precomputed (id, fp) posting table (e.g. the
     artifact store's stored sketch index). Must be materialized; the
@@ -352,6 +386,12 @@ def winnowing_pairs(
     owns_fp = fp is None
     if fp is None:
         fp = _winnowing_fp_hashes(df, id_col, text_col, k, w).persist()
+    else:
+        from .dedup import check_precomputed_params
+
+        check_precomputed_params(
+            fp, {"artifact": "winnow_fp", "k": k, "w": w}, "winnowing_pairs"
+        )
     rare = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -123,3 +123,64 @@ def test_tfidf_weights_match_inline_definition(spark):
     ref_m = {r["doc_id"]: r["ws"] for r in ref.collect()}
     got_m = {r["doc_id"]: r["ws"] for r in got.collect()}
     assert got_m == ref_m
+
+
+def test_artifact_param_stamp_present_and_mismatch_raises(spark):
+    """Every artifact carries its build params as column metadata, and
+    an operator fed a differently-parameterized artifact table must
+    raise instead of silently computing wrong results (r10 ADVICE)."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark import artifacts
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from crypto_price_data_pipeline_spark.operators.text import winnowing_pairs
+
+    fp = artifacts.winnow_postings(spark, SF)
+    stamped = [
+        (f.metadata or {}).get("artifact_params")
+        for f in fp.schema.fields
+        if (f.metadata or {}).get("artifact_params")
+    ]
+    assert stamped and stamped[0]["artifact"] == "winnow_fp"
+    assert stamped[0]["k"] == 8 and stamped[0]["w"] == 8
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # matching params: fine
+    winnowing_pairs(docs, k=8, w=8, min_shared=1, fp=fp).count()
+    # mismatched winnow window: must raise at construction
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        winnowing_pairs(docs, k=8, w=4, min_shared=1, fp=fp)
+    # mismatched shingle k against the minhash artifacts: must raise
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        minhash_lsh_pairs(
+            docs, shingle_k=5,
+            base=artifacts.minhash_base(spark, SF),
+            mins=artifacts.minhash_mins(spark, SF),
+        )
+    # wrong seed against the stored minima: must raise
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        minhash_lsh_pairs(
+            docs, seed=7,
+            base=artifacts.minhash_base(spark, SF),
+            mins=artifacts.minhash_mins(spark, SF),
+        )
+
+
+def test_rebuild_upstream_invalidates_derived(spark):
+    """rebuild('minhash_base') must drop the cached minhash_mins built
+    from the prior base — the corpus-change path can never serve a
+    derived artifact computed from a stale upstream (r10 ADVICE)."""
+    import os as _os
+
+    from crypto_price_data_pipeline_spark import artifacts
+
+    key_mins = ("minhash_mins", _os.path.abspath(SF))
+    artifacts.minhash_mins(spark, SF).count()
+    assert key_mins in artifacts._DIRS
+    artifacts.rebuild(spark, SF, "minhash_base")
+    assert key_mins not in artifacts._DIRS, (
+        "derived minhash_mins survived an upstream rebuild"
+    )
+    # next access rebuilds from the NEW base and still matches
+    assert artifacts.minhash_mins(spark, SF).count() > 0
