@@ -256,7 +256,32 @@ def _fake_image_decode(payload: bytes, width: int = 8) -> tuple[int, int, list[l
     ]
 
 
-def decode_image(media: DataFrame, codec: str = "fake", width: int = 8) -> DataFrame:
+def _tolerant(decode, on_error: str, op: str):
+    """Per-row error policy for the real-codec decode operators (r10
+    ADVICE): ``on_error="raise"`` keeps the strict contract (one
+    undecodable payload fails the job — right for oracle-pinned
+    corpora you control); ``on_error="skip"`` catches the decoder's
+    ValueError/NotImplementedError per ROW and drops that row, the
+    policy a 100-TB crawl pipeline actually wants (a handful of
+    corrupt blobs must not kill a stage). Unexpected exception types
+    still propagate — "skip" never hides a decoder bug."""
+    if on_error == "raise":
+        return decode
+    if on_error != "skip":
+        raise ValueError(f"{op}: on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def wrapped(payload):
+        try:
+            return decode(payload)
+        except (ValueError, NotImplementedError):
+            return None
+
+    return wrapped
+
+
+def decode_image(
+    media: DataFrame, codec: str = "fake", width: int = 8, on_error: str = "raise"
+) -> DataFrame:
     """payload → grayscale pixel tensor rows via Arrow-batched
     ``mapInPandas`` (the real production shape: per-batch pandas in/out,
     one Python worker per input partition, no per-row overhead).
@@ -265,7 +290,9 @@ def decode_image(media: DataFrame, codec: str = "fake", width: int = 8) -> DataF
     ``codec="png"`` decodes real PNG payloads with the stdlib
     :func:`png_decode` (8-bit non-interlaced gray/RGB/RGBA, all five
     filters); ``codec="pil"`` remains the slot for a full image
-    library (absent in this container → NotImplementedError)."""
+    library (absent in this container → NotImplementedError).
+    ``on_error``: see :func:`_tolerant` — "skip" drops undecodable
+    rows instead of failing the job."""
     if codec == "fake":
         def _decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
             return _fake_image_decode(payload, width)
@@ -276,17 +303,24 @@ def decode_image(media: DataFrame, codec: str = "fake", width: int = 8) -> DataF
             f"image codec {codec!r} not available in this environment; "
             "plug a PIL/libvips decoder into the extract closure"
         )
+    _decode = _tolerant(_decode, on_error, "decode_image")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "pixels": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = _decode(b"" if payload is None else bytes(payload))
+                res = _decode(b"" if payload is None else bytes(payload))
+                if res is None:
+                    continue
+                w, h, px = res
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["pixels"].append(px)
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                # an all-skipped batch would yield empty float64
+                # pandas columns Arrow can't cast to the nested types
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, DECODED_SCHEMA)
 
@@ -369,6 +403,14 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
         tag = payload[pos:pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            # a declared chunk length past the payload end is
+            # corruption — flag it instead of silently truncating
+            # the decoded audio (r10 ADVICE)
+            raise ValueError(
+                f"corrupt WAV: chunk {tag!r} declares {length} bytes "
+                f"but only {len(body)} remain"
+            )
         if tag == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
@@ -391,30 +433,35 @@ DECODED_AUDIO_SCHEMA = (
 )
 
 
-def decode_audio(media: DataFrame, codec: str = "wav") -> DataFrame:
+def decode_audio(
+    media: DataFrame, codec: str = "wav", on_error: str = "raise"
+) -> DataFrame:
     """payload → PCM sample rows via Arrow-batched ``mapInPandas`` —
     the audio twin of :func:`decode_image`. ``codec="wav"`` uses the
     stdlib :func:`wav_decode`; other codecs (mp3/flac/opus) raise the
     documented NotImplementedError until a real audio library is
-    present."""
+    present. ``on_error``: see :func:`_tolerant`."""
     if codec != "wav":
         raise NotImplementedError(
             f"audio codec {codec!r} not available in this environment; "
             "plug a soundfile/ffmpeg decoder into the extract closure"
         )
+    _decode = _tolerant(wav_decode, on_error, "decode_audio")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "sample_rate": [], "n_channels": [], "samples": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, ch, samples = wav_decode(
-                    b"" if payload is None else bytes(payload)
-                )
+                res = _decode(b"" if payload is None else bytes(payload))
+                if res is None:
+                    continue
+                rate, ch, samples = res
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(ch)
                 out["samples"].append(samples)
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, DECODED_AUDIO_SCHEMA)
 
@@ -496,32 +543,36 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def sample_video_frames(
-    media: DataFrame, every_n: int = 2, codec: str = "y4m"
+    media: DataFrame, every_n: int = 2, codec: str = "y4m", on_error: str = "raise"
 ) -> DataFrame:
     """Real-container frame sampling: parse each payload as Y4M and
     emit every ``every_n``-th frame's luma plane — the video twin of
     :func:`decode_image`/:func:`decode_audio` (per-batch explode
     inside mapInPandas, like :func:`sample_frames`). ``codec="y4m"``
-    only; compressed containers (mp4/webm → ``"ffmpeg"``) stay gated."""
+    only; compressed containers (mp4/webm → ``"ffmpeg"``) stay gated.
+    ``on_error``: see :func:`_tolerant`."""
     if codec != "y4m":
         raise NotImplementedError(
             f"video codec {codec!r} not available in this environment"
         )
+    _decode = _tolerant(y4m_decode, on_error, "sample_video_frames")
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "width": [], "height": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, _cs, frames = y4m_decode(
-                    b"" if payload is None else bytes(payload)
-                )
+                res = _decode(b"" if payload is None else bytes(payload))
+                if res is None:
+                    continue
+                w, h, _cs, frames = res
                 for idx in range(0, len(frames), every_n):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["frame"].append(frames[idx])
-            yield pd.DataFrame(out)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(explode_frames, VIDEO_FRAME_SCHEMA)
 

@@ -166,6 +166,81 @@ def global_order_index_inplan(
     )
 
 
+def global_order_offsets_inplan(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket: Column,
+    *,
+    weight_col: str,
+    pos_col: str = "pos",
+    offset_col: str = "offset",
+    guard_unique_keys: bool = True,
+) -> DataFrame:
+    """``global_order_index_inplan`` extended with an EXCLUSIVE global
+    running sum of ``weight_col`` in the same two-phase pass: the
+    per-bucket aggregate carries (row count, weight total), the
+    bounded-domain window over that tiny aggregate yields both bucket
+    prefixes, and the per-bucket window computes local rank AND local
+    exclusive cumsum in one sort. One bucket-keyed shuffle total —
+    the caller gets ``pos`` (1-based global rank) and ``offset``
+    (global exclusive weighted prefix, first row 0) from a single
+    lazy plan, where the rank-then-``with_global_offsets`` composition
+    paid a second full pass plus two driver round-trips (an eager
+    min/max/count and a bucket-totals collect) that re-ran the whole
+    upstream (e.g. the tokenize) once each.
+
+    Same contract as ``global_order_index``: ``bucket`` must be a
+    deterministic monotone coarsening of the ``key_cols`` order and
+    ``key_cols`` a total order. ``guard_unique_keys`` (default) rides
+    an in-plan lag check on the per-bucket sort: a duplicate key tuple
+    (which would make ranks — and therefore offsets — nondeterministic
+    across runs) or a NULL fails the job at action time, the
+    fail-don't-corrupt contract of ``packing.with_global_offsets``,
+    for zero extra shuffles."""
+    bucketed = df.withColumn(_BKT, bucket)
+    agg = bucketed.groupBy(_BKT).agg(
+        F.count(F.lit(1)).alias("_ord_n"),
+        F.sum(weight_col).alias("_ord_t"),
+    )
+    woff = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    offs = agg.select(
+        _BKT,
+        F.coalesce(F.sum("_ord_n").over(woff), F.lit(0)).alias("_ord_off"),
+        F.coalesce(F.sum("_ord_t").over(woff), F.lit(0)).alias("_ord_woff"),
+    )
+    local = Window.partitionBy(_BKT).orderBy(*[F.col(c) for c in key_cols])
+    local_cum = local.rowsBetween(Window.unboundedPreceding, -1)
+    lw = F.coalesce(F.sum(weight_col).over(local_cum), F.lit(0))
+    if guard_unique_keys:
+        tup = F.struct(*[F.col(c) for c in key_cols])
+        guard = F.assert_true(
+            F.forall(F.array(*[F.col(c).isNotNull() for c in key_cols]), lambda x: x)
+            & ~tup.eqNullSafe(F.lag(tup).over(local)),
+            F.concat(
+                F.lit(
+                    "global_order_offsets_inplan: NULL or duplicate key tuple "
+                    f"{key_cols} (ranks/offsets would be nondeterministic) at: "
+                ),
+                tup.cast("string"),
+            ),
+        )
+        # additive coalesce keeps the (always-NULL-on-success) assert
+        # referenced inside the cumsum so neither column pruning nor
+        # SimplifyConditionals can drop it — the with_global_offsets
+        # trick (a when(p, x).otherwise(x) spelling was constant-folded
+        # away, guard and all)
+        lw = lw + F.coalesce(guard.cast("long"), F.lit(0))
+    ranked = bucketed.withColumn("_ord_local", F.row_number().over(local)).withColumn(
+        "_ord_lw", lw
+    )
+    return (
+        ranked.join(F.broadcast(offs), _BKT)
+        .withColumn(pos_col, (F.col("_ord_local") + F.col("_ord_off")).cast("long"))
+        .withColumn(offset_col, (F.col("_ord_lw") + F.col("_ord_woff")).cast("long"))
+        .drop(_BKT, "_ord_local", "_ord_lw", "_ord_off", "_ord_woff")
+    )
+
+
 def ntile_from_rank_cols(pos: Column, n: Column, tiles: int) -> Column:
     """``ntile_from_rank`` with ``n`` as a COLUMN (e.g. from a 1-row
     broadcast count) instead of a driver-side int — lets the whole

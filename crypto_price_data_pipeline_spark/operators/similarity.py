@@ -255,6 +255,13 @@ def ivf_build(
             .distinct()
             .count()
         )
+        # r10 ADVICE: only the k-vs-distinct degeneracy is handled
+        # here. If the distinct count shows k WAS valid, the failure
+        # was something else (executor loss, OOM, a real bug) —
+        # re-raise it instead of retrying a blind refit. No message
+        # sniffing: the version-stable signal is the count itself.
+        if n_distinct >= max(2, n_lists):
+            raise
         if n_distinct < 2:
             assigned = embeddings.withColumn("_list", F.lit(0).cast("int"))
             row = embeddings.select(
@@ -445,12 +452,16 @@ def pq_build(
             # duplicate-collapsed SUBSPACE (k distinct full vectors can
             # still share one subvector): same failure-path-only guard
             # as ivf_build — clamp by this subspace's distinct count,
-            # or take the single distinct subvector as the codebook
+            # or take the single distinct subvector as the codebook.
+            # If the count shows codebook_k was valid, the failure was
+            # unrelated (transient/executor) — re-raise (r10 ADVICE).
             nd = (
                 train.select(F.slice("_e", j * sub + 1, sub).alias("_s"))
                 .distinct()
                 .count()
             )
+            if nd >= codebook_k:
+                raise
             if nd < 2:
                 row = train.select(
                     F.slice("_e", j * sub + 1, sub).alias("_s")

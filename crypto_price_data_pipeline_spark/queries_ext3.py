@@ -1332,7 +1332,14 @@ def q_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
             for raw in pdf["raw"]:
                 b = bytes(raw or b"")[:64]
                 b = b + b"\x00" * (64 - len(b))
-                samples = [v * 257 - 16384 for v in b]
+                # 7-bit mask keeps the mapping TOTAL over arbitrary
+                # bytes (v*257-16384 overflows int16 for v >= 192 —
+                # any UTF-8 lead byte — and struct.pack would fail the
+                # whole job; r10 ADVICE). On ASCII bytes the mask is
+                # the identity, so values — and the oracle, which maps
+                # per CHARACTER code and therefore only coincides with
+                # this per-BYTE mapping on ASCII text — are unchanged.
+                samples = [(v & 0x7F) * 257 - 16384 for v in b]
                 payloads.append(wav_encode_pcm16(samples, 16_000, 1))
             yield _pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
@@ -1360,7 +1367,7 @@ Q_WAV_DECODE_SQL = """
 WITH px AS (
   SELECT doc_id, i,
          (CASE WHEN i <= length(substr(text, 1, 64))
-               THEN ascii(substr(text, CAST(i AS INT), 1)) ELSE 0 END) * 257
+               THEN ascii(substr(text, CAST(i AS INT), 1)) % 128 ELSE 0 END) * 257
            - 16384 AS v
   FROM documents, LATERAL (SELECT unnest(range(1, 65)) AS i) t
 )

@@ -1057,3 +1057,96 @@ def test_cross_corpus_dedup_drops_only_matches(spark):
     assert got == {(1, 1)}
     surv = {r["doc_id"] for r in dedup_against_reference(new, ref, threshold=0.4).collect()}
     assert surv == {7}
+
+
+def test_wav_decode_rejects_truncated_chunk():
+    """A chunk declaring more bytes than remain is corruption — raise,
+    don't silently truncate the decoded audio (r10 ADVICE)."""
+    import struct
+
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    wav = wav_encode_pcm16([1, -2, 3, -4], 8000, 1)
+    # inflate the data chunk's declared length past the payload end
+    idx = wav.rindex(b"data")
+    bad = wav[: idx + 4] + struct.pack("<I", 10_000) + wav[idx + 8 :]
+    with pytest.raises(ValueError, match="chunk .* declares"):
+        wav_decode(bad)
+
+
+def test_decode_operators_on_error_skip_drops_bad_rows(spark):
+    """on_error='skip' drops undecodable payloads per ROW instead of
+    failing the stage; the default ('raise') keeps the strict
+    contract (r10 ADVICE)."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        png_encode_gray,
+        sample_video_frames,
+        wav_encode_pcm16,
+        y4m_encode,
+    )
+
+    good_png = png_encode_gray(bytes(range(16)), 4)
+    good_wav = wav_encode_pcm16([5, -6, 7, -8], 8000, 1)
+    good_y4m = y4m_encode([bytes(16)], 4, 4, "mono")
+    rows = [
+        (1, bytearray(good_png), bytearray(good_wav), bytearray(good_y4m)),
+        (2, bytearray(b"garbage"), bytearray(b"garbage"), bytearray(b"garbage")),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, png binary, wav binary, y4m binary"
+    )
+    img = decode_image(
+        df.select("media_id", F.col("png").alias("payload")),
+        codec="png", on_error="skip",
+    )
+    assert [r["media_id"] for r in img.collect()] == [1]
+    aud = decode_audio(
+        df.select("media_id", F.col("wav").alias("payload")), on_error="skip"
+    )
+    assert [r["media_id"] for r in aud.collect()] == [1]
+    vid = sample_video_frames(
+        df.select("media_id", F.col("y4m").alias("payload")), on_error="skip"
+    )
+    assert {r["media_id"] for r in vid.collect()} == {1}
+    # strict default still fails the job on the bad row
+    with pytest.raises(Exception):
+        decode_audio(
+            df.select("media_id", F.col("wav").alias("payload"))
+        ).collect()
+    # unknown policy rejected at construction
+    with pytest.raises(ValueError, match="on_error"):
+        decode_audio(
+            df.select("media_id", F.col("wav").alias("payload")),
+            on_error="ignore",
+        )
+
+
+def test_wav_query_encoder_total_over_high_bytes():
+    """The q_wav_decode byte→int16 mapping must be total: bytes >= 192
+    (every UTF-8 lead byte) overflowed int16 under v*257-16384 and
+    struct.pack killed the job; the 7-bit mask keeps ASCII values
+    identical and never overflows (r10 ADVICE)."""
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    for v in (0, 65, 127, 128, 191, 192, 255):
+        s = (v & 0x7F) * 257 - 16384
+        assert -32768 <= s <= 32767
+        rate, ch, out = wav_decode(wav_encode_pcm16([s], 8000, 1))
+        assert out == [s]
+    # ASCII identity: mask changes nothing below 128
+    assert [(v & 0x7F) * 257 - 16384 for v in range(128)] == [
+        v * 257 - 16384 for v in range(128)
+    ]

@@ -245,3 +245,59 @@ def test_ntile_from_rank_cols_matches_spark_ntile(spark):
         )
         bad = got.where(F.col("tile") != F.col("want")).count()
         assert bad == 0, f"n={n}: {bad} rank->tile mismatches vs F.ntile"
+
+
+def test_global_order_offsets_inplan_matches_global_window(spark):
+    """The combined rank+weighted-prefix pass must be bit-identical to
+    the single-partition global windows it replaces (rank AND exclusive
+    weighted cumsum), with zero driver round-trips."""
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        global_order_offsets_inplan,
+        hex_prefix_bucket,
+    )
+
+    df = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("w", (F.col("doc_id") % 7 + 1).cast("long"))
+        .withColumn(
+            "_k", F.md5(F.concat(F.lit("x:"), F.col("doc_id").cast("string")))
+        )
+    )
+    got = {
+        r["doc_id"]: (r["pos"], r["offset"])
+        for r in global_order_offsets_inplan(
+            df, ["_k", "doc_id"], hex_prefix_bucket("_k", 2), weight_col="w"
+        ).collect()
+    }
+    w_rank = Window.orderBy("_k", "doc_id")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: (r["pos"], r["offset"])
+        for r in df.withColumn("pos", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("w").over(w_cum), F.lit(0)).cast("long")
+        )
+        .collect()
+    }
+    assert got == naive
+
+
+def test_global_order_offsets_inplan_duplicate_key_fails(spark):
+    """A duplicate key tuple makes ranks/offsets nondeterministic — the
+    in-plan guard must fail the job, not silently emit them."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        global_order_offsets_inplan,
+        hex_prefix_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 3), (2, 4)], "doc_id long, w long"
+    ).withColumn("_k", F.md5(F.col("doc_id").cast("string")))
+    out = global_order_offsets_inplan(
+        df, ["_k", "doc_id"], hex_prefix_bucket("_k", 2), weight_col="w"
+    )
+    with pytest.raises(Exception, match="duplicate key tuple"):
+        out.collect()
