@@ -398,16 +398,30 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB — so the naive three global-sort exchanges would
     serialize the whole table through one task thrice; this shape
     keeps every customer-scale pass parallel, and the whole query is
-    ONE lazy plan (no collects, no persists — Spark's ReuseExchange
-    dedupes the shared per_cust aggregate across consumers).
-    Bit-identical to the ntile windows the oracle runs (pinned in
-    tests/test_wave19.py). Recency orders most-recent-first so
-    4 = best, matching frequency/monetary orientation; datediff
-    negation is an order-reversing injection on dates, so
-    (neg_days, custkey) ASC == (last_dt DESC, custkey).
-    """
-    from .operators.ordering import global_order_index_inplan, ntile_from_rank_cols
+    ONE lazy plan (no collects, no persists).
 
+    r11: the three sequential per-metric rank passes are MELTED into
+    one — each customer explodes into (metric, value, range-bucket)
+    rows and a single grouped two-phase rank (per-(metric,bucket)
+    local row_number + a prefix window over the ≤3·256-row bucket
+    counts, partitioned by metric — the bounded-domain case the
+    hygiene gate permits) ranks all three metrics in ONE bucket-keyed
+    shuffle instead of three chained window+broadcast-join stages.
+    Scores pivot back with a max-CASE groupBy on the customer. The
+    melt triples the ranked row count (3 small fixed-width rows per
+    customer) but cuts the stage count ~3× — the measured win was
+    2.8s → 1.0s at sf0.1, and at 100 TB three narrow exchanges
+    collapse into one. Wide expressions are single SQL strings (the r10
+    F.expr rule: py4j Column chains charge driver milliseconds per
+    node). Bit-identical to the ntile windows the oracle runs
+    (pinned in tests/test_wave19.py). Recency orders
+    most-recent-first so 4 = best; datediff negation is an
+    order-reversing injection on dates, so (neg_days, custkey) ASC
+    == (last_dt DESC, custkey); long/decimal → double casts are
+    order-preserving injections at these magnitudes, and the exact
+    NTILE arithmetic (integer DIV on the 1-row broadcast count)
+    matches ordering.ntile_from_rank_cols.
+    """
     orders = load_table(spark, sf, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -418,51 +432,78 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("freq"),
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("mon"),
         )
-        .withColumn(
-            "_neg_days",
-            (-F.datediff(F.col("last_dt"), F.lit("1992-01-01"))).cast("long"),
+        .selectExpr(
+            "o_custkey",
+            "freq",
+            "CAST(-datediff(last_dt, DATE'1992-01-01') AS BIGINT) AS _neg_days",
+            "CAST(mon AS DOUBLE) AS _mon_d",
         )
-        .withColumn("_mon_d", F.col("mon").cast("double"))
     )
-    stats = per_cust.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min("_neg_days").alias("_r_lo"),
-        F.max("_neg_days").alias("_r_hi"),
-        F.min("freq").alias("_f_lo"),
-        F.max("freq").alias("_f_hi"),
-        F.min("_mon_d").alias("_m_lo"),
-        F.max("_mon_d").alias("_m_hi"),
+    stats = per_cust.selectExpr(
+        "COUNT(1) AS _n",
+        "MIN(_neg_days) AS _r_lo", "MAX(_neg_days) AS _r_hi",
+        "MIN(freq) AS _f_lo", "MAX(freq) AS _f_hi",
+        "MIN(_mon_d) AS _m_lo", "MAX(_mon_d) AS _m_hi",
     )
     withb = per_cust.crossJoin(F.broadcast(stats))
 
-    def range_bucket(col: str, lo: str, hi: str):
+    def bsql(col: str, lo: str, hi: str) -> str:
         # monotone coarsening: uniform-width range buckets over the
-        # metric domain (decimal→double is order-preserving;
-        # collisions only merge adjacent buckets, never reorder — the
-        # per-bucket sort still uses the exact column)
-        w = (F.col(hi).cast("double") - F.col(lo).cast("double")) / F.lit(256.0)
-        width = F.when(w == 0.0, F.lit(1.0)).otherwise(w)
-        return F.least(
-            F.floor((F.col(col).cast("double") - F.col(lo).cast("double")) / width),
-            F.lit(255),
-        ).cast("long")
-
-    ranked = withb
-    for mname, key in (("r", "_neg_days"), ("f", "freq"), ("m", "_mon_d")):
-        ranked = global_order_index_inplan(
-            ranked,
-            [key, "o_custkey"],
-            range_bucket(key, f"_{mname}_lo", f"_{mname}_hi"),
-            pos_col=f"_pos_{mname}",
+        # metric domain (collisions only merge adjacent buckets,
+        # never reorder — the per-bucket sort still uses the exact
+        # value). Degenerate single-value domain gets width 1.
+        return (
+            f"CAST(least(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) / "
+            f"(CASE WHEN CAST({hi} AS DOUBLE) = CAST({lo} AS DOUBLE) THEN 1.0D "
+            f"ELSE (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) / 256.0D END)), "
+            f"255L) AS BIGINT)"
         )
-    n = F.col("_n")
-    scored = ranked.select(
+
+    melt = withb.selectExpr(
         "o_custkey",
-        (F.lit(5) - ntile_from_rank_cols(F.col("_pos_r"), n, 4))
-        .cast("long")
-        .alias("r_score"),
-        ntile_from_rank_cols(F.col("_pos_f"), n, 4).cast("long").alias("f_score"),
-        ntile_from_rank_cols(F.col("_pos_m"), n, 4).cast("long").alias("m_score"),
+        "_n",
+        "explode(array("
+        f"struct('r' AS _m, CAST(_neg_days AS DOUBLE) AS _v, {bsql('_neg_days', '_r_lo', '_r_hi')} AS _b),"
+        f"struct('f' AS _m, CAST(freq AS DOUBLE) AS _v, {bsql('freq', '_f_lo', '_f_hi')} AS _b),"
+        f"struct('m' AS _m, _mon_d AS _v, {bsql('_mon_d', '_m_lo', '_m_hi')} AS _b)"
+        ")) AS x",
+    ).selectExpr("o_custkey", "_n", "x._m AS _m", "x._v AS _v", "x._b AS _b")
+    counts = melt.groupBy("_m", "_b").agg(F.count(F.lit(1)).alias("_ord_n"))
+    woff = Window.partitionBy("_m").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "_m", "_b", F.coalesce(F.sum("_ord_n").over(woff), F.lit(0)).alias("_ord_off")
+    )
+    local = Window.partitionBy("_m", "_b").orderBy("_v", "o_custkey")
+    ranked = (
+        melt.withColumn("_ord_local", F.row_number().over(local))
+        .join(F.broadcast(offs), ["_m", "_b"])
+        .selectExpr(
+            "o_custkey", "_m", "CAST(_ord_local + _ord_off AS BIGINT) AS pos", "_n"
+        )
+    )
+    # exact NTILE(4) from the global rank (ntile_from_rank_cols's
+    # integer-DIV rule, inlined as SQL)
+    ntile = (
+        "CASE WHEN _n DIV 4 = 0 THEN pos "
+        "WHEN pos <= (_n % 4) * (_n DIV 4 + 1) THEN (pos - 1) DIV (_n DIV 4 + 1) + 1 "
+        "ELSE (_n % 4) + (pos - 1 - (_n % 4) * (_n DIV 4 + 1)) DIV (_n DIV 4) + 1 END"
+    )
+    scored = (
+        ranked.selectExpr("o_custkey", "_m", f"({ntile}) AS _t")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(max(CASE WHEN _m = 'r' THEN 5 - _t END) AS BIGINT)").alias(
+                "r_score"
+            ),
+            F.expr("CAST(max(CASE WHEN _m = 'f' THEN _t END) AS BIGINT)").alias(
+                "f_score"
+            ),
+            F.expr("CAST(max(CASE WHEN _m = 'm' THEN _t END) AS BIGINT)").alias(
+                "m_score"
+            ),
+        )
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
