@@ -1576,3 +1576,7 @@ ORACLES.update(EXT32_ORACLES)
 from .queries_ext31 import Q_SURVIVAL_CURVE_SQL as _QSC  # noqa: E402
 
 ORACLES["q_stream_survival"] = _QSC
+from .queries_ext33 import EXT33_ORACLES, EXT33_QUERIES  # noqa: E402
+
+QUERIES.update(EXT33_QUERIES)
+ORACLES.update(EXT33_ORACLES)

