@@ -361,3 +361,69 @@ def test_shard_manifest_no_single_partition_window(spark):
 
     plan = _plan(QUERIES["q_shard_manifest"](spark, SF))
     assert "SinglePartition" not in plan
+
+
+def test_aqe_skew_join_split_fires_on_hot_key(spark):
+    """Pin that AQE's runtime skew-join handling actually FIRES on a
+    deliberately hot key: with skew thresholds lowered to test scale,
+    the executed (final adaptive) sort-merge join plan must carry
+    ``skew=true`` — i.e. the hot shuffle partition was split into
+    multiple reader chunks at runtime and the other side's matching
+    partition duplicated per chunk.
+
+    When AQE suffices vs when salting (operators/skew.py) is still
+    required: AQE's split happens at shuffle-READ time of a
+    SortMergeJoin, so it handles join-side skew — including a single
+    hot KEY, whose partition is split by map-output ranges —
+    with zero query changes. It does NOT help (a) aggregation skew
+    (a groupBy's hot key cannot be split without breaking the
+    aggregate — salt + two-phase reaggregate remains the fix),
+    (b) broadcast-hash paths (no shuffle to split; the hot STREAM
+    side is already partition-parallel there), or (c) a skewed
+    partition that must stay co-partitioned for a downstream
+    stateful op. q_salted_join keeps the explicit salting operator
+    for exactly those cases."""
+    import random
+
+    # hot key 0 carries ~50k fat rows; 50 cold keys carry 100 each
+    rng = random.Random(7)
+    payload = "".join(rng.choice("abcdef") for _ in range(64))
+    left = (
+        spark.range(0, 55_000)
+        .selectExpr(
+            "CASE WHEN id < 50000 THEN 0 ELSE id % 50 + 1 END AS k",
+            f"concat('{payload}', id) AS pad",
+        )
+    )
+    right = spark.range(0, 51).selectExpr("id AS k", "id * 10 AS v")
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # force the sort-merge path: AQE skew split only applies there
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # coalescing can merge the evidence away at this tiny scale
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right.hint("merge"), "k").selectExpr(
+            "k", "length(pad) AS lp", "v"
+        )
+        # collect() (not count()) so THIS DataFrame's query execution
+        # runs to completion — count() plans a separate aggregate QE
+        # and this one would stay isFinalPlan=false
+        assert len(joined.collect()) == 55_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
