@@ -86,6 +86,8 @@ HEADLINE = [
     "q_changepoint",
     "q_peak_concurrency",
     "q_rolling_corr",
+    # round-11 addition: the two-generation evolved-landing scan
+    "q_schema_evolution",
 ]
 
 

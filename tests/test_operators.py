@@ -1150,3 +1150,35 @@ def test_wav_query_encoder_total_over_high_bytes():
     assert [(v & 0x7F) * 257 - 16384 for v in range(128)] == [
         v * 257 - 16384 for v in range(128)
     ]
+
+
+def test_winnowing_packed_and_fallback_paths_agree(spark):
+    """k ≤ 9 uses the packed-long gram path, k > 9 the xxhash64 string
+    fallback — both must select the same grams (per-doc sketch sizes
+    equal the raw string selection) and produce identical pair
+    structure regardless of recode."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.text import (
+        _winnowing_fp_hashes,
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(50)
+    for k in (8, 10):
+        raw = {
+            r["doc_id"]: r["n"]
+            for r in winnowing_fingerprints(docs, k=k, w=8)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rec = {
+            r["doc_id"]: r["n"]
+            for r in _winnowing_fp_hashes(docs, "doc_id", "text", k, 8)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert rec == raw, f"k={k} sketch sizes diverge from string selection"
