@@ -97,13 +97,17 @@ def dup_sf_dir(spark, tmp_path_factory):
 
 def test_every_registry_query_survives_duplicate_rows(spark, dup_sf_dir):
     """Third degenerate class: duplicated rows. Zero-variance guards
-    and the distinct-clamped KMeans must hold; the ONE intended
-    exception is q_seq_packing, whose with_global_offsets duplicate-id
-    guard exists precisely to FAIL THE JOB on a corrupt (duplicate
-    doc_id) corpus — asserted as the designed diagnostic, not skipped."""
+    and the distinct-clamped KMeans must hold; the TWO intended
+    exceptions are q_seq_packing (with_global_offsets duplicate-id
+    guard) and, since r11, q_shard_manifest
+    (global_order_offsets_inplan's duplicate-key-tuple guard) — both
+    exist precisely to FAIL THE JOB on a corrupt (duplicate doc_id)
+    corpus, where ranks and offsets would be nondeterministic —
+    asserted as the designed diagnostic, not skipped."""
     fails = _sweep(spark, dup_sf_dir)
-    packing = fails.pop("q_seq_packing", None)
-    assert packing is not None and "duplicate" in packing, (
-        f"q_seq_packing must reject duplicate doc_ids loudly; got: {packing}"
-    )
+    for name in ("q_seq_packing", "q_shard_manifest"):
+        msg = fails.pop(name, None)
+        assert msg is not None and "duplicate" in msg, (
+            f"{name} must reject duplicate doc_ids loudly; got: {msg}"
+        )
     assert not fails, f"queries crashing on duplicated rows: {fails}"

@@ -354,13 +354,26 @@ def test_graph_rank_edge_agg_broadcasts_dims(spark):
 
 
 def test_shard_manifest_no_single_partition_window(spark):
-    """The prefix sum must stay bucketed: no Exchange SinglePartition
-    anywhere (that would be the one-partition global window the
-    two-phase design exists to avoid)."""
+    """The DOCUMENT-scale prefix sum must stay bucketed: no raw-scan →
+    Exchange SinglePartition → Window chain (the one-partition global
+    window the two-phase design exists to avoid). Since r11 the bucket
+    PREFIXES come from an in-plan window over the ≤256-row bucket-count
+    aggregate — that bounded-domain single-partition window is the
+    hygiene-permitted compressed case (same shape as
+    global_order_index_inplan), so this test pins the precise census
+    property instead of a blanket SinglePartition ban, plus that the
+    per-document window is partitioned by the bucket."""
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
-    plan = _plan(QUERIES["q_shard_manifest"](spark, SF))
-    assert "SinglePartition" not in plan
+    from test_plan_hygiene import raw_single_partition_window
+
+    df = QUERIES["q_shard_manifest"](spark, SF)
+    plan = _plan(df)
+    assert not raw_single_partition_window(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    # the document-scale window shuffles on the bucket key, never global
+    assert "hashpartitioning(_ord_bkt" in plan
 
 
 def test_aqe_skew_join_split_fires_on_hot_key(spark):
