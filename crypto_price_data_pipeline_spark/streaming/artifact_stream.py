@@ -136,13 +136,23 @@ def stream_artifact_index(
         ).write.mode("overwrite").parquet(f"{store}/tf/{tag}")
 
     if chunks:
-        run_partial_stream(
-            spark,
-            src=src,
-            schema=staged.schema,
-            sink=sink,
-            ckpt=os.path.join(work, "ckpt"),
-        )
+        # per-batch partials are one chunk's rows; 32-partition
+        # shuffles × 4 writes × n_chunks batches is pure scheduling
+        # overhead at test scale (cf. dedup_stream's note). Lowered
+        # for the stream, restored in finally; size to batch volume
+        # in production.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            run_partial_stream(
+                spark,
+                src=src,
+                schema=staged.schema,
+                sink=sink,
+                ckpt=os.path.join(work, "ckpt"),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     def _read(sub: str, schema: str) -> DataFrame:
         path = os.path.join(store, sub)
