@@ -16,6 +16,12 @@ lands ONLY ITS OWN doc-local partials:
 - the 32-bit md5 SimHash fingerprints (simhash_md5) — per-doc;
 - the TF term-count postings (doc_id, term, tf) — per-doc.
 
+(The winnowing sketch postings are per-doc functions too —
+``operators.text._winnowing_fp_hashes`` — so the same batch-partial
+pattern applies verbatim; they are not duplicated here because the
+maintained-store contract is already pinned by the three families
+above and their store/serve shapes are identical.)
+
 The corpus-GLOBAL statistics (document frequency, the df ≤ 50 hot-
 posting cap, the tf·N/df weights) are deliberately NOT stored: they
 change with every append, so the store keeps the doc-local partial
