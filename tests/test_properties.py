@@ -350,3 +350,95 @@ def test_knn_join_matches_numpy_bruteforce(spark, vecs, k):
         for (gr, gj), (wr, wj) in zip(got_i, want):
             assert gr == wr
             assert abs(sims[i, gj] - sims[i, wj]) < 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([3, 8, 9]),
+    w=st.sampled_from([2, 4, 8]),
+)
+@settings(**SETTINGS)
+def test_packed_winnowing_matches_python_string_selection(spark, texts, k, w):
+    """The packed-long winnowing path must select EXACTLY the grams a
+    plain-python lexicographic window minimum selects, for arbitrary
+    text (unicode, punctuation, case, empty, shorter-than-k) — per-doc
+    sketch SIZE equality against the reference selection, which is
+    what pair counts are a function of under the injective packing."""
+    import re
+
+    from crypto_price_data_pipeline_spark.operators.text import (
+        _winnowing_fp_hashes,
+    )
+
+    def ref_sketch(text: str) -> int:
+        s = re.sub(r"[^a-z0-9]", "", text.lower())
+        grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
+        mins = {
+            min(grams[i : i + w]) for i in range(max(len(grams) - w + 1, 1))
+        }
+        return len(mins)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in _winnowing_fp_hashes(df, "doc_id", "text", k, w)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    want = {i: ref_sketch(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_global_order_offsets_inplan_matches_python_prefix_sum(spark, rows):
+    """Combined rank + exclusive weighted prefix equals the sequential
+    reference on random (id, weight) sets under the md5-shuffle order."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        global_order_offsets_inplan,
+        hex_prefix_bucket,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, wt long").withColumn(
+        "_k", F.md5(F.concat(F.lit("p:"), F.col("doc_id").cast("string")))
+    )
+    got = {
+        r["doc_id"]: (r["pos"], r["offset"])
+        for r in global_order_offsets_inplan(
+            df, ["_k", "doc_id"], hex_prefix_bucket("_k", 2), weight_col="wt"
+        ).collect()
+    }
+    order = sorted(
+        rows,
+        key=lambda t: (hashlib.md5(f"p:{t[0]}".encode()).hexdigest(), t[0]),
+    )
+    want, acc = {}, 0
+    for pos, (doc_id, wt) in enumerate(order, start=1):
+        want[doc_id] = (pos, acc)
+        acc += wt
+    assert got == want
