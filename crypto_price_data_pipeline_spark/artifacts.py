@@ -76,7 +76,7 @@ _FALLBACK = "__lazy_fallback__"
 _LOCK = threading.RLock()
 
 # build parameters each artifact is constructed with — the stamp
-# consumers verify (operators.dedup._check_precomputed_params)
+# consumers verify (operators.dedup.check_precomputed_params)
 PARAMS: dict[str, dict] = {
     "minhash_base": {"shingle_k": 3},
     "minhash_mins": {"shingle_k": 3, "num_hashes": 64, "seed": 42},

@@ -44,15 +44,34 @@ def check_precomputed_params(df: DataFrame, expected: dict, op: str) -> None:
     k=8/w=8 winnowing sketch fed to a winnowing_pairs(k=6) call).
     Caller-built tables without a stamp skip the check — they are the
     caller's contract. Only keys present in BOTH dicts are compared,
-    so stamps may carry extra provenance fields."""
+    so stamps may carry extra provenance fields.
+
+    Derived tables (r11 ADVICE): column metadata propagates through
+    select/groupBy, so a table the caller legitimately DERIVED from a
+    stamped artifact (e.g. minima built via ``minhash_min_cols`` from
+    the stamped minhash_base) arrives carrying the UPSTREAM artifact's
+    name. An ``artifact``-name mismatch therefore means "derived
+    input", not "wrong table": the name itself is not compared in that
+    case, but every SHARED parameter key still is (a base built with
+    shingle_k=4 fed to a shingle_k=3 call fails loudly either way).
+    Every stamped field is checked, not just the first — a frame
+    carrying two stamps (e.g. after joining two artifact tables) has
+    both verified."""
     for field in df.schema.fields:
         params = (field.metadata or {}).get("artifact_params")
         if params is None:
             continue
+        derived = (
+            "artifact" in expected
+            and "artifact" in params
+            and params["artifact"] != expected["artifact"]
+        )
         bad = {
             key: (params[key], val)
             for key, val in expected.items()
-            if key in params and params[key] != val
+            if key in params
+            and params[key] != val
+            and not (derived and key == "artifact")
         }
         if bad:
             detail = ", ".join(
@@ -62,7 +81,6 @@ def check_precomputed_params(df: DataFrame, expected: dict, op: str) -> None:
             raise ValueError(
                 f"{op}: precomputed table parameter mismatch — {detail}"
             )
-        return
 
 
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:

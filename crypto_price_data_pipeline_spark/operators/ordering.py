@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 from pyspark.sql.window import Window
 
 _BKT = "_ord_bkt"
@@ -233,10 +234,21 @@ def global_order_offsets_inplan(
     ranked = bucketed.withColumn("_ord_local", F.row_number().over(local)).withColumn(
         "_ord_lw", lw
     )
+    # pos is always a long (it's a rank); the weighted offset keeps the
+    # weight column's OWN sum type — casting a fractional (double /
+    # decimal) running sum to long would silently truncate (r11
+    # ADVICE). Integral weights still land as long via Spark's sum.
+    integral = isinstance(
+        df.schema[weight_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    off_expr = F.col("_ord_lw") + F.col("_ord_woff")
+    if integral:
+        off_expr = off_expr.cast("long")
     return (
         ranked.join(F.broadcast(offs), _BKT)
         .withColumn(pos_col, (F.col("_ord_local") + F.col("_ord_off")).cast("long"))
-        .withColumn(offset_col, (F.col("_ord_lw") + F.col("_ord_woff")).cast("long"))
+        .withColumn(offset_col, off_expr)
         .drop(_BKT, "_ord_local", "_ord_lw", "_ord_off", "_ord_woff")
     )
 

@@ -1329,16 +1329,25 @@ def q_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     def to_wav(batches):
         for pdf in batches:
             payloads = []
-            for raw in pdf["raw"]:
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
                 b = bytes(raw or b"")[:64]
+                # The engine maps per UTF-8 BYTE while the oracle maps
+                # per CHARACTER — identical only on pure-ASCII text.
+                # Pin that assumption loudly (r11 ADVICE): a future
+                # non-ASCII corpus fails the job with this message
+                # instead of silently hash-diverging from the oracle.
+                if any(v >= 0x80 for v in b):
+                    raise ValueError(
+                        f"q_wav_decode: non-ASCII byte in doc {mid}: the "
+                        "per-byte engine mapping and the per-character "
+                        "oracle diverge on non-ASCII text — extend both "
+                        "together before admitting such a corpus"
+                    )
                 b = b + b"\x00" * (64 - len(b))
-                # 7-bit mask keeps the mapping TOTAL over arbitrary
-                # bytes (v*257-16384 overflows int16 for v >= 192 —
-                # any UTF-8 lead byte — and struct.pack would fail the
-                # whole job; r10 ADVICE). On ASCII bytes the mask is
-                # the identity, so values — and the oracle, which maps
-                # per CHARACTER code and therefore only coincides with
-                # this per-BYTE mapping on ASCII text — are unchanged.
+                # 7-bit mask keeps the int16 mapping total even if the
+                # guard above is ever relaxed (v*257-16384 overflows
+                # int16 for v >= 192; r10 ADVICE). On ASCII bytes the
+                # mask is the identity.
                 samples = [(v & 0x7F) * 257 - 16384 for v in b]
                 payloads.append(wav_encode_pcm16(samples, 16_000, 1))
             yield _pd.DataFrame(

@@ -184,3 +184,67 @@ def test_rebuild_upstream_invalidates_derived(spark):
     )
     # next access rebuilds from the NEW base and still matches
     assert artifacts.minhash_mins(spark, SF).count() > 0
+
+
+def test_derived_table_inherited_stamp_accepted(spark):
+    """A table the caller DERIVES from a stamped artifact inherits the
+    upstream stamp through select/groupBy metadata propagation. The
+    param check must treat the artifact-NAME mismatch as 'derived
+    input' and pass when every shared parameter agrees (r11 ADVICE:
+    this exact call raised 'artifact has minhash_base, call expects
+    minhash_mins' at r11 HEAD), while a genuinely disagreeing shared
+    key still fails loudly."""
+    from crypto_price_data_pipeline_spark import artifacts
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        check_precomputed_params,
+        minhash_lsh_pairs,
+        minhash_min_cols,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = artifacts.minhash_base(spark, SF)
+    derived_mins = minhash_min_cols(base, "doc_id", 64, 42)
+    # the derived table really does carry the upstream stamp
+    stamps = [
+        (f.metadata or {}).get("artifact_params")
+        for f in derived_mins.schema.fields
+        if (f.metadata or {}).get("artifact_params")
+    ]
+    assert stamps and stamps[0]["artifact"] == "minhash_base"
+    # correct params: accepted (this raised before the fix)
+    assert (
+        minhash_lsh_pairs(docs, base=base, mins=derived_mins).count() >= 0
+    )
+    # shared key disagreement on a derived table: still a hard fail
+    with pytest.raises(ValueError, match="shingle_k"):
+        check_precomputed_params(
+            derived_mins,
+            {"artifact": "minhash_mins", "shingle_k": 4},
+            "unit",
+        )
+
+
+def test_every_stamped_field_checked_not_just_first(spark):
+    """A frame carrying TWO stamps (e.g. after joining two artifact
+    tables) must have both verified — the pre-r12 code returned after
+    the first stamped field, leaving the second silently unchecked
+    (r11 ADVICE)."""
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        check_precomputed_params,
+    )
+
+    agreeing = (
+        spark.range(3)
+        .selectExpr("id AS a", "id AS b")
+        .withMetadata("a", {"artifact_params": {"artifact": "x", "k": 8}})
+        .withMetadata("b", {"artifact_params": {"artifact": "y", "k": 8}})
+    )
+    check_precomputed_params(agreeing, {"artifact": "x", "k": 8}, "unit_ok")
+    second_disagrees = agreeing.withMetadata(
+        "b", {"artifact_params": {"artifact": "y", "k": 6}}
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        check_precomputed_params(
+            second_disagrees, {"artifact": "x", "k": 8}, "unit_b_bad"
+        )

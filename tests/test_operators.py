@@ -1182,3 +1182,24 @@ def test_winnowing_packed_and_fallback_paths_agree(spark):
             .collect()
         }
         assert rec == raw, f"k={k} sketch sizes diverge from string selection"
+
+
+def test_wav_query_fails_loudly_on_non_ascii_corpus(spark, tmp_path):
+    """q_wav_decode's engine maps per UTF-8 BYTE while its oracle maps
+    per CHARACTER — identical only on pure-ASCII text. A non-ASCII
+    corpus must fail the job with a targeted message instead of
+    silently hash-diverging from the oracle (r11 ADVICE)."""
+    import os
+
+    import pytest
+
+    from crypto_price_data_pipeline_spark.queries_ext3 import q_wav_decode
+
+    d = str(tmp_path / "sf_nonascii")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "plain ascii text"), (2, "café au lait")],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    with pytest.raises(Exception, match="non-ASCII byte"):
+        q_wav_decode(spark, d).collect()

@@ -301,3 +301,46 @@ def test_global_order_offsets_inplan_duplicate_key_fails(spark):
     )
     with pytest.raises(Exception, match="duplicate key tuple"):
         out.collect()
+
+
+def test_global_order_offsets_inplan_fractional_weights_not_truncated(spark):
+    """Double weights must keep their fractional running sum — the
+    pre-r12 cast("long") silently floored offsets for non-integral
+    weight columns (r11 ADVICE). Integral weights still come back as
+    longs (the contract q_shard_manifest relies on)."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.operators.ordering import (
+        global_order_offsets_inplan,
+        hex_prefix_bucket,
+    )
+
+    df = (
+        spark.range(0, 40)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("w", F.col("doc_id").cast("double") / 4 + 0.25)
+        .withColumn("_k", F.md5(F.col("doc_id").cast("string")))
+    )
+    out = global_order_offsets_inplan(
+        df, ["_k", "doc_id"], hex_prefix_bucket("_k", 2), weight_col="w"
+    )
+    assert dict(out.dtypes)["offset"] == "double"
+    got = {r["doc_id"]: (r["pos"], r["offset"]) for r in out.collect()}
+    w_rank = Window.orderBy("_k", "doc_id")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: (r["pos"], r["offset"])
+        for r in df.withColumn("pos", F.row_number().over(w_rank).cast("long"))
+        .withColumn("offset", F.coalesce(F.sum("w").over(w_cum), F.lit(0.0)))
+        .collect()
+    }
+    assert set(got) == set(naive)
+    for k in got:
+        assert got[k][0] == naive[k][0]
+        assert got[k][1] == pytest.approx(naive[k][1], abs=1e-9)
+    # integral weights: offset stays long
+    df_int = df.withColumn("w", (F.col("doc_id") % 3 + 1).cast("int"))
+    out_int = global_order_offsets_inplan(
+        df_int, ["_k", "doc_id"], hex_prefix_bucket("_k", 2), weight_col="w"
+    )
+    assert dict(out_int.dtypes)["offset"] == "bigint"
