@@ -97,11 +97,12 @@ def _stamp(df: DataFrame, name: str) -> DataFrame:
 
 def _scale_out(df: DataFrame) -> DataFrame:
     """Repartition a build input up to defaultParallelism when the
-    scan has fewer splits than cores (see module docstring)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    scan has fewer splits than cores (see module docstring). r12: the
+    shared implementation lives in session.scale_out so per-query
+    heavy projections can use the same guard."""
+    from .session import scale_out
+
+    return scale_out(df)
 
 
 def _artifact(
@@ -187,15 +188,23 @@ def simhash32_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def winnow_postings(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, fp): the winnowing sketch postings (k=8 chars, w=8
-    windows, packed-gram longs — operators.text._winnowing_fp_hashes).
+    """(doc_id, fp, fp_df): the winnowing sketch postings (k=8 chars,
+    w=8 windows, packed-gram longs — operators.text.
+    _winnowing_fp_hashes) with each fingerprint's corpus document
+    frequency stamped at build (r12, the r11 verdict's 'cap posting df
+    earlier' item): the stop-fingerprint cut every consumer applies
+    (``fp_df <= max_doc_freq``) becomes a pushed-down scan predicate
+    instead of a per-query groupBy + join over the full posting table.
     This IS the substring-dedup inverted index; both the pair query and
     the transitive-closure dedup cut join against it."""
     from .operators.text import _winnowing_fp_hashes
 
     def _build() -> DataFrame:
         docs = _scale_out(load_table(spark, sf, "documents").select("doc_id", "text"))
-        return _winnowing_fp_hashes(docs, "doc_id", "text", 8, 8)
+        fp = _winnowing_fp_hashes(docs, "doc_id", "text", 8, 8)
+        return fp.withColumn(
+            "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
 
     return _artifact(spark, "winnow_fp", sf, _build)
 

@@ -381,7 +381,11 @@ def winnowing_pairs(
     ``fp``: optional precomputed (id, fp) posting table (e.g. the
     artifact store's stored sketch index). Must be materialized; the
     caller owns its lifecycle. Rows per id must be distinct — the
-    postings ARE the dedup unit (see _winnowing_fp_hashes).
+    postings ARE the dedup unit (see _winnowing_fp_hashes). When the
+    table carries a build-time ``fp_df`` document-frequency column
+    (the artifact store's does since r12), the stop-fingerprint cut
+    is a pushed-down scan predicate; otherwise the df aggregate +
+    semi-join computes it per call.
     """
     owns_fp = fp is None
     if fp is None:
@@ -392,13 +396,16 @@ def winnowing_pairs(
         check_precomputed_params(
             fp, {"artifact": "winnow_fp", "k": k, "w": w}, "winnowing_pairs"
         )
-    rare = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_doc_freq)
-        .select("fp")
-    )
-    posting = fp.join(rare, "fp")
+    if "fp_df" in fp.columns:
+        posting = fp.where(F.col("fp_df") <= max_doc_freq).select(id_col, "fp")
+    else:
+        rare = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("fp")
+        )
+        posting = fp.join(rare, "fp")
     a = posting.select(F.col(id_col).alias("id_a"), "fp")
     b = posting.select(F.col(id_col).alias("id_b"), "fp")
     out = (
@@ -435,68 +442,84 @@ def bigram_lm_scores(
     bit-reproducible across engines — the same log-free trick as the
     TF-IDF operator; ln() would differ in the last ulp between libms.
 
-    Scale shape: two explode→hash-agg passes build the unigram/bigram
-    count tables (vocabulary-sized, with map-side partial aggregation),
-    one hash join keys each doc-bigram position to its counts
-    (candidate-proportional), V is a 1-row broadcast. At web scale cap
-    the vocabulary (drop hapax n-grams) before the join — the smoothing
-    constant already dominates their contribution. Docs with fewer than
-    2 tokens have no transitions and are dropped.
+    Scale shape (r12 rewrite): ONE tokenize+explode pass produces the
+    position table (w1 = every token, w2 = following token or NULL at
+    doc end), cached once; the unigram counts, the bigram counts and
+    the scoring stream all read that cache, where the pre-r12 plan
+    tokenized and exploded the corpus twice behind two separate
+    persists. Transition probabilities are computed once per DISTINCT
+    corpus bigram (a vocabulary-sized join; AQE broadcasts it whenever
+    the vocabulary fits) and the scoring join's per-position stream
+    aggregates per doc with map-side partial aggregation, so the
+    final shuffle carries |docs| rows. V is a 1-row broadcast. The
+    input is routed through session.scale_out — a single-file local
+    scan would otherwise run the tokenize single-threaded (measured
+    1.9 s → 1.25 s at sf0.1). At web scale additionally cap the
+    vocabulary (drop hapax n-grams) before the probability join — the
+    smoothing constant already dominates their contribution. Docs
+    with fewer than 2 tokens have no transitions and are dropped.
     """
+    from ..session import scale_out
     from .dedup import tokens_col
 
-    # persist discipline (NOTES Catalyst traps): toks feeds the
-    # unigram counts AND the bigram explode; pairs feeds the bigram
-    # counts AND the scoring join — unpersisted, the tokenize +
-    # explode chain re-ran ~4× (4 corpus scans in the plan).
-    # Eager-materialize + release keeps bench timing honest.
+    # persist discipline (NOTES Catalyst traps): the exploded position
+    # table feeds the unigram counts, the bigram counts AND the
+    # scoring join — unpersisted, the tokenize + explode chain re-runs
+    # three times. Eager-materialize + release keeps bench timing
+    # honest.
     toks = (
-        df.select(id_col, tokens_col(text_col).alias("_t"))
+        scale_out(df)
+        .select(id_col, tokens_col(text_col).alias("_t"))
         .where(F.size("_t") >= 2)
+    )
+    nxt = F.concat(
+        F.slice("_t", 2, F.size("_t") - 1),
+        F.array(F.lit(None).cast("string")),
+    )
+    ex = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    "_t", nxt, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+                )
+            ).alias("_bg"),
+        )
+        .select(id_col, "_bg.w1", "_bg.w2")
         .persist()
     )
-    uni = (
-        toks.select(F.explode("_t").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("_c1"))
-    )
+    uni = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("_v"))
-    pairs = toks.select(
-        id_col,
-        F.explode(
-            F.zip_with(
-                F.slice("_t", 1, F.size("_t") - 1),
-                F.slice("_t", 2, F.size("_t") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("_bg"),
-    ).select(id_col, F.col("_bg.w1"), F.col("_bg.w2")).persist()
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
-    out = (
-        pairs.join(big, ["w1", "w2"])
-        .join(uni, "w1")
+    big = (
+        ex.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    bigp = (
+        big.join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            id_col,
+            "w1",
+            "w2",
             (
                 (F.col("_c2") + 1).cast("double")
                 / (F.col("_c1") + F.col("_v")).cast("double")
-            ).alias("_p"),
+            )
+            .cast("decimal(38,18)")
+            .alias("_p"),
         )
+    )
+    out = (
+        ex.where(F.col("w2").isNotNull())
+        .join(bigp, ["w1", "w2"])
         .groupBy(id_col)
-        .agg(
-            (
-                F.sum(F.col("_p").cast("decimal(38,18)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("_m")
-        )
+        .agg((F.sum("_p").cast("double") / F.count(F.lit(1))).alias("_m"))
         .select(id_col, F.round("_m", 9).alias(out_col))
     )
     try:
         return out.transform(materialize)
     finally:
-        pairs.unpersist()
-        toks.unpersist()
+        ex.unpersist()
 
 
 def feature_hash_embed(

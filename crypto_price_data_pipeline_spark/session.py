@@ -122,3 +122,24 @@ def materialize(df, reliable: bool | None = None):
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def scale_out(df):
+    """Repartition a heavy-projection input up to defaultParallelism
+    when the upstream scan has fewer splits than cores.
+
+    The local testdata corpora are single-parquet-file tables, so a
+    scan stage gets ONE input split — a tokenize/explode projection
+    downstream of it runs single-threaded on a 32-thread master (the
+    artifact store has guarded its builds this way since r10; r12
+    promotes the guard here so per-query heavy projections share it).
+    The guard only fires when the scan's natural parallelism is below
+    the core count, which at 100 TB it never is (a real corpus scan
+    has thousands of splits), so production plans keep zero extra
+    shuffles while local runs use the whole box. The shuffled payload
+    is exactly the raw input a real multi-split scan would have
+    distributed anyway."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
