@@ -2,15 +2,16 @@
 schema-evolution-on-read (r10 verdict items 4 and 5).
 
 - ``q_stream_artifact_index`` — the similarity index artifacts
-  (MinHash base/minima, SimHash fingerprints, TF postings) maintained
-  INCREMENTALLY through the per-batch_id partial-store streaming
-  machinery (streaming/artifact_stream.py): a corpus append costs one
-  micro-batch of doc-local signature work, never a rebuild. The query
-  serves a per-document verification projection from the streamed
-  stores — distinct-shingle count, md5-SimHash fingerprint (DuckDB
-  recomputes the identical 32-bit value), and the df-capped TF-IDF
-  weight checksum derived at read time from the merged postings —
-  so the oracle pins store CONTENT, not just row counts. Bit-equality
+  (MinHash base/minima, SimHash fingerprints, TF postings, winnowing
+  sketch postings) maintained INCREMENTALLY through the per-batch_id
+  partial-store streaming machinery (streaming/artifact_stream.py): a
+  corpus append costs one micro-batch of doc-local signature work,
+  never a rebuild. The query serves a per-document verification
+  projection from the streamed stores — distinct-shingle count,
+  md5-SimHash fingerprint (DuckDB recomputes the identical 32-bit
+  value), the df-capped TF-IDF weight checksum derived at read time
+  from the merged postings, and the winnow sketch size (r12) — so the
+  oracle pins store CONTENT, not just row counts. Bit-equality
   of the streamed stores against the batch artifacts is additionally
   unit-pinned (tests/test_wave33.py), and the crash/restart test
   covers the replay contract.
@@ -50,12 +51,13 @@ def q_stream_artifact_index(spark: SparkSession, sf: str) -> DataFrame:
     """Serve a per-doc verification row from the INCREMENTALLY
     maintained artifact stores (4-micro-batch replay): lang,
     distinct-shingle count (MinHash base), md5-SimHash fingerprint,
-    and the read-time-derived TF-IDF posting count + DECIMAL(38,6)
+    the read-time-derived TF-IDF posting count + DECIMAL(38,6)
     weight checksum (df ≤ 50 cap, w = tf·N/df — the artifacts.py
-    contract). Document frequency and weights are NOT stored — they
-    are corpus-global and change with every append, so the store
-    keeps doc-local tf partials and this reader derives (df, w) with
-    one aggregation over the merged postings."""
+    contract), and the winnow sketch size (r12 — the fourth
+    maintained family). Document frequency and weights are NOT
+    stored — they are corpus-global and change with every append, so
+    the store keeps doc-local partials and this reader derives
+    (df, w) with one aggregation over the merged postings."""
     from .streaming.artifact_stream import stream_artifact_index
 
     docs = load_table(spark, sf, "documents")
@@ -77,10 +79,17 @@ def q_stream_artifact_index(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(F.col("w").cast("decimal(38,6)")).cast("double").alias("w_sum"),
     )
+    # winnow sketch size per doc (postings are per-doc distinct fps;
+    # the count is invariant under the packed-long recode, so DuckDB
+    # reproduces it from the string grams)
+    n_win = stores["winnow"].groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_winnow")
+    )
     return (
         stores["base_n"]
         .join(stores["simhash"], "doc_id")
         .join(per_doc, "doc_id", "left")
+        .join(n_win, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -88,6 +97,7 @@ def q_stream_artifact_index(spark: SparkSession, sf: str) -> DataFrame:
             "simhash32",
             F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
             F.coalesce("w_sum", F.lit(0.0)).alias("w_sum"),
+            F.coalesce("n_winnow", F.lit(0)).cast("long").alias("n_winnow"),
         )
         .orderBy("doc_id")
     )
@@ -143,13 +153,33 @@ wt AS (
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
          CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS w_sum
-  FROM wt GROUP BY 1)
+  FROM wt GROUP BY 1),
+wclean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents),
+wpos0 AS (
+  SELECT doc_id, s,
+         unnest(range(1, CAST(greatest(length(s) - 7, 1) AS BIGINT) + 1)) AS i
+  FROM wclean),
+wpos AS (SELECT doc_id, i, substring(s, CAST(i AS INTEGER), 8) AS gram FROM wpos0),
+wwins AS (
+  SELECT doc_id, i,
+         MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fpv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM wpos),
+wfp AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT fpv) AS BIGINT) AS n_winnow
+  FROM wwins WHERE i <= greatest(n_grams - 7, 1)
+  GROUP BY 1)
 SELECT s.doc_id, s.lang, s.n_shingles, f.simhash32,
        COALESCE(p.n_terms, 0) AS n_terms,
-       COALESCE(p.w_sum, 0.0) AS w_sum
+       COALESCE(p.w_sum, 0.0) AS w_sum,
+       COALESCE(wf.n_winnow, 0) AS n_winnow
 FROM sh s
 JOIN fpt f ON f.doc_id = s.doc_id
 LEFT JOIN per_doc p ON p.doc_id = s.doc_id
+LEFT JOIN wfp wf ON wf.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
 

@@ -16,11 +16,11 @@ lands ONLY ITS OWN doc-local partials:
 - the 32-bit md5 SimHash fingerprints (simhash_md5) — per-doc;
 - the TF term-count postings (doc_id, term, tf) — per-doc.
 
-(The winnowing sketch postings are per-doc functions too —
-``operators.text._winnowing_fp_hashes`` — so the same batch-partial
-pattern applies verbatim; they are not duplicated here because the
-maintained-store contract is already pinned by the three families
-above and their store/serve shapes are identical.)
+- the winnowing sketch postings (doc_id, fp) —
+  ``operators.text._winnowing_fp_hashes``, per-doc (r12, closing the
+  r11 verdict's 'pin it instead' item); the corpus-global fingerprint
+  document frequency (the batch artifact's ``fp_df`` column) is a
+  read-time derivation like tf→df.
 
 The corpus-GLOBAL statistics (document frequency, the df ≤ 50 hot-
 posting cap, the tf·N/df weights) are deliberately NOT stored: they
@@ -64,6 +64,84 @@ MINS_SCHEMA = (
 BASE_N_SCHEMA = "doc_id long, lang string, _n int"
 SIMHASH_SCHEMA = "doc_id long, simhash32 bigint"
 TF_SCHEMA = "doc_id long, term long, tf bigint"
+WINNOW_SCHEMA = "doc_id long, fp long"
+
+_FAMILY_SCHEMAS = {
+    "mins": MINS_SCHEMA,
+    "base_n": BASE_N_SCHEMA,
+    "simhash": SIMHASH_SCHEMA,
+    "tf": TF_SCHEMA,
+    "winnow": WINNOW_SCHEMA,
+}
+
+
+def read_artifact_store(spark: SparkSession, store: str) -> dict[str, DataFrame]:
+    """Fresh merge-on-read handles over a streamed artifact store
+    directory — the union of whatever batch_*/compacted_* partial
+    subdirs each family currently has. Re-call after
+    :func:`compact_artifact_store`: previously returned DataFrames
+    hold the pre-compaction file listing and go stale once the batch
+    subdirs are folded."""
+
+    def _read(sub: str, schema: str) -> DataFrame:
+        path = os.path.join(store, sub)
+        if not os.path.isdir(path):
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+
+    return {name: _read(name, sch) for name, sch in _FAMILY_SCHEMAS.items()}
+
+
+def compact_artifact_store(spark: SparkSession, store: str) -> int:
+    """Fold every family's per-batch partial subdirs into ONE settled
+    ``compacted_0000000000`` subdir, so merge-on-read file-listing and
+    footer cost goes back to O(1) instead of growing with batch count
+    — the artifact-store twin of ``continuous_agg.compact_rollup``
+    (r11 verdict item 3). Returns the number of subdirectories folded
+    across all families (0 = nothing to do).
+
+    Artifact partials are doc-local ROWS (disjoint across batches),
+    not decomposable aggregates, so compaction is a pure rewrite of
+    the union — no re-aggregation, bit-identical content (unit-pinned
+    against both the pre-compaction union and the batch artifacts).
+    Same crash contract as compact_rollup: run while the maintenance
+    stream is STOPPED (or fold only batch ids at or below the last
+    committed checkpoint offset) — a crashed batch replaying AFTER its
+    partial was folded would re-create its subdir and double-count.
+    Compaction is idempotent-composable: a compacted subdir is just
+    another — bigger — partial, so compacting a mix of raw and
+    previously-compacted partials stays exact."""
+    folded = 0
+    for name, schema in _FAMILY_SCHEMAS.items():
+        fam_dir = os.path.join(store, name)
+        if not os.path.isdir(fam_dir):
+            continue
+        subdirs = [
+            d
+            for d in sorted(os.listdir(fam_dir))
+            if os.path.isdir(os.path.join(fam_dir, d))
+            and d.startswith(("batch_", "compacted_"))
+        ]
+        if len(subdirs) <= 1:
+            continue
+        merged = (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(fam_dir)
+        )
+        # stage OUTSIDE fam_dir so the recursive scan can't see its own
+        # output, then swap in atomically from the reader's view
+        tmp = fam_dir.rstrip("/") + ".compacting"
+        merged.write.mode("overwrite").parquet(tmp)
+        for d in subdirs:
+            shutil.rmtree(os.path.join(fam_dir, d), ignore_errors=True)
+        os.rename(tmp, os.path.join(fam_dir, "compacted_0000000000"))
+        folded += len(subdirs)
+    return folded
 
 
 def stream_artifact_index(
@@ -71,17 +149,23 @@ def stream_artifact_index(
     docs: DataFrame,
     *,
     n_chunks: int = 4,
-) -> dict[str, DataFrame]:
+) -> dict:
     """Replay ``docs`` as ``n_chunks`` micro-batches, maintaining the
-    minhash/simhash/tf partial stores incrementally; returns the merged
-    stores as DataFrames: ``{"mins", "base_n", "simhash", "tf"}``.
+    minhash/simhash/tf/winnow partial stores incrementally; returns the
+    merged stores as DataFrames:
+    ``{"mins", "base_n", "simhash", "tf", "winnow"}``.
 
     The streamed ``mins`` table is bit-identical to the batch artifact
-    ``artifacts.minhash_mins`` and the derived (df-capped) weights of
-    ``tf`` equal ``artifacts.tfidf_weights`` — pinned by
-    tests/test_wave33.py."""
+    ``artifacts.minhash_mins``, the derived (df-capped) weights of
+    ``tf`` equal ``artifacts.tfidf_weights``, and ``winnow`` with the
+    read-time fp_df derivation equals ``artifacts.winnow_postings`` —
+    pinned by tests/test_wave33.py.
+
+    The returned dict additionally carries ``"store_dir"`` (the store's
+    root path) so callers can :func:`compact_artifact_store` it and
+    re-read via :func:`read_artifact_store`."""
     from ..operators.dedup import minhash_min_cols, simhash_md5, with_shingles
-    from ..operators.text import tokenize
+    from ..operators.text import _winnowing_fp_hashes, tokenize
 
     work = tempfile.mkdtemp(prefix="stream_artifact_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -140,6 +224,9 @@ def stream_artifact_index(
         terms.groupBy("doc_id", "term").agg(
             F.count(F.lit(1)).alias("tf")
         ).write.mode("overwrite").parquet(f"{store}/tf/{tag}")
+        _winnowing_fp_hashes(batch, "doc_id", "text", 8, 8).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/winnow/{tag}")
 
     if chunks:
         # per-batch partials are one chunk's rows; 32-partition
@@ -160,19 +247,6 @@ def stream_artifact_index(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
-    def _read(sub: str, schema: str) -> DataFrame:
-        path = os.path.join(store, sub)
-        if not os.path.isdir(path):
-            return spark.createDataFrame([], schema)
-        return (
-            spark.read.schema(schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(path)
-        )
-
-    return {
-        "mins": _read("mins", MINS_SCHEMA),
-        "base_n": _read("base_n", BASE_N_SCHEMA),
-        "simhash": _read("simhash", SIMHASH_SCHEMA),
-        "tf": _read("tf", TF_SCHEMA),
-    }
+    out: dict = read_artifact_store(spark, store)
+    out["store_dir"] = store
+    return out
