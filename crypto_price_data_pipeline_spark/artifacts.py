@@ -89,9 +89,20 @@ PARAMS: dict[str, dict] = {
 _DERIVED: dict[str, list[str]] = {"minhash_base": ["minhash_mins"]}
 
 
-def _stamp(df: DataFrame, name: str) -> DataFrame:
+# per-(name, corpus) MEASURED build statistics merged into the stamp —
+# e.g. the simhash32 fingerprint group stats (row count, distinct
+# fingerprints, within-group pair mass) the pair operator's strategy
+# choice reads for free instead of re-aggregating per call (r12, the
+# r11 verdict's 'decision on measured group stats' item). Computed
+# once per build inside _artifact via the builder's stats_fn.
+_STATS: dict[tuple[str, str], dict] = {}
+
+
+def _stamp(df: DataFrame, name: str, sf: str | None = None) -> DataFrame:
     params = dict(PARAMS.get(name, {}))
     params["artifact"] = name
+    if sf is not None:
+        params.update(_STATS.get((name, os.path.abspath(sf)), {}))
     return df.withMetadata(df.columns[0], {"artifact_params": params})
 
 
@@ -106,13 +117,17 @@ def _scale_out(df: DataFrame) -> DataFrame:
 
 
 def _artifact(
-    spark: SparkSession, name: str, sf: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    name: str,
+    sf: str,
+    build: Callable[[], DataFrame],
+    stats_fn: Callable[[DataFrame], dict] | None = None,
 ) -> DataFrame:
     key = (name, os.path.abspath(sf))
     with _LOCK:
         loc = _DIRS.get(key)
         if loc == _FALLBACK:
-            return _stamp(build(), name)
+            return _stamp(build(), name, sf)
         if loc is None or not os.path.isdir(loc):
             d = tempfile.mkdtemp(prefix=f"artifact_{name}_")
             atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -121,10 +136,19 @@ def _artifact(
                 spark.read.parquet(d).schema
             except Exception:
                 _DIRS[key] = _FALLBACK
-                return _stamp(build(), name)
+                if stats_fn is not None:
+                    try:
+                        _STATS[key] = stats_fn(build())
+                    except Exception:
+                        _STATS.pop(key, None)
+                return _stamp(build(), name, sf)
+            if stats_fn is not None:
+                # measured over the settled parquet (columnar scan),
+                # once per build — consumers read it from the stamp
+                _STATS[key] = stats_fn(spark.read.parquet(d))
             _DIRS[key] = d
             loc = d
-    return _stamp(spark.read.parquet(loc), name)
+    return _stamp(spark.read.parquet(loc), name, sf)
 
 
 def rebuild(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -178,13 +202,23 @@ def minhash_mins(spark: SparkSession, sf: str) -> DataFrame:
 def simhash32_table(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, simhash32): the 32-bit md5-derived SimHash fingerprints
     (operators.dedup.simhash_md5) — the cross-engine-verifiable
-    fingerprint column, stored once per corpus."""
-    from .operators.dedup import simhash_md5
+    fingerprint column, stored once per corpus. The stamp carries the
+    measured fingerprint group stats (fp_n rows, fp_d distinct
+    fingerprints, fp_pdup = Σ C(m,2) within identical-fp groups) so
+    ``simhash_md5_pairs(strategy="auto")`` picks canonical-filter vs
+    distinct-fp banding per corpus for free (r12)."""
+    from .operators.dedup import fp_group_stats, simhash_md5
 
     def _build() -> DataFrame:
         return simhash_md5(_scale_out(load_table(spark, sf, "documents")))
 
-    return _artifact(spark, "simhash32", sf, _build)
+    return _artifact(
+        spark,
+        "simhash32",
+        sf,
+        _build,
+        stats_fn=lambda df: fp_group_stats(df, "simhash32"),
+    )
 
 
 def winnow_postings(spark: SparkSession, sf: str) -> DataFrame:

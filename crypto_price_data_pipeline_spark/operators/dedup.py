@@ -813,6 +813,109 @@ def simhash_md5(
     return votes.select(F.col(id_col), fp.alias(out_col))
 
 
+def fp_group_stats(src: DataFrame, fp_col: str) -> dict:
+    """Measured fingerprint group statistics: ``fp_n`` rows, ``fp_d``
+    distinct fingerprints, ``fp_pdup`` = Σ C(m, 2) over identical-
+    fingerprint groups (the exact-duplicate pair mass). One two-level
+    aggregation (map-side combinable both levels); the artifact store
+    stamps the result at build time so the pair strategy never re-runs
+    it per query (artifacts.simhash32_table)."""
+    g = src.groupBy(fp_col).agg(F.count(F.lit(1)).alias("_m"))
+    row = g.agg(
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.coalesce(
+            F.sum(F.expr("CAST(_m * (_m - 1) / 2 AS BIGINT)")), F.lit(0)
+        ).alias("pdup"),
+    ).first()
+    return {
+        "fp_n": int(row["n"]),
+        "fp_d": int(row["d"]),
+        "fp_pdup": int(row["pdup"]),
+    }
+
+
+def pick_simhash_strategy(fp_n: int, fp_pdup: int, n_combos: int) -> str:
+    """The per-corpus canonical-vs-distinct decision rule, on measured
+    fingerprint group stats (see ``simhash_md5_pairs``): the canonical
+    join streams ``n_combos × fp_pdup`` rows just for identical-fp
+    pairs, the distinct form streams them once plus two expansion
+    joins (~O(fp_n + output)). Crossover pinned an order of magnitude
+    from both measured sf0.1 regimes: 94%-distinct testdata has
+    combos·pdup ≈ 4n (canonical measured faster — the expansion joins
+    cost more than the stream they save, NOTES r11), the 20×-replica
+    corpus ≈ 612n (distinct measured 2.6× faster, and the gap widens
+    with scale). Below ~1 s of work either form is overhead-bound and
+    the choice is immaterial."""
+    return "distinct" if n_combos * fp_pdup > 16 * fp_n else "canonical"
+
+
+def _simhash_distinct_fp_pairs(
+    src: DataFrame, id_col: str, combos, bits: int, mask: int, max_hamming: int
+) -> DataFrame:
+    """Distinct-fingerprint banding + group expansion — the dup-heavy
+    complement to the canonical-filter form (the r11 prototype, now a
+    real strategy): band the DISTINCT fingerprints only (the
+    C(blocks,d) explode never multiplies by group size), canonical-
+    filter the fp-level pairs, then expand back to doc pairs through
+    the membership table — cross-group pairs via two joins, identical-
+    fp pairs (hamming 0) via one membership self-join that streams
+    each output pair ONCE instead of once per combination key. Output
+    is bit-identical to the canonical form: a doc pair maps to exactly
+    one unordered fingerprint pair, so no pair can appear twice."""
+    m = src.select(F.col(id_col).alias("_id"), "simhash32")
+    dfp = m.select("simhash32").distinct()
+    banded = dfp.select(
+        "simhash32",
+        F.expr(_comb_explode_sql("simhash32", combos, bits, mask)).alias("bb"),
+    ).select("simhash32", "bb.comb", "bb.bucket")
+    a = banded.select(
+        F.col("simhash32").alias("id_a"),
+        F.col("simhash32").alias("_h_a"),
+        "comb",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("simhash32").alias("id_b"),
+        F.col("simhash32").alias("_h_b"),
+        "comb",
+        "bucket",
+    )
+    fpairs = _canonical_key_filter(
+        a.join(b, ["comb", "bucket"]).where(F.col("id_a") < F.col("id_b")),
+        key_col="comb",
+        clean_sets=combos,
+        bits=bits,
+        mask=mask,
+        max_hamming=max_hamming,
+    ).select(
+        F.col("id_a").alias("_fa"), F.col("id_b").alias("_fb"), "hamming"
+    )
+    cross = (
+        fpairs.join(
+            m.select(F.col("simhash32").alias("_fa"), F.col("_id").alias("_da")),
+            "_fa",
+        )
+        .join(
+            m.select(F.col("simhash32").alias("_fb"), F.col("_id").alias("_db")),
+            "_fb",
+        )
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "hamming",
+        )
+    )
+    g1 = m.select("simhash32", F.col("_id").alias("id_a"))
+    g2 = m.select("simhash32", F.col("_id").alias("id_b"))
+    within = (
+        g1.join(g2, "simhash32")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
+    )
+    return within.unionByName(cross)
+
+
 def simhash_md5_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -821,6 +924,7 @@ def simhash_md5_pairs(
     blocks: int = 8,
     sig: DataFrame | None = None,
     materialize: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs on the 32-bit md5 SimHash via COMBINATION
     blocking, verified with bit_count(xor). The fingerprint splits into
@@ -836,7 +940,23 @@ def simhash_md5_pairs(
     is ~28M candidate pairs at n=60k (measured 3.0s); the default
     C(8,5)=56 keys carry 20 bits each (occupancy n/2²⁰), collapsing
     candidates to near-true-pairs-only (measured 1.3s — and the gap
-    widens quadratically with n)."""
+    widens quadratically with n).
+
+    ``strategy`` (r12): ``"canonical"`` bands every doc fingerprint
+    and dedups with the in-codegen canonical-key filter — best on
+    mostly-distinct corpora; ``"distinct"`` bands DISTINCT
+    fingerprints and expands identical-fp groups back through the
+    membership table — best on dup-heavy corpora where the
+    within-group C(m,2)·C(blocks,d) join stream would dominate (a 20×
+    exact-replica corpus at sf0.1 measures 9.96 s canonical vs 3.89 s
+    distinct, and the gap widens with scale — the saved stream grows
+    with pair mass while the expansion joins grow with output). Both
+    emit the identical pair set. ``"auto"`` (default) decides per
+    corpus on measured fingerprint group stats — free from the
+    artifact stamp when ``sig`` is the store's table, otherwise one
+    tiny two-level aggregation (note: that aggregation is an EAGER
+    action; pass an explicit strategy if the plan must stay fully
+    lazy)."""
     from itertools import combinations
 
     if not 0 < max_hamming < blocks:
@@ -861,28 +981,54 @@ def simhash_md5_pairs(
             src, {"artifact": "simhash32", "token_bits": 32, "hash": "md5"},
             "simhash_md5_pairs",
         )
-    sh = src.select(F.col(id_col).alias("_id"), "simhash32")
-
     combos = list(combinations(range(blocks), blocks - max_hamming))
-    banded = sh.select(
-        "_id",
-        "simhash32",
-        F.expr(_comb_explode_sql("simhash32", combos, bits, mask)).alias("bb"),
-    ).select("_id", "simhash32", "bb.comb", "bb.bucket")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "comb", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "comb", "bucket")
-    # canonical-combination dedup (see _canonical_key_filter): the
-    # dropDuplicates exchange used to carry pairs × clean-combo
-    # multiplicity (~40× on the near-dup-heavy test corpus); the
-    # canonical filter runs inside the join's codegen stage instead.
-    out = _canonical_key_filter(
-        a.join(b, ["comb", "bucket"]).where(F.col("id_a") < F.col("id_b")),
-        key_col="comb",
-        clean_sets=combos,
-        bits=bits,
-        mask=mask,
-        max_hamming=max_hamming,
-    )
+    if strategy not in ("auto", "canonical", "distinct"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        # per-corpus decision on MEASURED fingerprint group stats
+        # (r11 verdict): the canonical join streams every identical-
+        # fp pair once per combination key (C(blocks,d) × Σ C(m,2)
+        # rows), the distinct form streams it once but pays two
+        # expansion joins. Stats come free from the artifact stamp
+        # (artifacts.simhash32_table measures them at build); an
+        # unstamped table pays one tiny two-level aggregation; rule
+        # and measured grounding in pick_simhash_strategy.
+        stats = None
+        for field in src.schema.fields:
+            p = (field.metadata or {}).get("artifact_params") or {}
+            if "fp_pdup" in p:
+                stats = (p["fp_n"], p["fp_pdup"])
+                break
+        if stats is None:
+            measured = fp_group_stats(src, "simhash32")
+            stats = (measured["fp_n"], measured["fp_pdup"])
+        strategy = pick_simhash_strategy(*stats, n_combos=len(combos))
+
+    if strategy == "distinct":
+        out = _simhash_distinct_fp_pairs(
+            src, id_col, combos, bits, mask, max_hamming
+        )
+    else:
+        sh = src.select(F.col(id_col).alias("_id"), "simhash32")
+        banded = sh.select(
+            "_id",
+            "simhash32",
+            F.expr(_comb_explode_sql("simhash32", combos, bits, mask)).alias("bb"),
+        ).select("_id", "simhash32", "bb.comb", "bb.bucket")
+        a = banded.select(F.col("_id").alias("id_a"), F.col("simhash32").alias("_h_a"), "comb", "bucket")
+        b = banded.select(F.col("_id").alias("id_b"), F.col("simhash32").alias("_h_b"), "comb", "bucket")
+        # canonical-combination dedup (see _canonical_key_filter): the
+        # dropDuplicates exchange used to carry pairs × clean-combo
+        # multiplicity (~40× on the near-dup-heavy test corpus); the
+        # canonical filter runs inside the join's codegen stage instead.
+        out = _canonical_key_filter(
+            a.join(b, ["comb", "bucket"]).where(F.col("id_a") < F.col("id_b")),
+            key_col="comb",
+            clean_sets=combos,
+            bits=bits,
+            mask=mask,
+            max_hamming=max_hamming,
+        )
     if not (owns_sig and materialize):
         return out
     try:

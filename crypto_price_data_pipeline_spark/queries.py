@@ -1580,3 +1580,14 @@ from .queries_ext33 import EXT33_ORACLES, EXT33_QUERIES  # noqa: E402
 
 QUERIES.update(EXT33_QUERIES)
 ORACLES.update(EXT33_ORACLES)
+from .queries_ext34 import EXT34_ORACLES, EXT34_QUERIES  # noqa: E402
+
+QUERIES.update(EXT34_QUERIES)
+ORACLES.update(EXT34_ORACLES)
+# heavy-oracle verification twins (wave 34): generated LAST so they
+# wrap the final registered callables/oracles
+from .queries_ext34 import make_verification_twins  # noqa: E402
+
+_TWIN_QUERIES, _TWIN_ORACLES = make_verification_twins(QUERIES, ORACLES)
+QUERIES.update(_TWIN_QUERIES)
+ORACLES.update(_TWIN_ORACLES)

@@ -5,7 +5,12 @@ given sf dir, compares row count, column names, and the order-
 insensitive multiset of row values (exact equality; floats must match
 bit-for-bit — that is the design contract of queries.py).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--routine] [sf_dir] [query ...]
+
+--routine skips the 14 heavy-exact names (quadratic pair / recursive
+closure oracles, ~100 min at sf0.1) whose surface the registered
+``*_sub`` quarter-corpus twins cover — the cheap sweep to run after
+every change; the exact names stay for the per-round deep sweep.
 """
 
 from __future__ import annotations
@@ -80,12 +85,16 @@ def _canon_duck(t: str) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    routine = "--routine" in args
+    args = [a for a in args if a != "--routine"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     from crypto_price_data_pipeline_spark.queries import ORACLES, QUERIES
+    from crypto_price_data_pipeline_spark.queries_ext34 import HEAVY_EXACT
     from crypto_price_data_pipeline_spark.session import get_spark
 
     spark = get_spark("check_oracle")
@@ -98,8 +107,12 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_rows_only = 0
+    n_skipped = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
+            continue
+        if routine and name in HEAVY_EXACT:
+            n_skipped += 1
             continue
         t0 = time.time()
         try:
@@ -150,7 +163,8 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    skipped = f", {n_skipped} heavy-exact skipped (--routine)" if n_skipped else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only{skipped}")
     spark.stop()
     return 1 if n_fail else 0
 
