@@ -191,6 +191,17 @@ def main() -> None:
     timings["stream_ohlc_e2e"] = _stream_e2e("q_stream_ohlc")
     timings["stream_join_e2e"] = _stream_e2e("q_stream_join")
 
+    # documented headline EXCLUSION (r11 verdict #6): the incremental
+    # artifact-maintenance simulation replays the corpus as 4 micro-
+    # batches with 5 partial-store writes each — ~14 s at sf0.1, ~25%
+    # of the whole headline total, dominated by availableNow micro-
+    # batch scheduling rather than engine work. Its cost is recorded
+    # here once per round (single sample, outside `value`) so the
+    # stored-table design never hides it.
+    t0 = time.time()
+    QUERIES["q_stream_artifact_index"](spark, sf_dir).count()
+    excluded = {"q_stream_artifact_index": round(time.time() - t0, 3)}
+
     # written-sink path: snappy-parquet append of the enriched lineitem
     # projection (measures the write pipeline, not just scans)
     import shutil
@@ -242,6 +253,8 @@ def main() -> None:
         # per-pass totals over HEADLINE (before the min): their spread
         # is the run's GC/host jitter, visible without a re-run
         "pass_totals_sec": [round(sum(p.values()), 3) for p in passes],
+        # measured but NOT in `value` (see the exclusion comment above)
+        "excluded_queries_sec": excluded,
         "driver_memory": spark.conf.get("spark.driver.memory", "default"),
     }
     prev_round, prev = _latest_prior_bench()
