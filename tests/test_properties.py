@@ -442,3 +442,43 @@ def test_global_order_offsets_inplan_matches_python_prefix_sum(spark, rows):
         want[doc_id] = (pos, acc)
         acc += wt
     assert got == want
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=24
+    ),
+    dup=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_simhash_pair_strategies_identical_on_random_fingerprints(
+    spark, fps, dup
+):
+    """canonical-filter and distinct-fp-banding must emit the IDENTICAL
+    (id_a, id_b, hamming) set for arbitrary fingerprint multisets —
+    random 32-bit values at random duplication, checked against a
+    Python brute-force reference (every pair within Hamming ≤ 3)."""
+    from crypto_price_data_pipeline_spark.operators.dedup import simhash_md5_pairs
+
+    rows = [(i, fps[i % len(fps)]) for i in range(len(fps) * dup)]
+    sig = spark.createDataFrame(
+        rows, "doc_id long, simhash32 long"
+    ).localCheckpoint(eager=True)
+    got = {}
+    for strat in ("canonical", "distinct"):
+        got[strat] = sorted(
+            map(
+                tuple,
+                simhash_md5_pairs(
+                    None, sig=sig, strategy=strat, materialize=False
+                ).collect(),
+            )
+        )
+    brute = sorted(
+        (a, b, bin(fa ^ fb).count("1"))
+        for a, fa in rows
+        for b, fb in rows
+        if a < b and bin(fa ^ fb).count("1") <= 3
+    )
+    assert got["canonical"] == brute
+    assert got["distinct"] == brute
