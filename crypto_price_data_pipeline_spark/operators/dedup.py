@@ -398,6 +398,16 @@ def minhash_lsh_pairs(
     candidate pairs that survive banding, so the heavy shuffle is
     proportional to the candidate set, not candidates × shingle size.
 
+    Dup-heavy corpora contract (r12): EXACT-duplicate documents have
+    identical signatures, so a group of m exact replicas rides the
+    band join as C(m,2) × bands rows before the pair distinct — run
+    ``exact_dedup`` FIRST on corpora with exact-replica mass (the
+    curation pipelines already order their stages this way); MinHash
+    is the NEAR-dup stage. The simhash family got an in-operator
+    distinct-fp strategy instead (``simhash_md5_pairs``) because a
+    32-bit fingerprint collides across genuinely-different docs,
+    which exact_dedup cannot collapse.
+
     With ``materialize=True`` (default) the pair set is computed
     eagerly (localCheckpoint) so the signature cache — which pins the
     shingle+minhash arrays in executor memory — is released before
