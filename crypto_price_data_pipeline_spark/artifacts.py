@@ -131,18 +131,27 @@ def _artifact(
         if loc is None or not os.path.isdir(loc):
             d = tempfile.mkdtemp(prefix=f"artifact_{name}_")
             atexit.register(shutil.rmtree, d, ignore_errors=True)
-            # write defaultParallelism FILES, not whatever AQE coalesced
-            # the build's final stage to (typically ONE at local scale):
-            # consumers' zero-shuffle pair stages — scan → broadcast
-            # join → map-side partial aggregate — parallelize by SCAN
-            # SPLIT, so a single-file artifact serialized the whole
-            # similarity tier onto one task (found r12: the tfidf pair
-            # stage ran single-threaded). A production artifact table
-            # has thousands of files; this makes the local store
-            # scale-faithful. Explicit repartition(N) is exempt from
-            # AQE coalescing, so the file count sticks.
-            target = spark.sparkContext.defaultParallelism
-            build().repartition(target).write.mode("overwrite").parquet(d)
+            # write MANY files, not whatever AQE coalesced the build's
+            # final stage to (typically ONE at local scale): consumers'
+            # zero-shuffle pair stages — scan → broadcast join →
+            # map-side partial aggregate — parallelize by SCAN SPLIT,
+            # so a single-file artifact serialized the whole similarity
+            # tier onto one task (found r12: the tfidf pair stage ran
+            # single-threaded). A production artifact table has
+            # thousands of files; this makes the local store
+            # scale-faithful. Suspending AQE partition-coalescing for
+            # the write keeps each build's natural final-stage
+            # parallelism (every heavy build ends in a 32-partition
+            # shuffle) with ZERO extra exchange — cheaper than an
+            # explicit repartition; projection-only builds already
+            # carry _scale_out's partitioning.
+            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+            prev_coalesce = spark.conf.get(coalesce_key, "true")
+            spark.conf.set(coalesce_key, "false")
+            try:
+                build().write.mode("overwrite").parquet(d)
+            finally:
+                spark.conf.set(coalesce_key, prev_coalesce)
             try:
                 spark.read.parquet(d).schema
             except Exception:
