@@ -83,6 +83,7 @@ PARAMS: dict[str, dict] = {
     "simhash32": {"token_bits": 32, "hash": "md5"},
     "winnow_fp": {"k": 8, "w": 8},
     "tfidf_w": {"ngram": 3, "max_df": 50},
+    "lm_bigram": {"smoothing": "add1"},
 }
 
 # upstream -> derived artifacts that must drop when it rebuilds
@@ -313,6 +314,21 @@ def tfidf_weights(spark: SparkSession, sf: str) -> DataFrame:
     return _artifact(spark, "tfidf_w", sf, _build)
 
 
+def lm_bigram_probs(spark: SparkSession, sf: str) -> DataFrame:
+    """(w1, w2, _p): the documents corpus' add-one-smoothed bigram
+    transition probabilities (operators.text.bigram_lm_probs) — the
+    trained fluency scorer stored once per corpus version (r12), so
+    scoring is one lazy tokenize→broadcast-join→aggregate pass instead
+    of re-training per query. DECIMAL(38,18) values identical to the
+    inline form; the score oracle is unchanged."""
+    from .operators.text import bigram_lm_probs
+
+    def _build() -> DataFrame:
+        return bigram_lm_probs(load_table(spark, sf, "documents"))
+
+    return _artifact(spark, "lm_bigram", sf, _build)
+
+
 # name -> accessor, for bench.py's cold-build timing loop
 BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_base": minhash_base,
@@ -320,4 +336,5 @@ BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash32": simhash32_table,
     "winnow_fp": winnow_postings,
     "tfidf_w": tfidf_weights,
+    "lm_bigram": lm_bigram_probs,
 }

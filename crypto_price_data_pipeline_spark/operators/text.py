@@ -422,11 +422,78 @@ def winnowing_pairs(
             fp.unpersist()
 
 
+def _lm_position_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2): one row per token position — w1 the token, w2 the
+    following token or NULL at doc end — so unigram counts (all rows),
+    bigram counts (w2 non-null) and the scoring stream all derive from
+    ONE tokenize+explode pass. Docs with <2 tokens are dropped (no
+    transitions). Routed through session.scale_out: a single-file
+    local scan would run the tokenize single-threaded."""
+    from ..session import scale_out
+    from .dedup import tokens_col
+
+    toks = (
+        scale_out(df)
+        .select(id_col, tokens_col(text_col).alias("_t"))
+        .where(F.size("_t") >= 2)
+    )
+    nxt = F.concat(
+        F.slice("_t", 2, F.size("_t") - 1),
+        F.array(F.lit(None).cast("string")),
+    )
+    return toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                "_t", nxt, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+            )
+        ).alias("_bg"),
+    ).select(id_col, "_bg.w1", "_bg.w2")
+
+
+def bigram_lm_probs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2, _p): the corpus' add-one-smoothed bigram transition
+    probabilities as DECIMAL(38,18) — the trained language model of
+    :func:`bigram_lm_scores`, factored out so the artifact store can
+    materialize it once per corpus version (artifacts.lm_bigram_probs)
+    the way a production pipeline stores any trained scorer. Values
+    are exactly the decimal casts the scorer summed inline before."""
+    ex = _lm_position_table(df, id_col, text_col).persist()
+    uni = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    big = (
+        ex.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    out = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("_c2") + 1).cast("double")
+                / (F.col("_c1") + F.col("_v")).cast("double")
+            )
+            .cast("decimal(38,18)")
+            .alias("_p"),
+        )
+    )
+    try:
+        return out.transform(materialize)
+    finally:
+        ex.unpersist()
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "lm_score",
+    probs: DataFrame | None = None,
 ) -> DataFrame:
     """In-corpus bigram language-model fluency score (the CCNet/Gopher
     perplexity-filtering signal, self-trained): train add-one-smoothed
@@ -458,36 +525,34 @@ def bigram_lm_scores(
     vocabulary (drop hapax n-grams) before the probability join — the
     smoothing constant already dominates their contribution. Docs
     with fewer than 2 tokens have no transitions and are dropped.
-    """
-    from ..session import scale_out
-    from .dedup import tokens_col
 
+    ``probs``: optional precomputed (w1, w2, _p) transition table —
+    the artifact store's (artifacts.lm_bigram_probs). With it the
+    whole score is ONE lazy pass: tokenize+explode → broadcast join →
+    per-doc map-side-combined aggregate; nothing is persisted and no
+    eager action runs (the train-once/score-many production split).
+    """
+    if probs is not None:
+        from .dedup import check_precomputed_params
+
+        check_precomputed_params(
+            probs, {"artifact": "lm_bigram", "smoothing": "add1"},
+            "bigram_lm_scores",
+        )
+        ex = _lm_position_table(df, id_col, text_col)
+        return (
+            ex.where(F.col("w2").isNotNull())
+            .join(probs, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg((F.sum("_p").cast("double") / F.count(F.lit(1))).alias("_m"))
+            .select(id_col, F.round("_m", 9).alias(out_col))
+        )
     # persist discipline (NOTES Catalyst traps): the exploded position
     # table feeds the unigram counts, the bigram counts AND the
     # scoring join — unpersisted, the tokenize + explode chain re-runs
     # three times. Eager-materialize + release keeps bench timing
     # honest.
-    toks = (
-        scale_out(df)
-        .select(id_col, tokens_col(text_col).alias("_t"))
-        .where(F.size("_t") >= 2)
-    )
-    nxt = F.concat(
-        F.slice("_t", 2, F.size("_t") - 1),
-        F.array(F.lit(None).cast("string")),
-    )
-    ex = (
-        toks.select(
-            id_col,
-            F.explode(
-                F.zip_with(
-                    "_t", nxt, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
-                )
-            ).alias("_bg"),
-        )
-        .select(id_col, "_bg.w1", "_bg.w2")
-        .persist()
-    )
+    ex = _lm_position_table(df, id_col, text_col).persist()
     uni = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("_v"))
     big = (

@@ -677,11 +677,12 @@ def q_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic-mean form for bit-exact cross-engine verification — see
     operators.text.bigram_lm_scores). Top 100 most-fluent docs with
     rounded scores; deterministic doc_id tiebreak."""
+    from .artifacts import lm_bigram_probs
     from .operators.text import bigram_lm_scores
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return (
-        bigram_lm_scores(docs)
+        bigram_lm_scores(docs, probs=lm_bigram_probs(spark, sf))
         .orderBy(F.col("lm_score").desc(), "doc_id")
         .limit(100)
     )

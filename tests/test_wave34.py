@@ -121,3 +121,31 @@ def test_simhash_strategies_bit_identical_and_auto_decision(spark):
 
     with pytest.raises(ValueError, match="strategy"):
         simhash_md5_pairs(None, sig=dup_sig, strategy="fastest")
+
+
+def test_lm_scores_artifact_path_equals_inline(spark):
+    """bigram_lm_scores(probs=stored) must equal the self-training
+    inline form bit-for-bit (same decimal transition values), and a
+    differently-parameterized probs table must be rejected."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark import artifacts
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    inline = {
+        r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(docs).collect()
+    }
+    probs = artifacts.lm_bigram_probs(spark, SF)
+    served = {
+        r["doc_id"]: r["lm_score"]
+        for r in bigram_lm_scores(docs, probs=probs).collect()
+    }
+    assert served == inline and len(served) > 0
+    bad = probs.withMetadata(
+        probs.columns[0],
+        {"artifact_params": {"artifact": "lm_bigram", "smoothing": "none"}},
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        bigram_lm_scores(docs, probs=bad)
