@@ -210,14 +210,26 @@ def minhash_mins(spark: SparkSession, sf: str) -> DataFrame:
     (operators.dedup.minhash_min_cols, seed 42) over
     :func:`minhash_base`, with the pass-through keys every banding
     consumer needs. Built FROM the stored base — the shingle pass runs
-    once per corpus, period."""
-    from .operators.dedup import minhash_min_cols
+    once per corpus, period. The stamp carries the measured band-bucket
+    group stats under the default 16-band banding (mh_n docs,
+    mh_band_pdup = Σ C(m,2) over band buckets — the exact candidate
+    multiplicity of the LSH self-join) so
+    ``minhash_lsh_pairs(strategy="auto")`` picks plain vs firstband
+    per corpus for free (r13); callers banding differently fall back
+    to measuring."""
+    from .operators.dedup import minhash_band_stats, minhash_min_cols
 
     def _build() -> DataFrame:
         base = minhash_base(spark, sf)
         return minhash_min_cols(base, "doc_id", 64, 42, keep_cols=["_n", "lang"])
 
-    return _artifact(spark, "minhash_mins", sf, _build)
+    return _artifact(
+        spark,
+        "minhash_mins",
+        sf,
+        _build,
+        stats_fn=lambda df: minhash_band_stats(df, "doc_id", 64, 16),
+    )
 
 
 def simhash32_table(spark: SparkSession, sf: str) -> DataFrame:

@@ -294,6 +294,23 @@ def minhash_min_cols(
     )
 
 
+def _band_bucket_sql(num_hashes: int, bands: int) -> list[str]:
+    """Per-band bucket expressions (SQL strings) over minhash_min_cols
+    columns — ONE definition shared by every banding builder so bucket
+    values stay bit-compatible across the plain postings table, the
+    firstband band-vector path and the stored streaming index."""
+    rows_per_band = num_hashes // bands
+    return [
+        "xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"cast(_m{b * rows_per_band + j} as string)"
+            for j in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    ]
+
+
 def band_buckets_from_cols(
     mins: DataFrame,
     id_col: str,
@@ -309,16 +326,10 @@ def band_buckets_from_cols(
     array materialization: each band's bucket hashes ``rows_per_band``
     plain columns directly, and the exploded structs are cheap scalar
     expressions (no Generate-trap exposure)."""
-    rows_per_band = num_hashes // bands
     keep = list(keep_cols or [])
     structs = ", ".join(
-        f"struct({b} as band, xxhash64(concat_ws(',', "
-        + ", ".join(
-            f"cast(_m{b * rows_per_band + j} as string)"
-            for j in range(rows_per_band)
-        )
-        + ")) as bucket)"
-        for b in range(bands)
+        f"struct({b} as band, {bucket} as bucket)"
+        for b, bucket in enumerate(_band_bucket_sql(num_hashes, bands))
     )
     banded = mins.select(
         F.col(id_col).alias("_id"),
@@ -373,6 +384,58 @@ def band_buckets(
     )
 
 
+def minhash_band_stats(
+    mins: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> dict:
+    """Measured band-bucket group statistics of a minhash_min_cols
+    table: ``mh_n`` documents and ``mh_band_pdup`` = Σ over every
+    (band, bucket) group of C(m, 2) — the EXACT row count the LSH band
+    self-join streams before pair dedup, i.e. the candidate
+    multiplicity a dup-heavy corpus blows up. One two-level aggregation
+    (map-side combinable both levels); the artifact store stamps the
+    result at build (artifacts.minhash_mins) so
+    ``minhash_lsh_pairs(strategy="auto")`` reads it for free. The
+    stats are banding-specific, so the stamp records the banding they
+    were measured under (``mh_stats_*``) and auto falls back to
+    measuring when a caller bands differently."""
+    banded = band_buckets_from_cols(mins, id_col, num_hashes, bands)
+    g = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_m"))
+    row = g.agg(
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.expr("CAST(_m * (_m - 1) / 2 AS BIGINT)")), F.lit(0)
+        ).alias("pdup"),
+    ).first()
+    return {
+        "mh_n": int(row["n_rows"]) // bands,
+        "mh_band_pdup": int(row["pdup"]),
+        "mh_stats_num_hashes": num_hashes,
+        "mh_stats_bands": bands,
+    }
+
+
+def pick_minhash_strategy(mh_n: int, mh_band_pdup: int, bands: int) -> str:
+    """The per-corpus plain-vs-firstband decision for
+    ``minhash_lsh_pairs``, on measured band-bucket group stats.
+
+    The plain path shuffles every band-join output row — ``bands`` ×
+    the true pair set on near-dup-heavy corpora, since a cluster whose
+    members agree in most bands re-emits each pair once per agreeing
+    band — through a dropDuplicates exchange. The firstband path emits
+    each pair exactly once with NO dedup exchange, but carries both
+    sides' full band-bucket vectors (``bands`` longs) through the band
+    join, fattening a 2·n·bands-row shuffle. Crossover pinned from
+    both measured sf0.1 regimes (see SCALING.md): the testdata corpus
+    has band_pdup ≈ 0.05·n·bands (plain measured faster, 0.64 vs
+    0.80 s on the stored artifact — the fat vectors cost more than the
+    trivial dedup they save), a 16×-replica near-dup corpus ≈
+    7·n·bands (firstband measured faster, 7.9 vs 10.7 s warm at 80k
+    docs, and the gap widens with cluster multiplicity: the saved
+    shuffle grows with pair mass, the vector payload only with corpus
+    size)."""
+    return "firstband" if mh_band_pdup > mh_n * bands else "plain"
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -385,6 +448,7 @@ def minhash_lsh_pairs(
     materialize: bool = True,
     base: DataFrame | None = None,
     mins: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-duplicate candidate pairs verified by exact shingle Jaccard.
 
@@ -404,9 +468,27 @@ def minhash_lsh_pairs(
     ``exact_dedup`` FIRST on corpora with exact-replica mass (the
     curation pipelines already order their stages this way); MinHash
     is the NEAR-dup stage. The simhash family got an in-operator
-    distinct-fp strategy instead (``simhash_md5_pairs``) because a
-    32-bit fingerprint collides across genuinely-different docs,
-    which exact_dedup cannot collapse.
+    distinct-fp strategy (``simhash_md5_pairs``) because a 32-bit
+    fingerprint collides across genuinely-different docs, which
+    exact_dedup cannot collapse.
+
+    ``strategy`` (r13): NEAR-dup-heavy corpora — clusters of high-but-
+    not-exact similarity that exact_dedup cannot collapse — re-emit
+    each cluster pair once per AGREEING band (up to ``bands``×), and
+    that whole multiplicity rides the plain path's dropDuplicates
+    exchange. ``"firstband"`` carries both sides' band-bucket vectors
+    through the band join and keeps each pair only at its first
+    matching band: exactly-once emission, zero dedup shuffle, at the
+    cost of ``bands`` longs of payload per band-join row. ``"plain"``
+    is the thin-payload form — right when candidates are rare.
+    ``"auto"`` (default) decides per corpus on measured band-bucket
+    group stats: free from the artifact stamp when ``mins`` is the
+    store's table banded the way the stats were measured; one cheap
+    aggregation on an unstamped caller table (an EAGER action); plain
+    for locally-built signatures (measuring would run the build
+    twice). Both strategies emit the identical verified pair set
+    (a pair's canonical band always joins — its bucket IS the vector
+    element the filter compares).
 
     With ``materialize=True`` (default) the pair set is computed
     eagerly (localCheckpoint) so the signature cache — which pins the
@@ -438,6 +520,7 @@ def minhash_lsh_pairs(
             base, {"artifact": "minhash_base", "shingle_k": shingle_k},
             "minhash_lsh_pairs",
         )
+    owns_mins = mins is None
     if mins is None:
         mins = minhash_min_cols(base, id_col, num_hashes, seed)
     else:
@@ -447,16 +530,94 @@ def minhash_lsh_pairs(
              "num_hashes": num_hashes, "seed": seed},
             "minhash_lsh_pairs",
         )
-    banded = band_buckets_from_cols(mins, id_col, num_hashes, bands)
+    if strategy not in ("auto", "plain", "firstband"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        # per-corpus decision on MEASURED band-bucket group stats —
+        # free from the artifact stamp when ``mins`` is the store's
+        # table AND the call bands the way the stats were measured;
+        # otherwise one two-level aggregation over the minima (an
+        # EAGER action — pass an explicit strategy if the plan must
+        # stay fully lazy). Rule and measured grounding in
+        # pick_minhash_strategy.
+        stats = None
+        for field in mins.schema.fields:
+            p = (field.metadata or {}).get("artifact_params") or {}
+            if (
+                "mh_band_pdup" in p
+                and p.get("mh_stats_bands") == bands
+                and p.get("mh_stats_num_hashes") == num_hashes
+            ):
+                stats = (p["mh_n"], p["mh_band_pdup"])
+                break
+        if stats is None and not owns_mins:
+            # caller-provided (materialized) minima without a usable
+            # stamp: one cheap two-level aggregation over the table
+            measured = minhash_band_stats(mins, id_col, num_hashes, bands)
+            stats = (measured["mh_n"], measured["mh_band_pdup"])
+        if stats is None:
+            # locally-built lazy minima: measuring would run the
+            # signature build twice — default to the plain path (the
+            # ephemeral-corpus shape); dup-heavy callers pass a
+            # materialized ``mins`` or an explicit strategy
+            strategy = "plain"
+        else:
+            strategy = pick_minhash_strategy(*stats, bands=bands)
 
-    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if strategy == "firstband":
+        # dup-heavy path: carry each side's full band-bucket vector
+        # through the band join and keep a pair only at its FIRST
+        # matching band — each candidate pair is emitted exactly once,
+        # so the dropDuplicates exchange (candidates × agreeing-band
+        # multiplicity, the dominant shuffle on near-dup-heavy
+        # corpora) disappears entirely. The first-match index is a
+        # plain codegen when-chain over the two vectors; the join band
+        # always matches (its bucket IS vector element band+1), so
+        # canonical ≤ band and every true candidate survives somewhere.
+        buckets = _band_bucket_sql(num_hashes, bands)
+        vec = mins.select(
+            F.col(id_col).alias("_id"),
+            F.expr("array(" + ", ".join(buckets) + ")").alias("_bv"),
+        )
+        banded = vec.select(
+            "_id", "_bv", F.posexplode("_bv").alias("band", "bucket")
+        )
+        a = banded.select(
+            F.col("_id").alias("id_a"),
+            F.col("_bv").alias("_bv_a"),
+            "band",
+            "bucket",
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"),
+            F.col("_bv").alias("_bv_b"),
+            "band",
+            "bucket",
+        )
+        canon = F.expr(
+            "case "
+            + " ".join(
+                f"when element_at(_bv_a, {i + 1}) = element_at(_bv_b, {i + 1}) then {i}"
+                for i in range(bands)
+            )
+            + " end"
+        )
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.col("band") == canon)
+            .select("id_a", "id_b")
+        )
+    else:
+        banded = band_buckets_from_cols(mins, id_col, num_hashes, bands)
+        a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+        b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sets = base.select(F.col(id_col).alias("_sid"), "_shingles")
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
@@ -1089,6 +1250,14 @@ def minhash_then_exact(
     :func:`minhash_lsh_pairs`); here ``base`` must carry ``block_cols``
     and a ``_n`` = size(_shingles) column, and ``mins`` must carry
     both as pass-through keys (the artifact-store tables do).
+
+    Dup-heavy note: this path keeps the plain postings + dropDuplicates
+    shape — the size-ratio prune kills most of a near-dup cluster's
+    agreeing-band multiplicity only when sizes differ, so on NEAR-dup-
+    heavy corpora (uniform sizes) prefer ``minhash_lsh_pairs`` with
+    its measured-stats ``strategy`` (firstband emits each candidate
+    exactly once with zero dedup shuffle) and verify at the same
+    threshold.
     """
     block_cols = list(block_cols or [])
     owns_base = base is None

@@ -1584,6 +1584,10 @@ from .queries_ext34 import EXT34_ORACLES, EXT34_QUERIES  # noqa: E402
 
 QUERIES.update(EXT34_QUERIES)
 ORACLES.update(EXT34_ORACLES)
+from .queries_ext35 import EXT35_ORACLES, EXT35_QUERIES  # noqa: E402
+
+QUERIES.update(EXT35_QUERIES)
+ORACLES.update(EXT35_ORACLES)
 # heavy-oracle verification twins (wave 34): generated LAST so they
 # wrap the final registered callables/oracles
 from .queries_ext34 import make_verification_twins  # noqa: E402

@@ -237,5 +237,135 @@ FROM allp GROUP BY 1 ORDER BY 1
 
 Q_SIMHASH_DUPHEAVY_SQL = _dupheavy_oracle()
 
-EXT34_QUERIES = {"q_simhash_dupheavy": q_simhash_dupheavy}
-EXT34_ORACLES = {"q_simhash_dupheavy": Q_SIMHASH_DUPHEAVY_SQL}
+
+_MH_R = 12  # replica multiplicity of the minhash dup-heavy corpus
+
+
+def q_minhash_dupheavy(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH pair extraction on a NEAR-dup-heavy corpus (r13,
+    the minhash complement of q_simhash_dupheavy): each md5-quarter
+    document replicated 12× with a doc-specific and a replica-specific
+    marker token appended, so every replica is globally-unique text
+    (exact_dedup, the exact-replica contract's stage, collapses
+    nothing) yet clusters sit at Jaccard c/(c+2) ≈ 0.82-0.98 — the
+    regime where the band self-join re-emits each cluster pair once
+    per agreeing band. The signature tables are materialized and
+    passed in (the warehouse shape), so ``strategy="auto"`` measures
+    the band-bucket group stats and must pick the firstband path
+    (pinned by tests/test_wave35.py).
+
+    Oracle: appending tokens factors each replica's shingle set as
+    C_d ∪ {B_dr} with C_d replica-independent and B_dr globally
+    unique, so within-cluster Jaccard is c_d/(c_d+2) and a cross pair
+    (d1,d2) has one Jaccard shared by all 12² replica pairs — DuckDB
+    reproduces the full pair mass from a quadratic over ORIGINALS
+    only (the replica expansion is pure algebra), pinning per-Jaccard
+    pair counts and id-sum checksums. Banding is 64 hashes × 32 bands
+    (rows_per_band=2): the lowest Jaccard the threshold admits (0.7)
+    misses a band with p=1-0.7², all 32 with 4e-10 — recall is exact
+    at every tested scale."""
+    from .operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_min_cols,
+        with_shingles,
+    )
+
+    R = _MH_R
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sub = docs.where(nib.isin(*_SUB_NIBBLES))
+    dup = sub.selectExpr(
+        f"explode(sequence(0, {R - 1})) as _r", "doc_id", "text"
+    ).selectExpr(
+        f"doc_id * {R} + _r as doc_id",
+        "concat(text, ' x', cast(doc_id as string), 'y z',"
+        " cast(_r as string), 'w') as text",
+    )
+    base = with_shingles(dup, "doc_id", "text", 3).persist()
+    mins = minhash_min_cols(base, "doc_id", 64, 42).persist()
+    try:
+        pairs = minhash_lsh_pairs(
+            dup,
+            threshold=0.7,
+            num_hashes=64,
+            bands=32,
+            base=base,
+            mins=mins,
+            strategy="auto",
+        )
+    finally:
+        # pairs is eagerly materialized by the operator (base/mins
+        # are caller-owned), so the signature caches release here
+        mins.unpersist()
+        base.unpersist()
+    within = (
+        F.floor(F.col("id_a") / R) == F.floor(F.col("id_b") / R)
+    ).alias("within")
+    return (
+        pairs.groupBy(within, "jaccard")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+        )
+        .orderBy("within", "jaccard")
+    )
+
+
+def _mh_dupheavy_oracle(r: int = _MH_R) -> str:
+    # Σ_{i<j<R}(i+j) and the per-pair id algebra (id = doc_id·R + rep)
+    c2 = r * (r - 1) // 2
+    within_ids = f"{c2 * 2 * r} * doc_id + {(r - 1) * c2}"
+    cross_ids = f"{r * r * r} * (a.doc_id + b.doc_id) + {r * r * (r - 1)}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+),
+aug AS (
+  SELECT doc_id, list_append(t, 'x' || CAST(doc_id AS VARCHAR) || 'y') AS t1
+  FROM toks
+),
+cset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t1) - 1),
+             i -> t1[i] || ' ' || t1[i+1] || ' ' || t1[i+2])) AS c
+  FROM aug
+),
+within AS (
+  SELECT TRUE AS within,
+         CAST(len(c) AS DOUBLE) / (len(c) + 2) AS jaccard,
+         CAST({c2} AS BIGINT) AS n,
+         CAST({within_ids} AS BIGINT) AS ids
+  FROM cset
+  WHERE CAST(len(c) AS DOUBLE) / (len(c) + 2) >= 0.7
+),
+cross_p AS (
+  SELECT FALSE AS within,
+         CAST(len(list_intersect(a.c, b.c)) AS DOUBLE)
+           / (len(a.c) + len(b.c) - len(list_intersect(a.c, b.c)) + 2) AS jaccard,
+         CAST({r * r} AS BIGINT) AS n,
+         CAST({cross_ids} AS BIGINT) AS ids
+  FROM cset a JOIN cset b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.c, b.c)) AS DOUBLE)
+          / (len(a.c) + len(b.c) - len(list_intersect(a.c, b.c)) + 2) >= 0.7
+),
+allp AS (SELECT * FROM within UNION ALL SELECT * FROM cross_p)
+SELECT within, jaccard,
+       CAST(SUM(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(ids) AS BIGINT) AS id_sum
+FROM allp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+Q_MINHASH_DUPHEAVY_SQL = _mh_dupheavy_oracle()
+
+EXT34_QUERIES = {
+    "q_simhash_dupheavy": q_simhash_dupheavy,
+    "q_minhash_dupheavy": q_minhash_dupheavy,
+}
+EXT34_ORACLES = {
+    "q_simhash_dupheavy": Q_SIMHASH_DUPHEAVY_SQL,
+    "q_minhash_dupheavy": Q_MINHASH_DUPHEAVY_SQL,
+}

@@ -1,0 +1,171 @@
+"""Wave-35 units: minhash band-bucket group stats + the firstband
+pair strategy (the near-dup-heavy complement of wave 34's simhash
+strategy work): bit-identical pair sets on both corpus regimes, the
+artifact stamp / auto decision, stats correctness vs brute force, the
+firstband plan's zero-dedup-shuffle shape, and the q_minhash_dupheavy
+replica algebra invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _replica_corpus(docs, r):
+    """Near-dup replicas: globally-unique text (doc marker + replica
+    marker) at within-cluster Jaccard c/(c+2) — exact_dedup collapses
+    nothing, the band join re-emits pairs once per agreeing band."""
+    return docs.selectExpr(
+        f"explode(sequence(0, {r - 1})) as _r", "doc_id", "text"
+    ).selectExpr(
+        f"doc_id * {r} + _r as doc_id",
+        "concat(text, ' x', cast(doc_id as string), 'y z',"
+        " cast(_r as string), 'w') as text",
+    )
+
+
+def test_minhash_strategies_bit_identical_and_auto_decision(spark):
+    """plain and firstband must emit the IDENTICAL verified pair set on
+    both corpus regimes; auto must pick plain on the mostly-distinct
+    base corpus (artifact stamp stats) and firstband on the 16×-replica
+    near-dup corpus (measured stats)."""
+    from crypto_price_data_pipeline_spark import artifacts
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        minhash_band_stats,
+        minhash_lsh_pairs,
+        minhash_min_cols,
+        pick_minhash_strategy,
+        with_shingles,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    dup = _replica_corpus(docs, 16)
+    for corpus in (docs, dup):
+        sets = {}
+        for strat in ("plain", "firstband"):
+            sets[strat] = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in minhash_lsh_pairs(
+                    corpus, threshold=0.5, strategy=strat
+                ).collect()
+            )
+        assert sets["plain"] == sets["firstband"]
+        assert len(sets["plain"]) > 0
+    # artifact stamp carries the measured band stats; base corpus -> plain
+    stamp = (
+        artifacts.minhash_mins(spark, SF).schema.fields[0].metadata or {}
+    )["artifact_params"]
+    assert {"mh_n", "mh_band_pdup", "mh_stats_bands", "mh_stats_num_hashes"} <= set(
+        stamp
+    )
+    assert stamp["mh_stats_bands"] == 16 and stamp["mh_stats_num_hashes"] == 64
+    assert pick_minhash_strategy(stamp["mh_n"], stamp["mh_band_pdup"], 16) == "plain"
+    # dup-heavy corpus -> firstband, on measured stats
+    base = with_shingles(dup, "doc_id", "text", 3).persist()
+    mins = minhash_min_cols(base, "doc_id", 64, 42).localCheckpoint(eager=True)
+    base.unpersist()
+    s = minhash_band_stats(mins, "doc_id", 64, 16)
+    assert s["mh_n"] == 16 * docs.count()
+    assert pick_minhash_strategy(s["mh_n"], s["mh_band_pdup"], 16) == "firstband"
+    # unknown strategy rejected at construction
+    with pytest.raises(ValueError, match="strategy"):
+        minhash_lsh_pairs(docs, strategy="fastest")
+
+
+def test_minhash_band_stats_matches_bruteforce(spark):
+    """mh_band_pdup must equal the brute-force Σ C(m,2) over the
+    (band, bucket) postings groups, and mh_n the document count."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        band_buckets_from_cols,
+        minhash_band_stats,
+        minhash_min_cols,
+        with_shingles,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(80)
+    base = with_shingles(docs, "doc_id", "text", 3).persist()
+    mins = minhash_min_cols(base, "doc_id", 64, 42).localCheckpoint(eager=True)
+    base.unpersist()
+    got = minhash_band_stats(mins, "doc_id", 64, 16)
+    from collections import Counter
+
+    groups = Counter(
+        (r.band, r.bucket)
+        for r in band_buckets_from_cols(mins, "doc_id", 64, 16).collect()
+    )
+    assert got["mh_n"] == mins.count() == 80
+    assert got["mh_band_pdup"] == sum(m * (m - 1) // 2 for m in groups.values())
+
+
+def test_firstband_plan_has_no_dedup_shuffle(spark):
+    """The firstband path must contain NO pair-dedup stage: the plain
+    plan deduplicates candidates (an Aggregate keyed on the pair),
+    firstband replaces it with the in-join canonical-band filter."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_min_cols,
+        with_shingles,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = with_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    mins = minhash_min_cols(base, "doc_id", 64, 42).localCheckpoint(eager=True)
+    plans = {}
+    for strat in ("plain", "firstband"):
+        out = minhash_lsh_pairs(
+            docs,
+            threshold=0.5,
+            base=base,
+            mins=mins,
+            strategy=strat,
+            materialize=False,
+        )
+        plans[strat] = out._jdf.queryExecution().optimizedPlan().toString()
+    # the optimizer lowers dropDuplicates to an Aggregate keyed on the
+    # pair — present in plain, absent in firstband
+    import re
+
+    dedup = re.compile(r"Aggregate \[id_a#\d+L, id_b#\d+L\]")
+    assert dedup.search(plans["plain"])
+    assert not dedup.search(plans["firstband"])
+    # the canonical filter keeps the band-vector comparison in-plan
+    assert "posexplode" in plans["firstband"].lower()
+
+
+def test_minhash_dupheavy_replica_algebra(spark):
+    """q_minhash_dupheavy output: every within-cluster Jaccard group
+    carries a pair count divisible by C(12,2)=66 (each original
+    contributes its full replica clique to exactly one group), every
+    cross group by 12² = 144, and within-Jaccards all sit at c/(c+2)
+    ≥ 0.7 < 1 — near-dups, never exact."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q_minhash_dupheavy"](spark, SF).collect()
+    assert rows
+    within = [r for r in rows if r.within]
+    assert within, "replica clusters must surface"
+    for r in rows:
+        assert 0.7 <= r.jaccard < 1.0
+        assert r.n_pairs % (66 if r.within else 144) == 0
+
+
+def test_dsir_sample_selects_target_like_candidates(spark):
+    """q_dsir_sample returns exactly the top-50 non-target docs with
+    positive importance scores, and the LIMIT genuinely cuts (the
+    candidate pool is larger than 50)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q_dsir_sample"](spark, SF).collect()
+    assert len(rows) == 50
+    assert all(r.lang != "en" for r in rows)
+    assert all(r.dsir_score > 0 for r in rows)
+    n_cand = (
+        load_table(spark, SF, "documents").where(F.col("lang") != "en").count()
+    )
+    assert n_cand > 50  # the LIMIT actually cuts
