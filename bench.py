@@ -88,6 +88,17 @@ HEADLINE = [
     "q_rolling_corr",
     # round-11 addition: the two-generation evolved-landing scan
     "q_schema_evolution",
+    # round-13 additions: DSIR importance resampling (decimal-exact)
+    # and the KMV distinct-overlap sketch
+    "q_dsir_sample",
+    "q_kmv_overlap",
+    # NOT headline: q_simhash_dupheavy / q_minhash_dupheavy are REGIME
+    # pins — they build signatures over synthetic 12-20x replica
+    # corpora to exercise the dup-heavy pair strategies, so their cost
+    # is dominated by constructing a corpus that does not exist at
+    # this sf. Their per-round cost is recorded by the oracle sweeps
+    # (CORRECTNESS/NOTES) and the strategy crossover numbers live in
+    # SCALING.md.
 ]
 
 

@@ -77,3 +77,93 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
     )
+
+
+# ------------------------------------------------------------- KMV
+
+# hash domain: 60 bits (15 md5 hex nibbles) — keeps every hash exactly
+# representable as a POSITIVE bigint on both engines (16 nibbles could
+# set the sign bit) and the estimator's double casts deterministic
+KMV_M = 1 << 60
+
+
+def kmv_hash(key: Column) -> Column:
+    """60-bit uniform hash of a key: the first 15 hex nibbles of
+    md5(cast(key as string)) — cross-engine reproducible (the DuckDB
+    oracle folds the same nibbles digit-by-digit)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(
+    df: DataFrame, key: Column, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """(group_cols…, kmv: array<bigint> ascending): the K-minimum-values
+    (bottom-k) distinct sketch per group — the k smallest 60-bit hashes
+    of the group's DISTINCT keys. The classic theta-family sketch: a
+    group with fewer than k distinct keys stores them all (the sketch
+    degrades to an exact distinct set); otherwise the k-th minimum
+    estimates the distinct count as (k-1)/normalized(h_k), and two
+    sketches support union / intersection / Jaccard estimation by pure
+    array algebra (:func:`kmv_union`, :func:`kmv_pair_stats`) — the
+    distinct-count complement of the CMS above (frequency) and the
+    built-in HLL (approx_count_distinct, which cannot intersect).
+
+    Scale shape: distinct (group, hash) → TWO bounded ranking windows
+    (first partitioned by (group, hash-salt), then by group over the
+    ≤ 64·k survivors) → one sorted collect of exactly ≤ k values per
+    group. No window partition ever exceeds max(n/64-per-group, 64·k)
+    rows, so a billion-key group never funnels through one reducer at
+    full width; the collected arrays are ≤ k longs — broadcast-sized
+    however large the data."""
+    h = kmv_hash(key)
+    dist = df.select(*group_cols, h.alias("_h")).distinct()
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy("_h")
+    w2 = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = (
+        dist.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("_h")).alias("kmv")
+    )
+
+
+def kmv_estimate(sketch: Column, k: int = 256) -> Column:
+    """Distinct-count estimate from a bottom-k sketch column: exact
+    size below k, else (k-1)/(h_k/M) — written as that exact double
+    expression on both engines (bit-reproducible)."""
+    hk = F.element_at(sketch, k).cast("double") / F.lit(float(KMV_M))
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / hk)
+
+
+def kmv_union(a: Column, b: Column, k: int = 256) -> Column:
+    """The union sketch: k smallest of the merged distinct hash sets —
+    exactly the sketch kmv_build would produce on the concatenated
+    inputs (merge ≡ whole, the mergeability contract)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_pair_stats(a: Column, b: Column, k: int = 256) -> dict[str, Column]:
+    """Set-operation estimates for two same-k sketches, as columns:
+    ``est_union`` (distinct of A∪B), ``est_jaccard`` (shared fraction
+    of the union sketch — the standard KMV coincidence estimator) and
+    ``est_intersection`` (jaccard × union). All are deterministic
+    functions of the two hash arrays, so a cross-engine oracle
+    reproduces them exactly."""
+    u = kmv_union(a, b, k)
+    shared = F.size(F.array_intersect(u, F.array_intersect(a, b)))
+    est_u = kmv_estimate(u, k)
+    jac = shared.cast("double") / F.size(u)
+    return {
+        "est_union": est_u,
+        "est_jaccard": jac,
+        "est_intersection": jac * est_u,
+    }

@@ -58,22 +58,34 @@ def q_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(tokens_col("text")).alias("w"))
         .persist()
     )
+    wc = None
     try:
-        totals = tok.agg(
-            F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("_nt"),
-            F.sum(F.when(~is_tgt, 1).otherwise(0)).cast("long").alias("_nb"),
-            F.countDistinct("w").alias("_v"),
+        # ONE vocabulary aggregation carries both distributions (the
+        # corpus shuffles once for counting, once for scoring); the
+        # totals (N_t, N_b, V) are a tiny second-level aggregate OVER
+        # the vocab table, never a second corpus pass
+        wc = (
+            tok.groupBy("w")
+            .agg(
+                F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("_ct"),
+                F.sum(F.when(~is_tgt, 1).otherwise(0)).cast("long").alias("_cb"),
+            )
+            .persist()
         )
-        ct = tok.where(is_tgt).groupBy("w").agg(F.count(F.lit(1)).alias("_ct"))
-        cb = tok.where(~is_tgt).groupBy("w").agg(F.count(F.lit(1)).alias("_cb"))
+        totals = wc.agg(
+            F.sum("_ct").alias("_nt"),
+            F.sum("_cb").alias("_nb"),
+            F.count(F.lit(1)).alias("_v"),
+        )
         rt = (
-            cb.join(ct, "w", "left")
+            wc.where(F.col("_cb") > 0)
             .crossJoin(F.broadcast(totals))
             .select(
                 "w",
                 (
-                    ((F.coalesce("_ct", F.lit(0)) + 1) * (F.col("_nb") + F.col("_v")))
-                    .cast("double")
+                    ((F.col("_ct") + 1) * (F.col("_nb") + F.col("_v"))).cast(
+                        "double"
+                    )
                     / ((F.col("_cb") + 1) * (F.col("_nt") + F.col("_v"))).cast(
                         "double"
                     )
@@ -96,10 +108,12 @@ def q_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
             .limit(50)
             .select("doc_id", "lang", "source", F.round("_m", 9).alias("dsir_score"))
         )
-        # eager: the exploded token table backs three aggregations and
-        # the scoring join — release the cache before returning
+        # eager: the exploded token table backs the vocab aggregation
+        # and the scoring join — release both caches before returning
         return out.localCheckpoint(eager=True)
     finally:
+        if wc is not None:
+            wc.unpersist()
         tok.unpersist()
 
 
@@ -137,5 +151,81 @@ LIMIT 50
 """
 
 
-EXT35_QUERIES = {"q_dsir_sample": q_dsir_sample}
-EXT35_ORACLES = {"q_dsir_sample": Q_DSIR_SQL}
+def q_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between event types from
+    K-minimum-values (bottom-k, theta-family) distinct sketches over
+    active user-days (user_id·100 + day-of-month): est_jaccard (the
+    KMV coincidence estimator), est_union and est_intersection — the
+    set-operation capability the built-in HLL
+    (approx_count_distinct) does not have. Sketches are k=256 arrays
+    of 60-bit md5 hashes (operators.sketch.kmv_build), so the whole
+    estimate chain is a deterministic function of the data that the
+    DuckDB oracle reproduces exactly — estimator INCLUDED, not just
+    inputs. The 5 per-type sketches pair through a broadcast
+    nested-loop join of ≤k-long arrays; at 100 TB the sketches are
+    still ≤k longs per group (the point of the sketch)."""
+    from .operators.sketch import kmv_pair_stats, kmv_build
+
+    ev = load_table(spark, sf, "events")
+    key = (F.col("user_id") * 100 + F.dayofmonth("ts")).cast("long")
+    sk = kmv_build(
+        ev.select("event_type", key.alias("_k")), F.col("_k"), ["event_type"]
+    )
+    a = sk.select(F.col("event_type").alias("event_a"), F.col("kmv").alias("_ka"))
+    b = sk.select(F.col("event_type").alias("event_b"), F.col("kmv").alias("_kb"))
+    stats = kmv_pair_stats(F.col("_ka"), F.col("_kb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("event_a") < F.col("event_b"))
+        .select(
+            "event_a",
+            "event_b",
+            F.round(stats["est_jaccard"], 9).alias("est_jaccard"),
+            F.round(stats["est_union"], 6).alias("est_union"),
+            F.round(stats["est_intersection"], 6).alias("est_intersection"),
+        )
+        .orderBy("event_a", "event_b")
+    )
+
+
+Q_KMV_SQL = r"""
+WITH ud AS (
+  SELECT DISTINCT event_type, user_id * 100 + day(ts) AS kk FROM events
+),
+h AS (
+  SELECT DISTINCT event_type,
+         list_reduce(list_transform(range(1, 16),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(kk AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS hv
+  FROM ud
+),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT event_type, list_sort(list(hv)) AS s FROM rk WHERE rn <= 256 GROUP BY 1),
+p AS (
+  SELECT a.event_type AS event_a, b.event_type AS event_b, a.s AS sa, b.s AS sb
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT event_a, event_b, sa, sb,
+         list_sort(list_distinct(list_concat(sa, sb)))[1:256] AS su
+  FROM p
+),
+m AS (
+  SELECT event_a, event_b,
+         CAST(len(list_intersect(su, list_intersect(sa, sb))) AS DOUBLE) / len(su) AS jac,
+         CASE WHEN len(su) < 256 THEN CAST(len(su) AS DOUBLE)
+              ELSE 255.0 / (CAST(su[256] AS DOUBLE) / 1152921504606846976.0) END AS eu
+  FROM u
+)
+SELECT event_a, event_b, ROUND(jac, 9) AS est_jaccard,
+       ROUND(eu, 6) AS est_union, ROUND(jac * eu, 6) AS est_intersection
+FROM m ORDER BY 1, 2
+"""
+
+
+EXT35_QUERIES = {"q_dsir_sample": q_dsir_sample, "q_kmv_overlap": q_kmv_overlap}
+EXT35_ORACLES = {"q_dsir_sample": Q_DSIR_SQL, "q_kmv_overlap": Q_KMV_SQL}

@@ -169,3 +169,70 @@ def test_dsir_sample_selects_target_like_candidates(spark):
         load_table(spark, SF, "documents").where(F.col("lang") != "en").count()
     )
     assert n_cand > 50  # the LIMIT actually cuts
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV contracts: (1) bottom-k selection equals the brute-force k
+    smallest distinct hashes; (2) union of two half-corpus sketches ==
+    the whole-corpus sketch (mergeability); (3) the k=256 estimator lands
+    within 15% of the exact distinct count in the estimation regime
+    (expected sigma = 1/sqrt(k-2) ~ 6.3%; the k=64 sketches of the
+    structural legs see 2-sigma draws on this corpus)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_hash,
+        kmv_union,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    key = (F.col("user_id") * 100 + F.dayofmonth("ts")).cast("long")
+    src = ev.select("event_type", key.alias("_k"))
+    k = 64
+    sk = {
+        r.event_type: list(r.kmv)
+        for r in kmv_build(src, F.col("_k"), ["event_type"], k=k).collect()
+    }
+    # (1) brute force one group
+    some = sorted(sk)[0]
+    brute = sorted(
+        {
+            r[0]
+            for r in src.where(F.col("event_type") == some)
+            .select(kmv_hash(F.col("_k")))
+            .distinct()
+            .collect()
+        }
+    )[:k]
+    assert sk[some] == brute
+    # (2) merge ≡ whole: split by user parity, sketch halves, union
+    lo = src.where(F.col("_k") % 2 == 0)
+    hi = src.where(F.col("_k") % 2 == 1)
+    a = kmv_build(lo, F.col("_k"), ["event_type"], k=k)
+    b = kmv_build(hi, F.col("_k"), ["event_type"], k=k)
+    merged = {
+        r.event_type: list(r.m)
+        for r in a.join(b.withColumnRenamed("kmv", "kmv_b"), "event_type")
+        .select("event_type", kmv_union(F.col("kmv"), F.col("kmv_b"), k).alias("m"))
+        .collect()
+    }
+    assert merged == sk
+    # (3) estimator accuracy in the estimation regime
+    exact = {
+        r.event_type: r.n
+        for r in src.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kb = 256
+    est = {
+        r.event_type: r.e
+        for r in kmv_build(src, F.col("_k"), ["event_type"], k=kb)
+        .select("event_type", kmv_estimate(F.col("kmv"), kb).alias("e"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert n > kb  # estimation regime, not exact-set degradation
+        assert abs(est[t] - n) / n < 0.15, (t, est[t], n)
