@@ -118,7 +118,21 @@ def kmv_build(
     full width; the collected arrays are ≤ k longs — broadcast-sized
     however large the data."""
     h = kmv_hash(key)
-    dist = df.select(*group_cols, h.alias("_h")).distinct()
+    return kmv_from_hashes(
+        df.select(*group_cols, h.alias("_h")), group_cols, k
+    )
+
+
+def kmv_from_hashes(
+    hashed: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Bottom-k sketch from ALREADY-hashed rows (group_cols…, _h) —
+    the merge surface: because any hash among a group's k smallest is
+    among the k smallest of whichever subset it came from, re-running
+    this over the exploded union of per-batch sketches reproduces the
+    whole-corpus sketch exactly (streaming/incremental maintenance
+    reuses it; bit-equality unit-pinned)."""
+    dist = hashed.distinct()
     from pyspark.sql.window import Window
 
     w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy("_h")

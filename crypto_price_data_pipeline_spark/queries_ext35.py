@@ -164,13 +164,29 @@ def q_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     inputs. The 5 per-type sketches pair through a broadcast
     nested-loop join of ≤k-long arrays; at 100 TB the sketches are
     still ≤k longs per group (the point of the sketch)."""
-    from .operators.sketch import kmv_pair_stats, kmv_build
+    from .operators.sketch import kmv_build
 
     ev = load_table(spark, sf, "events")
-    key = (F.col("user_id") * 100 + F.dayofmonth("ts")).cast("long")
     sk = kmv_build(
-        ev.select("event_type", key.alias("_k")), F.col("_k"), ["event_type"]
+        ev.select("event_type", _kmv_key().alias("_k")),
+        F.col("_k"),
+        ["event_type"],
     )
+    return _kmv_pairs_output(sk)
+
+
+def _kmv_key():
+    """Active user-day key (user_id·100 + day-of-month) — the distinct
+    unit both KMV queries sketch."""
+    return (F.col("user_id") * 100 + F.dayofmonth("ts")).cast("long")
+
+
+def _kmv_pairs_output(sk: DataFrame) -> DataFrame:
+    """Pairwise overlap estimates from a (event_type, kmv) sketch table
+    — shared by the batch query and its streamed twin so both hit the
+    identical oracle."""
+    from .operators.sketch import kmv_pair_stats
+
     a = sk.select(F.col("event_type").alias("event_a"), F.col("kmv").alias("_ka"))
     b = sk.select(F.col("event_type").alias("event_b"), F.col("kmv").alias("_kb"))
     stats = kmv_pair_stats(F.col("_ka"), F.col("_kb"))
@@ -186,6 +202,54 @@ def q_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_a", "event_b")
     )
+
+
+def q_stream_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed q_kmv_overlap (same oracle): the per-type bottom-k
+    sketch maintained incrementally — each micro-batch lands its own
+    batch-local sketch as a per-batch_id partial (overwrite replay
+    contract, streaming/partial_store.py), and the read side re-ranks
+    the exploded union of partials. Correct because bottom-k is a
+    semilattice: any hash among a group's global k smallest is among
+    the k smallest of whichever batch introduced it, so merge ≡ whole
+    (unit-pinned bit-equal to the batch sketch). A corpus append costs
+    one batch sketch, never a rescan — the same maintenance shape as
+    the artifact-index stream."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.sketch import kmv_build, kmv_from_hashes
+    from .streaming.partial_store import run_partial_stream
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    work = tempfile.mkdtemp(prefix="stream_kmv_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = f"{work}/src"
+    chunk = F.expr("(dayofmonth(ts) - 1) div 10")
+    for c in range(3):
+        ev.where(chunk == c).coalesce(1).write.parquet(f"{src}/chunk_{c}")
+    store = f"{work}/kmv"
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        kmv_build(
+            batch.select("event_type", _kmv_key().alias("_k")),
+            F.col("_k"),
+            ["event_type"],
+        ).write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
+
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
+    )
+
+    merged = kmv_from_hashes(
+        spark.read.schema("event_type string, kmv array<bigint>")
+        .option("recursiveFileLookup", "true")
+        .parquet(store)
+        .select("event_type", F.explode("kmv").alias("_h")),
+        ["event_type"],
+    )
+    return _kmv_pairs_output(merged)
 
 
 Q_KMV_SQL = r"""
@@ -227,5 +291,14 @@ FROM m ORDER BY 1, 2
 """
 
 
-EXT35_QUERIES = {"q_dsir_sample": q_dsir_sample, "q_kmv_overlap": q_kmv_overlap}
-EXT35_ORACLES = {"q_dsir_sample": Q_DSIR_SQL, "q_kmv_overlap": Q_KMV_SQL}
+EXT35_QUERIES = {
+    "q_dsir_sample": q_dsir_sample,
+    "q_kmv_overlap": q_kmv_overlap,
+    "q_stream_kmv": q_stream_kmv,
+}
+EXT35_ORACLES = {
+    "q_dsir_sample": Q_DSIR_SQL,
+    "q_kmv_overlap": Q_KMV_SQL,
+    # streamed ≡ batch: the twin hits the identical estimator oracle
+    "q_stream_kmv": Q_KMV_SQL,
+}

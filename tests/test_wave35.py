@@ -236,3 +236,14 @@ def test_kmv_sketch_merge_and_accuracy(spark):
     for t, n in exact.items():
         assert n > kb  # estimation regime, not exact-set degradation
         assert abs(est[t] - n) / n < 0.15, (t, est[t], n)
+
+
+def test_stream_kmv_equals_batch(spark):
+    """The streamed twin must produce the identical pair-estimate rows
+    as the batch query (merge ≡ whole end-to-end, not just per array)."""
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    batch = sorted(map(tuple, QUERIES["q_kmv_overlap"](spark, sf).collect()))
+    streamed = sorted(map(tuple, QUERIES["q_stream_kmv"](spark, sf).collect()))
+    assert streamed == batch and len(batch) == 10
