@@ -384,6 +384,37 @@ def band_buckets(
     )
 
 
+def _band_vectors(
+    mins: DataFrame, id_col: str, num_hashes: int, bands: int, out_id: str
+) -> DataFrame:
+    """(out_id, _bv, band, bucket): band postings carrying the full
+    band-bucket vector — the firstband strategies' join input. Bucket
+    values are bit-compatible with band_buckets_from_cols (same
+    _band_bucket_sql expressions; the vector element IS the bucket)."""
+    buckets = _band_bucket_sql(num_hashes, bands)
+    vec = mins.select(
+        F.col(id_col).alias(out_id),
+        F.expr("array(" + ", ".join(buckets) + ")").alias("_bv"),
+    )
+    return vec.select(out_id, "_bv", F.posexplode("_bv").alias("band", "bucket"))
+
+
+def _first_match_band(bands: int, a: str, b: str) -> Column:
+    """The canonical (first matching) band of two band-bucket vectors,
+    as one codegen when-chain — a joined pair is kept only where
+    ``band == canonical``, emitting it exactly once with no dedup
+    shuffle (the join band always matches, so canonical ≤ band and
+    every true candidate survives somewhere)."""
+    return F.expr(
+        "case "
+        + " ".join(
+            f"when element_at({a}, {i + 1}) = element_at({b}, {i + 1}) then {i}"
+            for i in range(bands)
+        )
+        + " end"
+    )
+
+
 def minhash_band_stats(
     mins: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> dict:
@@ -574,38 +605,17 @@ def minhash_lsh_pairs(
         # plain codegen when-chain over the two vectors; the join band
         # always matches (its bucket IS vector element band+1), so
         # canonical ≤ band and every true candidate survives somewhere.
-        buckets = _band_bucket_sql(num_hashes, bands)
-        vec = mins.select(
-            F.col(id_col).alias("_id"),
-            F.expr("array(" + ", ".join(buckets) + ")").alias("_bv"),
-        )
-        banded = vec.select(
-            "_id", "_bv", F.posexplode("_bv").alias("band", "bucket")
-        )
+        banded = _band_vectors(mins, id_col, num_hashes, bands, "_id")
         a = banded.select(
-            F.col("_id").alias("id_a"),
-            F.col("_bv").alias("_bv_a"),
-            "band",
-            "bucket",
+            F.col("_id").alias("id_a"), F.col("_bv").alias("_bv_a"), "band", "bucket"
         )
         b = banded.select(
-            F.col("_id").alias("id_b"),
-            F.col("_bv").alias("_bv_b"),
-            "band",
-            "bucket",
-        )
-        canon = F.expr(
-            "case "
-            + " ".join(
-                f"when element_at(_bv_a, {i + 1}) = element_at(_bv_b, {i + 1}) then {i}"
-                for i in range(bands)
-            )
-            + " end"
+            F.col("_id").alias("id_b"), F.col("_bv").alias("_bv_b"), "band", "bucket"
         )
         pairs = (
             a.join(b, ["band", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
-            .where(F.col("band") == canon)
+            .where(F.col("band") == _first_match_band(bands, "_bv_a", "_bv_b"))
             .select("id_a", "id_b")
         )
     else:
@@ -1534,6 +1544,7 @@ def minhash_cross_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     materialize: bool = True,
+    strategy: str = "plain",
 ) -> DataFrame:
     """CROSS-corpus near-dup pairs: (left_id, right_id, jaccard) where
     a LEFT doc near-duplicates a RIGHT doc — the crawl-vs-corpus /
@@ -1555,20 +1566,49 @@ def minhash_cross_pairs(
     signature caches are released before returning; with
     ``materialize=False`` the caller owns both persisted signature
     tables (two corpora's shingle+minhash arrays) for the session's
-    lifetime — use it for plan inspection only."""
+    lifetime — use it for plan inspection only.
+
+    ``strategy`` (r13): ``"firstband"`` is the bipartite twin of the
+    ``minhash_lsh_pairs`` strategy — both sides carry their band-bucket
+    vectors and a cross pair survives only at its first agreeing band,
+    replacing the dropDuplicates exchange (cross candidates × agreeing
+    bands) with an in-join filter. Choose it when the LEFT batch is
+    near-dup-heavy AGAINST the reference (the re-crawl shape: many new
+    docs are close variants of stored ones, so each cross pair would
+    otherwise ride most of the ``bands`` keys). Default stays
+    ``"plain"``: signatures here are built per call, so there is no
+    stamped stats table to auto-decide from. Identical pair set either
+    way (unit-pinned)."""
+    if strategy not in ("plain", "firstband"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     sig_l = with_shingles(left, id_col, text_col, shingle_k).persist()
     sig_r = with_shingles(right, id_col, text_col, shingle_k).persist()
-    b_l = band_buckets_from_cols(
-        minhash_min_cols(sig_l, id_col, num_hashes, seed), id_col, num_hashes, bands
-    ).select(F.col("_id").alias("left_id"), "band", "bucket")
-    b_r = band_buckets_from_cols(
-        minhash_min_cols(sig_r, id_col, num_hashes, seed), id_col, num_hashes, bands
-    ).select(F.col("_id").alias("right_id"), "band", "bucket")
-    pairs = (
-        b_l.join(b_r, ["band", "bucket"])
-        .select("left_id", "right_id")
-        .dropDuplicates(["left_id", "right_id"])
-    )
+    if strategy == "firstband":
+        b_l = _band_vectors(
+            minhash_min_cols(sig_l, id_col, num_hashes, seed),
+            id_col, num_hashes, bands, "left_id",
+        ).withColumnRenamed("_bv", "_bv_a")
+        b_r = _band_vectors(
+            minhash_min_cols(sig_r, id_col, num_hashes, seed),
+            id_col, num_hashes, bands, "right_id",
+        ).withColumnRenamed("_bv", "_bv_b")
+        pairs = (
+            b_l.join(b_r, ["band", "bucket"])
+            .where(F.col("band") == _first_match_band(bands, "_bv_a", "_bv_b"))
+            .select("left_id", "right_id")
+        )
+    else:
+        b_l = band_buckets_from_cols(
+            minhash_min_cols(sig_l, id_col, num_hashes, seed), id_col, num_hashes, bands
+        ).select(F.col("_id").alias("left_id"), "band", "bucket")
+        b_r = band_buckets_from_cols(
+            minhash_min_cols(sig_r, id_col, num_hashes, seed), id_col, num_hashes, bands
+        ).select(F.col("_id").alias("right_id"), "band", "bucket")
+        pairs = (
+            b_l.join(b_r, ["band", "bucket"])
+            .select("left_id", "right_id")
+            .dropDuplicates(["left_id", "right_id"])
+        )
     jac = (
         F.size(F.array_intersect("_sh_a", "_sh_b"))
         / F.size(F.array_union("_sh_a", "_sh_b"))

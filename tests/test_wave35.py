@@ -238,6 +238,32 @@ def test_kmv_sketch_merge_and_accuracy(spark):
         assert abs(est[t] - n) / n < 0.15, (t, est[t], n)
 
 
+def test_cross_pairs_firstband_bit_identical(spark):
+    """minhash_cross_pairs firstband (the bipartite firstband twin)
+    must emit the identical verified cross-pair set as plain on a
+    re-crawl-shaped input (new batch = reference docs with replica
+    markers, near-dup-heavy against the reference)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        minhash_cross_pairs,
+    )
+
+    ref = load_table(spark, SF, "documents").select("doc_id", "text")
+    new = _replica_corpus(ref, 4)
+    sets = {}
+    for strat in ("plain", "firstband"):
+        sets[strat] = sorted(
+            (r.left_id, r.right_id, r.jaccard)
+            for r in minhash_cross_pairs(
+                new, ref, threshold=0.5, strategy=strat
+            ).collect()
+        )
+    assert sets["plain"] == sets["firstband"]
+    assert len(sets["plain"]) > 0
+    with pytest.raises(ValueError, match="strategy"):
+        minhash_cross_pairs(new, ref, strategy="fastest")
+
+
 def test_stream_kmv_equals_batch(spark):
     """The streamed twin must produce the identical pair-estimate rows
     as the batch query (merge ≡ whole end-to-end, not just per array)."""
