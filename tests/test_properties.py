@@ -482,3 +482,104 @@ def test_simhash_pair_strategies_identical_on_random_fingerprints(
     )
     assert got["canonical"] == brute
     assert got["distinct"] == brute
+
+
+@given(
+    mins=st.lists(
+        st.tuples(*([st.integers(min_value=0, max_value=5)] * 8)),
+        min_size=2,
+        max_size=24,
+    ),
+)
+@settings(**SETTINGS)
+def test_minhash_firstband_candidates_match_bruteforce(spark, mins):
+    """plain and firstband candidate generation must emit the IDENTICAL
+    pair set for arbitrary minima tables — random 8-hash signatures at
+    4 bands (tiny value range forces heavy band collisions), checked
+    against a Python brute-force reference: a pair is a candidate iff
+    some band's 2-hash minima tuple matches, and firstband must emit it
+    exactly once."""
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        _band_vectors,
+        _first_match_band,
+        band_buckets_from_cols,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, *m) for i, m in enumerate(mins)]
+    cols = "doc_id long, " + ", ".join(f"_m{j} long" for j in range(8))
+    df = spark.createDataFrame(rows, cols).localCheckpoint(eager=True)
+    banded = band_buckets_from_cols(df, "doc_id", 8, 4)
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    plain = sorted(
+        map(
+            tuple,
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .collect(),
+        )
+    )
+    bv = _band_vectors(df, "doc_id", 8, 4, "_id")
+    fa = bv.select(F.col("_id").alias("id_a"), F.col("_bv").alias("_bv_a"), "band", "bucket")
+    fb = bv.select(F.col("_id").alias("id_b"), F.col("_bv").alias("_bv_b"), "band", "bucket")
+    first = (
+        fa.join(fb, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("band") == _first_match_band(4, "_bv_a", "_bv_b"))
+        .select("id_a", "id_b")
+    )
+    first_rows = [tuple(r) for r in first.collect()]
+    assert len(first_rows) == len(set(first_rows))  # exactly-once emission
+    brute = sorted(
+        (i, j)
+        for i, mi in enumerate(mins)
+        for j, mj in enumerate(mins)
+        if i < j and any(mi[2 * b : 2 * b + 2] == mj[2 * b : 2 * b + 2] for b in range(4))
+    )
+    assert plain == brute
+    assert sorted(first_rows) == brute
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=120),
+    split=st.integers(min_value=1, max_value=5),
+    k=st.sampled_from([4, 16]),
+)
+@settings(**SETTINGS)
+def test_kmv_bottom_k_and_merge_match_python(spark, keys, split, k):
+    """kmv_build must equal the Python md5 brute force (k smallest
+    distinct 60-bit hashes), and re-ranking the union of per-part
+    sketches must equal the whole-corpus sketch for ANY partition of
+    the keys (the semilattice/merge property the streamed twin relies
+    on)."""
+    import hashlib
+
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_build,
+        kmv_from_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(kk, i % split) for i, kk in enumerate(keys)]
+    df = spark.createDataFrame(rows, "kk long, part int").localCheckpoint(
+        eager=True
+    )
+    whole = kmv_build(
+        df.select(F.lit("g").alias("g"), "kk"), F.col("kk"), ["g"], k=k
+    ).collect()
+    brute = sorted(
+        {int(hashlib.md5(str(kk).encode()).hexdigest()[:15], 16) for kk in keys}
+    )[:k]
+    assert [list(r.kmv) for r in whole] == [brute]
+    parts = kmv_build(
+        df.select("part", "kk"), F.col("kk"), ["part"], k=k
+    )
+    merged = kmv_from_hashes(
+        parts.select(F.lit("g").alias("g"), F.explode("kmv").alias("_h")),
+        ["g"],
+        k=k,
+    ).collect()
+    assert [list(r.kmv) for r in merged] == [brute]
