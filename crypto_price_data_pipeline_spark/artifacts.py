@@ -84,6 +84,7 @@ PARAMS: dict[str, dict] = {
     "winnow_fp": {"k": 8, "w": 8},
     "tfidf_w": {"ngram": 3, "max_df": 50},
     "lm_bigram": {"smoothing": "add1"},
+    "token_counts": {"split": "ascii", "unit": "unigram"},
 }
 
 # upstream -> derived artifacts that must drop when it rebuilds
@@ -341,6 +342,31 @@ def lm_bigram_probs(spark: SparkSession, sf: str) -> DataFrame:
     return _artifact(spark, "lm_bigram", sf, _build)
 
 
+def token_lang_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """(w, lang, c): per-(token, language-label) corpus token counts —
+    the reusable counting cube behind distribution-ratio scorers
+    (r13). Any target/background split over lang derives its two
+    count columns by a vocabulary-sized aggregation over this table
+    (q_dsir_sample: target=en vs rest), so a selection query pays one
+    corpus tokenize for SCORING only, never for counting — the same
+    train-once/score-many relocation as lm_bigram. Counts are exact
+    integers, so every derived ratio is bit-identical to the inline
+    counting form."""
+    from .operators.dedup import tokens_col
+
+    def _build() -> DataFrame:
+        docs = _scale_out(
+            load_table(spark, sf, "documents").select("lang", "text")
+        )
+        return (
+            docs.select("lang", F.explode(tokens_col("text")).alias("w"))
+            .groupBy("w", "lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    return _artifact(spark, "token_counts", sf, _build)
+
+
 # name -> accessor, for bench.py's cold-build timing loop
 BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_base": minhash_base,
@@ -349,4 +375,5 @@ BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fp": winnow_postings,
     "tfidf_w": tfidf_weights,
     "lm_bigram": lm_bigram_probs,
+    "token_counts": token_lang_counts,
 }

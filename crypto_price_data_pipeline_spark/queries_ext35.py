@@ -45,7 +45,17 @@ def q_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Top-50 non-English-labeled documents ranked by unigram DSIR
     importance against the English-labeled target slice: the docs a
     target-distribution resampler would pull into the mixture first.
-    Deterministic tie-break on doc_id at the cut."""
+    Deterministic tie-break on doc_id at the cut.
+
+    Serving shape (r13): the counting side reads the stored
+    (token, lang, count) cube (artifacts.token_lang_counts — built
+    once per corpus version), so the whole query is vocab-sized
+    aggregations over the artifact scan plus ONE corpus
+    tokenize-and-score pass; nothing is persisted and the plan stays
+    lazy. The target split (en vs rest) is a query-time parameter —
+    the cube serves any split. Counts are exact integers, so scores
+    are bit-identical to inline counting (the oracle counts inline)."""
+    from .artifacts import token_lang_counts
     from .operators.dedup import tokens_col
     from .session import scale_out
 
@@ -53,68 +63,44 @@ def q_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang", "source", "text"
     )
     is_tgt = F.col("lang") == "en"
-    tok = (
-        scale_out(docs)
-        .select("doc_id", "lang", F.explode(tokens_col("text")).alias("w"))
-        .persist()
+    tc = token_lang_counts(spark, sf)
+    totals = tc.agg(
+        F.coalesce(F.sum(F.when(is_tgt, F.col("c"))), F.lit(0)).alias("_nt"),
+        F.coalesce(F.sum(F.when(~is_tgt, F.col("c"))), F.lit(0)).alias("_nb"),
+        F.countDistinct("w").alias("_v"),
     )
-    wc = None
-    try:
-        # ONE vocabulary aggregation carries both distributions (the
-        # corpus shuffles once for counting, once for scoring); the
-        # totals (N_t, N_b, V) are a tiny second-level aggregate OVER
-        # the vocab table, never a second corpus pass
-        wc = (
-            tok.groupBy("w")
-            .agg(
-                F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("_ct"),
-                F.sum(F.when(~is_tgt, 1).otherwise(0)).cast("long").alias("_cb"),
-            )
-            .persist()
-        )
-        totals = wc.agg(
-            F.sum("_ct").alias("_nt"),
-            F.sum("_cb").alias("_nb"),
-            F.count(F.lit(1)).alias("_v"),
-        )
-        rt = (
-            wc.where(F.col("_cb") > 0)
-            .crossJoin(F.broadcast(totals))
-            .select(
-                "w",
-                (
-                    ((F.col("_ct") + 1) * (F.col("_nb") + F.col("_v"))).cast(
-                        "double"
-                    )
-                    / ((F.col("_cb") + 1) * (F.col("_nt") + F.col("_v"))).cast(
-                        "double"
-                    )
+    wc = tc.groupBy("w").agg(
+        F.coalesce(F.sum(F.when(is_tgt, F.col("c"))), F.lit(0)).alias("_ct"),
+        F.coalesce(F.sum(F.when(~is_tgt, F.col("c"))), F.lit(0)).alias("_cb"),
+    )
+    rt = (
+        wc.where(F.col("_cb") > 0)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            (
+                ((F.col("_ct") + 1) * (F.col("_nb") + F.col("_v"))).cast("double")
+                / ((F.col("_cb") + 1) * (F.col("_nt") + F.col("_v"))).cast(
+                    "double"
                 )
-                .cast("decimal(38,18)")
-                .alias("_r"),
             )
+            .cast("decimal(38,18)")
+            .alias("_r"),
         )
-        scored = (
-            tok.where(~is_tgt)
-            .join(rt, "w")
-            .groupBy("doc_id")
-            .agg(
-                (F.sum("_r").cast("double") / F.count(F.lit(1))).alias("_m")
-            )
-        )
-        out = (
-            scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
-            .orderBy(F.desc("_m"), "doc_id")
-            .limit(50)
-            .select("doc_id", "lang", "source", F.round("_m", 9).alias("dsir_score"))
-        )
-        # eager: the exploded token table backs the vocab aggregation
-        # and the scoring join — release both caches before returning
-        return out.localCheckpoint(eager=True)
-    finally:
-        if wc is not None:
-            wc.unpersist()
-        tok.unpersist()
+    )
+    scored = (
+        scale_out(docs.where(~is_tgt))
+        .select("doc_id", F.explode(tokens_col("text")).alias("w"))
+        .join(rt, "w")
+        .groupBy("doc_id")
+        .agg((F.sum("_r").cast("double") / F.count(F.lit(1))).alias("_m"))
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy(F.desc("_m"), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "source", F.round("_m", 9).alias("dsir_score"))
+    )
 
 
 Q_DSIR_SQL = r"""
