@@ -92,6 +92,7 @@ HEADLINE = [
     # and the KMV distinct-overlap sketch
     "q_dsir_sample",
     "q_kmv_overlap",
+    "q_kmv_rolling",
     # NOT headline: q_simhash_dupheavy / q_minhash_dupheavy are REGIME
     # pins — they build signatures over synthetic 12-20x replica
     # corpora to exercise the dup-heavy pair strategies, so their cost

@@ -277,14 +277,93 @@ FROM m ORDER BY 1, 2
 """
 
 
+def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates per event type from MERGED
+    daily KMV sketches — the sketch's flagship warehouse use: exact
+    rolling distincts at 100 TB would re-shuffle every (window, user)
+    pair per day, whereas daily bottom-k sketches build once (k longs
+    per (type, day)) and every window is an array merge + re-rank.
+    Each daily sketch fans out to the ≤7 windows it covers (a
+    sequence explode of k-long arrays, never the event rows); windows
+    are the days present in the data. Fully deterministic — the
+    oracle rebuilds daily sketches, the window merge AND the
+    estimator. k=128: small corpora sit in the exact regime, sf0.1 in
+    the estimation regime."""
+    from .operators.sketch import kmv_build, kmv_estimate, kmv_from_hashes
+
+    k = 128
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "user_id"
+    )
+    daily = kmv_build(ev, F.col("user_id"), ["event_type", "day"], k=k)
+    days = ev.select("day").distinct().withColumnRenamed("day", "wday")
+    spread = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias(
+            "wday"
+        ),
+        "kmv",
+    ).join(F.broadcast(days), "wday")
+    merged = kmv_from_hashes(
+        spread.select("event_type", "wday", F.explode("kmv").alias("_h")),
+        ["event_type", "wday"],
+        k=k,
+    )
+    return merged.select(
+        "event_type",
+        F.col("wday").alias("day"),
+        F.round(kmv_estimate(F.col("kmv"), k), 6).alias("est_uniques_7d"),
+    ).orderBy("event_type", "day")
+
+
+Q_KMV_ROLLING_SQL = r"""
+WITH ev AS (SELECT event_type, day(ts) AS day, user_id FROM events),
+h AS (
+  SELECT DISTINCT event_type, day,
+         list_reduce(list_transform(range(1, 16),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS hv
+  FROM ev
+),
+rk AS (
+  SELECT event_type, day, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY hv) AS rn
+  FROM h
+),
+daily AS (SELECT event_type, day, hv FROM rk WHERE rn <= 128),
+spread AS (
+  SELECT event_type, day + off AS wday, hv
+  FROM (SELECT *, unnest(range(0, 7)) AS off FROM daily)
+  WHERE day + off IN (SELECT DISTINCT day(ts) FROM events)
+),
+d2 AS (SELECT DISTINCT event_type, wday, hv FROM spread),
+rk2 AS (
+  SELECT event_type, wday, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type, wday ORDER BY hv) AS rn
+  FROM d2
+),
+sk AS (
+  SELECT event_type, wday, list_sort(list(hv)) AS s
+  FROM rk2 WHERE rn <= 128 GROUP BY 1, 2
+)
+SELECT event_type, CAST(wday AS INTEGER) AS day,
+       ROUND(CASE WHEN len(s) < 128 THEN CAST(len(s) AS DOUBLE)
+             ELSE 127.0 / (CAST(s[128] AS DOUBLE) / 1152921504606846976.0) END,
+             6) AS est_uniques_7d
+FROM sk ORDER BY 1, 2
+"""
+
+
 EXT35_QUERIES = {
     "q_dsir_sample": q_dsir_sample,
     "q_kmv_overlap": q_kmv_overlap,
     "q_stream_kmv": q_stream_kmv,
+    "q_kmv_rolling": q_kmv_rolling,
 }
 EXT35_ORACLES = {
     "q_dsir_sample": Q_DSIR_SQL,
     "q_kmv_overlap": Q_KMV_SQL,
     # streamed ≡ batch: the twin hits the identical estimator oracle
     "q_stream_kmv": Q_KMV_SQL,
+    "q_kmv_rolling": Q_KMV_ROLLING_SQL,
 }

@@ -264,6 +264,38 @@ def test_cross_pairs_firstband_bit_identical(spark):
         minhash_cross_pairs(new, ref, strategy="fastest")
 
 
+def test_kmv_rolling_accuracy_and_shape(spark):
+    """q_kmv_rolling: one row per (event_type, observed day); every
+    estimate positive; MEDIAN relative error vs the exact rolling
+    7-day distinct count under 10% (k=128 → σ ≈ 8.9%; individual
+    cells may sit at 2σ, the median is stable)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["q_kmv_rolling"](spark, sf).collect()
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "user_id"
+    )
+    pairs = {(r.event_type, r.day) for r in ev.select("event_type", "day").distinct().collect()}
+    types = {t for t, _ in pairs}
+    days = {d for _, d in pairs}
+    assert len(rows) == len(types) * len(days)
+    exact = {}
+    data = ev.collect()
+    for t in types:
+        for d in days:
+            exact[(t, d)] = len(
+                {r.user_id for r in data if r.event_type == t and d - 6 <= r.day <= d}
+            )
+    errs = sorted(
+        abs(r.est_uniques_7d - exact[(r.event_type, r.day)]) / exact[(r.event_type, r.day)]
+        for r in rows
+    )
+    assert errs[len(errs) // 2] < 0.10, errs[len(errs) // 2]
+    assert all(r.est_uniques_7d > 0 for r in rows)
+
+
 def test_stream_kmv_equals_batch(spark):
     """The streamed twin must produce the identical pair-estimate rows
     as the batch query (merge ≡ whole end-to-end, not just per array)."""
