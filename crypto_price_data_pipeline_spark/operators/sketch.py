@@ -124,24 +124,37 @@ def kmv_build(
 
 
 def kmv_from_hashes(
-    hashed: DataFrame, group_cols: list[str], k: int = 256
+    hashed: DataFrame, group_cols: list[str], k: int = 256, presalt: bool = True
 ) -> DataFrame:
     """Bottom-k sketch from ALREADY-hashed rows (group_cols…, _h) —
     the merge surface: because any hash among a group's k smallest is
     among the k smallest of whichever subset it came from, re-running
     this over the exploded union of per-batch sketches reproduces the
     whole-corpus sketch exactly (streaming/incremental maintenance
-    reuses it; bit-equality unit-pinned)."""
+    reuses it; bit-equality unit-pinned).
+
+    ``presalt``: the salted pre-ranking pass exists so an UNBOUNDED
+    group (raw keys, or arbitrarily many merged partials) never
+    funnels full-width through one reducer. A merge whose input is
+    bounded by construction — e.g. a fixed window of w sketches, ≤w·k
+    rows per group at ANY data size — may pass ``presalt=False`` and
+    pay one ranking window instead of two; output is identical either
+    way (the pre-pass only discards rows the final rank discards)."""
     dist = hashed.distinct()
     from pyspark.sql.window import Window
 
-    w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy("_h")
+    if presalt:
+        w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy(
+            "_h"
+        )
+        dist = (
+            dist.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .drop("_r1")
+        )
     w2 = Window.partitionBy(*group_cols).orderBy("_h")
-    kept = (
-        dist.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") <= k)
+    kept = dist.withColumn("_r2", F.row_number().over(w2)).where(
+        F.col("_r2") <= k
     )
     return kept.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list("_h")).alias("kmv")

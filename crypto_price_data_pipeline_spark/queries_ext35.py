@@ -304,10 +304,14 @@ def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "kmv",
     ).join(F.broadcast(days), "wday")
+    # presalt=False: the merge input is ≤ 7·k rows per (type, window)
+    # at ANY corpus size (a fixed window of 7 daily sketches), so the
+    # single ranking window is already scale-safe
     merged = kmv_from_hashes(
         spread.select("event_type", "wday", F.explode("kmv").alias("_h")),
         ["event_type", "wday"],
         k=k,
+        presalt=False,
     )
     return merged.select(
         "event_type",
