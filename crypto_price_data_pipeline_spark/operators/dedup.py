@@ -434,7 +434,7 @@ def minhash_band_stats(
     row = g.agg(
         F.coalesce(F.sum("_m"), F.lit(0)).alias("n_rows"),
         F.coalesce(
-            F.sum(F.expr("CAST(_m * (_m - 1) / 2 AS BIGINT)")), F.lit(0)
+            F.sum(F.expr("CAST(_m * (_m - 1) AS BIGINT) div 2")), F.lit(0)
         ).alias("pdup"),
     ).first()
     return {
@@ -1006,7 +1006,7 @@ def fp_group_stats(src: DataFrame, fp_col: str) -> dict:
         F.coalesce(F.sum("_m"), F.lit(0)).alias("n"),
         F.count(F.lit(1)).alias("d"),
         F.coalesce(
-            F.sum(F.expr("CAST(_m * (_m - 1) / 2 AS BIGINT)")), F.lit(0)
+            F.sum(F.expr("CAST(_m * (_m - 1) AS BIGINT) div 2")), F.lit(0)
         ).alias("pdup"),
     ).first()
     return {

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
-from .streaming.partial_store import run_partial_stream
+from .streaming.partial_store import (
+    day_chunk_expr,
+    run_partial_stream,
+    write_day_chunks,
+)
 
 
 # ---------------------------------------------- dedup provenance
@@ -252,9 +256,7 @@ def q_stream_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_bigrams_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = f"{work}/src"
-    chunk = F.expr("(dayofmonth(ts) - 1) div 10")
-    for c in range(3):
-        ev.where(chunk == c).coalesce(1).write.parquet(f"{src}/chunk_{c}")
+    write_day_chunks(ev, src)
     store = f"{work}/partials"
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -269,7 +271,7 @@ def q_stream_bigrams(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         bounds = batch.groupBy(
-            "user_id", F.expr("(dayofmonth(ts) - 1) div 10").alias("chunk")
+            "user_id", day_chunk_expr().alias("chunk")
         ).agg(
             F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
                 "first_type"

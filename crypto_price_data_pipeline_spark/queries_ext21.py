@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
-from .streaming.partial_store import run_partial_stream
+from .streaming.partial_store import run_partial_stream, write_day_chunks
 
 
 # ------------------------------------------------ Z-order layout
@@ -345,9 +345,7 @@ def q_stream_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_cpt_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = f"{work}/src"
-    chunk = F.expr("(dayofmonth(ts) - 1) div 10")
-    for c in range(3):
-        ev.where(chunk == c).coalesce(1).write.parquet(f"{src}/chunk_{c}")
+    write_day_chunks(ev, src)
     store = f"{work}/partials"
 
     def sink(batch: DataFrame, batch_id: int) -> None:

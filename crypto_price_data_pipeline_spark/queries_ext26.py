@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .io.sources import load_table
-from .streaming.partial_store import run_partial_stream
+from .streaming.partial_store import (
+    day_chunk_expr,
+    run_partial_stream,
+    write_day_chunks,
+)
 
 
 # --------------------------------------- streamed attribution
@@ -55,9 +59,7 @@ def q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_attr_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = f"{work}/src"
-    chunk = F.expr("(dayofmonth(ts) - 1) div 10")
-    for c in range(3):
-        ev.where(chunk == c).coalesce(1).write.parquet(f"{src}/chunk_{c}")
+    write_day_chunks(ev, src)
     store = f"{work}/state"
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -66,7 +68,7 @@ def q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
             "event_id",
             "event_type",
             F.unix_micros("ts").alias("us"),
-            F.expr("(dayofmonth(ts) - 1) div 10").alias("chunk"),
+            day_chunk_expr().alias("chunk"),
         )
         w = (
             Window.partitionBy("user_id")

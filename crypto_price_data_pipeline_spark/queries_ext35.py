@@ -15,11 +15,20 @@ importance ratio
     r(w) = p_t(w) / p_b(w)
          = (c_t(w)+1)·(N_b+V) / ((c_b(w)+1)·(N_t+V))
 
-is a ratio of exact BIGINT products (IEEE-exact double division, the
-products stay far below 2^53), summed through DECIMAL(38,18) and
-averaged per document — the same log-free trick as the TF-IDF and
-bigram-LM operators. The ordering signal (target-like documents score
-high) is the published one; the arithmetic is exact on both engines.
+is computed as a double ratio of double PRODUCTS OF exact BIGINT
+factors: each factor is cast to double BEFORE multiplying (exact up to
+2^53 per factor), so the product and division each round ONCE under
+IEEE-754 — identically in Spark and DuckDB at ANY corpus size. (A
+BIGINT product would overflow 2^53 exactness, and approach 2^63 where
+Spark wraps silently while DuckDB errors — the double-first form has
+no such cliff.) Ratios are summed through DECIMAL(38,18) and averaged
+per document — the same log-free trick as the TF-IDF and bigram-LM
+operators. Note the estimator divergence: the published DSIR scores a
+document by the SUM OF LOG ratios (a geometric-mean signal); the
+arithmetic mean of raw ratios used here is a monotone-in-target-
+likeness ANALOGUE, not rank-identical to it — a few dominant tokens
+can reorder documents between the two forms. The oracle pins the
+chosen form exactly.
 
 Scale shape: ONE tokenize+explode pass feeds the target counts, the
 background counts and the corpus totals; the ratio table is
@@ -79,9 +88,13 @@ def q_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "w",
             (
-                ((F.col("_ct") + 1) * (F.col("_nb") + F.col("_v"))).cast("double")
-                / ((F.col("_cb") + 1) * (F.col("_nt") + F.col("_v"))).cast(
-                    "double"
+                (
+                    (F.col("_ct") + 1).cast("double")
+                    * (F.col("_nb") + F.col("_v")).cast("double")
+                )
+                / (
+                    (F.col("_cb") + 1).cast("double")
+                    * (F.col("_nt") + F.col("_v")).cast("double")
                 )
             )
             .cast("decimal(38,18)")
@@ -119,8 +132,8 @@ ct AS (SELECT w, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY 1),
 cb AS (SELECT w, COUNT(*) AS c FROM tok WHERE lang <> 'en' GROUP BY 1),
 rt AS (
   SELECT cb.w,
-         CAST(CAST((COALESCE(ct.c, 0) + 1) * (tot.nb + tot.v) AS DOUBLE)
-              / CAST((cb.c + 1) * (tot.nt + tot.v) AS DOUBLE)
+         CAST((CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) * CAST(tot.nb + tot.v AS DOUBLE))
+              / (CAST(cb.c + 1 AS DOUBLE) * CAST(tot.nt + tot.v AS DOUBLE))
               AS DECIMAL(38,18)) AS r
   FROM cb LEFT JOIN ct USING (w) CROSS JOIN tot
 ),
@@ -206,15 +219,13 @@ def q_stream_kmv(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from .operators.sketch import kmv_build, kmv_from_hashes
-    from .streaming.partial_store import run_partial_stream
+    from .streaming.partial_store import run_partial_stream, write_day_chunks
 
     ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
     work = tempfile.mkdtemp(prefix="stream_kmv_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = f"{work}/src"
-    chunk = F.expr("(dayofmonth(ts) - 1) div 10")
-    for c in range(3):
-        ev.where(chunk == c).coalesce(1).write.parquet(f"{src}/chunk_{c}")
+    write_day_chunks(ev, src)
     store = f"{work}/kmv"
 
     def sink(batch: DataFrame, batch_id: int) -> None:

@@ -47,6 +47,31 @@ class _InjectedCrash(RuntimeError):
     pass
 
 
+def day_chunk_expr(n: int = 3):
+    """Chunk id in [0, n) from an event's day-of-month, used to split
+    the events table into the replayed micro-batch files. Clamped with
+    least(): a naive ``(dayofmonth-1) div 10`` maps day 31 to chunk 3,
+    which ``range(3)`` never writes — rows born on the 31st would be
+    silently absent from the stream while present in the batch oracle.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"least(cast((dayofmonth(ts) - 1) div 10 as int), {int(n) - 1})"
+    )
+
+
+def write_day_chunks(df, src: str, n: int = 3) -> None:
+    """Materialize ``df`` (an events projection carrying ``ts``) as
+    ``n`` single-file parquet chunks under ``src`` — the standard
+    source layout every partial-store stream replays with
+    ``maxFilesPerTrigger=1``. Every row lands in exactly one chunk
+    (day-31 clamps into the last one, see day_chunk_expr)."""
+    chunk = day_chunk_expr(n)
+    for c in range(n):
+        df.where(chunk == c).coalesce(1).write.parquet(f"{src}/chunk_{c}")
+
+
 def run_partial_stream(
     spark: SparkSession,
     *,
