@@ -84,7 +84,7 @@ PARAMS: dict[str, dict] = {
     "winnow_fp": {"k": 8, "w": 8},
     "tfidf_w": {"ngram": 3, "max_df": 50},
     "lm_bigram": {"smoothing": "add1"},
-    "token_counts": {"split": "ascii", "unit": "unigram"},
+    "token_counts": {"split": "ascii", "unit": "unigram", "dims": "lang,nib"},
 }
 
 # upstream -> derived artifacts that must drop when it rebuilds
@@ -343,25 +343,41 @@ def lm_bigram_probs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def token_lang_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """(w, lang, c): per-(token, language-label) corpus token counts —
-    the reusable counting cube behind distribution-ratio scorers
-    (r13). Any target/background split over lang derives its two
-    count columns by a vocabulary-sized aggregation over this table
-    (q_dsir_sample: target=en vs rest), so a selection query pays one
-    corpus tokenize for SCORING only, never for counting — the same
-    train-once/score-many relocation as lm_bigram. Counts are exact
+    """(w, lang, nib, c, df): per-(token, language-label, doc_id
+    md5-nibble) corpus token counts ``c`` plus per-cell distinct-doc
+    counts ``df`` — the reusable counting cube behind
+    distribution-ratio scorers and vocabulary builders (r13). Any
+    target/background split over lang (q_dsir_sample: en vs rest) or
+    train/held split over the md5 nibble (q_vocab_coverage's c-f
+    held-out rule) derives its count columns by a vocabulary-sized
+    aggregation over this table, so those queries pay a corpus
+    tokenize for per-doc SCORING only (or not at all), never for
+    counting — the same train-once/score-many relocation as
+    lm_bigram. Because (lang, nib) cells PARTITION the documents, a
+    split's document frequency is the plain SUM of per-cell ``df`` —
+    no distinct re-aggregation at query time. Counts are exact
     integers, so every derived ratio is bit-identical to the inline
     counting form."""
     from .operators.dedup import tokens_col
 
     def _build() -> DataFrame:
         docs = _scale_out(
-            load_table(spark, sf, "documents").select("lang", "text")
+            load_table(spark, sf, "documents").select("doc_id", "lang", "text")
         )
         return (
-            docs.select("lang", F.explode(tokens_col("text")).alias("w"))
-            .groupBy("w", "lang")
-            .agg(F.count(F.lit(1)).alias("c"))
+            docs.select(
+                "doc_id",
+                "lang",
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 1
+                ).alias("nib"),
+                F.explode(tokens_col("text")).alias("w"),
+            )
+            .groupBy("w", "lang", "nib")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.countDistinct("doc_id").alias("df"),
+            )
         )
 
     return _artifact(spark, "token_counts", sf, _build)

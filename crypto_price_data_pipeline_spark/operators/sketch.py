@@ -85,6 +85,56 @@ def cms_estimate(
 # representable as a POSITIVE bigint on both engines (16 nibbles could
 # set the sign bit) and the estimator's double casts deterministic
 KMV_M = 1 << 60
+KMV_HASH_BITS = 60
+
+
+def _kmv_meta(k: int) -> dict:
+    return {"sketch": "kmv", "k": int(k), "hash_bits": KMV_HASH_BITS}
+
+
+def kmv_stamp(df: DataFrame, col: str = "kmv") -> dict | None:
+    """The sketch's build-parameter stamp (k + hash domain), carried
+    as column metadata on the ``kmv`` array — it survives select /
+    join propagation AND a parquet round-trip (Spark stores column
+    metadata in the footer and restores it on schema-inferred reads),
+    so a stored sketch table remembers what it was built with, the
+    same contract as the minhash banding stats (artifacts.PARAMS).
+    Returns None for unstamped (caller-built, trusted) tables."""
+    for f in df.schema.fields:
+        if f.name == col and f.metadata.get("sketch") == "kmv":
+            return dict(f.metadata)
+    return None
+
+
+def _check_kmv_stamp(stamp: dict | None, k: int, what: str) -> None:
+    if stamp is None:
+        return
+    if int(stamp["k"]) != int(k) or int(stamp.get("hash_bits", -1)) != KMV_HASH_BITS:
+        raise ValueError(
+            f"KMV stamp mismatch in {what}: input built with "
+            f"k={stamp['k']}, hash_bits={stamp.get('hash_bits')}; caller "
+            f"expects k={k}, hash_bits={KMV_HASH_BITS}. Merging sketches "
+            "across k is not mergeable-to-spec (the k-th minimum of a "
+            "k'-sketch union is biased) — rebuild one side."
+        )
+
+
+def kmv_explode(
+    sketch: DataFrame, group_cols: list[str], k: int | None = None
+) -> DataFrame:
+    """Explode a sketch table to (group_cols…, _h) merge rows, the
+    validated entrance to :func:`kmv_from_hashes`: when the table
+    carries a stamp it must agree with the caller's ``k`` (hard-fail,
+    never a silently biased merge), and the stamp is re-attached to
+    ``_h`` so the re-rank validates again downstream."""
+    stamp = kmv_stamp(sketch)
+    if k is not None:
+        _check_kmv_stamp(stamp, k, "kmv_explode")
+    eff_k = int(stamp["k"]) if stamp is not None else k
+    out = sketch.select(*group_cols, F.explode("kmv").alias("_h"))
+    if eff_k is not None:
+        out = out.withMetadata("_h", _kmv_meta(eff_k))
+    return out
 
 
 def kmv_hash(key: Column) -> Column:
@@ -139,7 +189,14 @@ def kmv_from_hashes(
     bounded by construction — e.g. a fixed window of w sketches, ≤w·k
     rows per group at ANY data size — may pass ``presalt=False`` and
     pay one ranking window instead of two; output is identical either
-    way (the pre-pass only discards rows the final rank discards)."""
+    way (the pre-pass only discards rows the final rank discards).
+
+    Stamp contract (r13): when the input's ``_h`` carries a sketch
+    stamp (attached by :func:`kmv_explode` from a stored table), it
+    must agree with ``k`` — a cross-k merge hard-fails here instead
+    of producing a biased estimator; unstamped inputs are trusted.
+    The output ``kmv`` column is stamped with (k, hash_bits)."""
+    _check_kmv_stamp(kmv_stamp(hashed, "_h"), k, "kmv_from_hashes")
     dist = hashed.distinct()
     from pyspark.sql.window import Window
 
@@ -158,7 +215,7 @@ def kmv_from_hashes(
     )
     return kept.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list("_h")).alias("kmv")
-    )
+    ).withMetadata("kmv", _kmv_meta(k))
 
 
 def kmv_estimate(sketch: Column, k: int = 256) -> Column:

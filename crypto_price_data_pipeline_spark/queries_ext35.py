@@ -218,7 +218,7 @@ def q_stream_kmv(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .operators.sketch import kmv_build, kmv_from_hashes
+    from .operators.sketch import kmv_build, kmv_explode, kmv_from_hashes
     from .streaming.partial_store import run_partial_stream, write_day_chunks
 
     ev = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
@@ -239,11 +239,15 @@ def q_stream_kmv(spark: SparkSession, sf: str) -> DataFrame:
         spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
 
+    # schema-INFERRED read: the parquet footer restores the sketch's
+    # (k, hash_bits) param stamp, so kmv_explode/kmv_from_hashes
+    # hard-fail if this merge ever met partials built with another k
     merged = kmv_from_hashes(
-        spark.read.schema("event_type string, kmv array<bigint>")
-        .option("recursiveFileLookup", "true")
-        .parquet(store)
-        .select("event_type", F.explode("kmv").alias("_h")),
+        kmv_explode(
+            spark.read.option("recursiveFileLookup", "true").parquet(store),
+            ["event_type"],
+            k=256,
+        ),
         ["event_type"],
     )
     return _kmv_pairs_output(merged)
@@ -300,7 +304,12 @@ def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
     oracle rebuilds daily sketches, the window merge AND the
     estimator. k=128: small corpora sit in the exact regime, sf0.1 in
     the estimation regime."""
-    from .operators.sketch import kmv_build, kmv_estimate, kmv_from_hashes
+    from .operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_explode,
+        kmv_from_hashes,
+    )
 
     k = 128
     ev = load_table(spark, sf, "events").select(
@@ -317,9 +326,11 @@ def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
     ).join(F.broadcast(days), "wday")
     # presalt=False: the merge input is ≤ 7·k rows per (type, window)
     # at ANY corpus size (a fixed window of 7 daily sketches), so the
-    # single ranking window is already scale-safe
+    # single ranking window is already scale-safe. kmv_explode carries
+    # the daily sketches' stamp through, so a k-mismatched merge
+    # hard-fails instead of biasing the estimator.
     merged = kmv_from_hashes(
-        spread.select("event_type", "wday", F.explode("kmv").alias("_h")),
+        kmv_explode(spread, ["event_type", "wday"], k=k),
         ["event_type", "wday"],
         k=k,
         presalt=False,

@@ -114,33 +114,25 @@ def compact_artifact_store(spark: SparkSession, store: str) -> int:
     partial was folded would re-create its subdir and double-count.
     Compaction is idempotent-composable: a compacted subdir is just
     another — bigger — partial, so compacting a mix of raw and
-    previously-compacted partials stays exact."""
+    previously-compacted partials stays exact.
+
+    r13: the staged-and-swap mechanics live in the shared
+    ``partial_store.fold_partials``; this caller supplies the settled
+    form — a pure union rewrite, because artifact partials are
+    disjoint rows."""
+    from .partial_store import fold_partials
+
     folded = 0
     for name, schema in _FAMILY_SCHEMAS.items():
         fam_dir = os.path.join(store, name)
-        if not os.path.isdir(fam_dir):
-            continue
-        subdirs = [
-            d
-            for d in sorted(os.listdir(fam_dir))
-            if os.path.isdir(os.path.join(fam_dir, d))
-            and d.startswith(("batch_", "compacted_"))
-        ]
-        if len(subdirs) <= 1:
-            continue
-        merged = (
-            spark.read.schema(schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(fam_dir)
+        folded += fold_partials(
+            fam_dir,
+            lambda fam_dir=fam_dir, schema=schema: (
+                spark.read.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(fam_dir)
+            ),
         )
-        # stage OUTSIDE fam_dir so the recursive scan can't see its own
-        # output, then swap in atomically from the reader's view
-        tmp = fam_dir.rstrip("/") + ".compacting"
-        merged.write.mode("overwrite").parquet(tmp)
-        for d in subdirs:
-            shutil.rmtree(os.path.join(fam_dir, d), ignore_errors=True)
-        os.rename(tmp, os.path.join(fam_dir, "compacted_0000000000"))
-        folded += len(subdirs)
     return folded
 
 

@@ -97,28 +97,14 @@ def compact_rollup(spark: SparkSession, rollup_dir: str) -> int:
     partial grain (n/sum/min/max are decomposable), so compaction is
     associative — compacting a mix of raw and previously-compacted
     partials stays exact, sums re-passing through decimal(38,6).
-    """
-    import shutil
 
-    if not os.path.exists(rollup_dir):
-        return 0
-    subdirs = [
-        d
-        for d in sorted(os.listdir(rollup_dir))
-        if os.path.isdir(os.path.join(rollup_dir, d))
-        and d.startswith(("batch_", "compacted_"))
-    ]
-    if len(subdirs) <= 1:
-        return 0
-    merged = read_rollup(spark, rollup_dir)
-    # stage OUTSIDE rollup_dir so the merge's recursive scan can't see
-    # its own output, then swap in atomically from the reader's view
-    tmp = rollup_dir.rstrip("/") + ".compacting"
-    merged.write.mode("overwrite").parquet(tmp)
-    for d in subdirs:
-        shutil.rmtree(os.path.join(rollup_dir, d), ignore_errors=True)
-    os.rename(tmp, os.path.join(rollup_dir, "compacted_0000000000"))
-    return len(subdirs)
+    r13: the staged-and-swap mechanics live in the shared
+    ``partial_store.fold_partials``; this caller supplies the settled
+    form — a re-aggregation, because rollup partials are decomposable.
+    """
+    from .partial_store import fold_partials
+
+    return fold_partials(rollup_dir, lambda: read_rollup(spark, rollup_dir))
 
 
 def start_continuous_rollup(

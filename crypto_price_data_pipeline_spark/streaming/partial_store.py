@@ -47,6 +47,44 @@ class _InjectedCrash(RuntimeError):
     pass
 
 
+def fold_partials(dir_path: str, merged_fn: Callable[[], "DataFrame"]) -> int:
+    """Shared staged-and-swap compaction for per-batch_id partial
+    stores (r13 — one definition; compact_rollup and
+    compact_artifact_store both call this): list the ``batch_*`` /
+    ``compacted_*`` subdirs, materialize ``merged_fn()`` (the caller's
+    settled form — a re-aggregation for decomposable rollup partials,
+    a pure union rewrite for disjoint row partials) into a staging dir
+    OUTSIDE ``dir_path`` so a recursive scan can never see its own
+    output, then swap: remove the folded subdirs and rename the stage
+    to ``compacted_0000000000``. Returns the number of subdirs folded
+    (0 = nothing to do). The settled subdir is just another — bigger —
+    partial, so compaction is associative and a second compact is a
+    no-op. Crash contract (callers' docstrings): run while the
+    maintenance stream is stopped, or fold only batch ids at or below
+    the last committed checkpoint offset — a crashed batch replaying
+    AFTER its partial was folded would re-create its subdir and
+    double-count."""
+    import os
+    import shutil
+
+    if not os.path.isdir(dir_path):
+        return 0
+    subdirs = [
+        d
+        for d in sorted(os.listdir(dir_path))
+        if os.path.isdir(os.path.join(dir_path, d))
+        and d.startswith(("batch_", "compacted_"))
+    ]
+    if len(subdirs) <= 1:
+        return 0
+    tmp = dir_path.rstrip("/") + ".compacting"
+    merged_fn().write.mode("overwrite").parquet(tmp)
+    for d in subdirs:
+        shutil.rmtree(os.path.join(dir_path, d), ignore_errors=True)
+    os.rename(tmp, os.path.join(dir_path, "compacted_0000000000"))
+    return len(subdirs)
+
+
 def day_chunk_expr(n: int = 3):
     """Chunk id in [0, n) from an event's day-of-month, used to split
     the events table into the replayed micro-batch files. Clamped with

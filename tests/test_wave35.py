@@ -305,3 +305,50 @@ def test_stream_kmv_equals_batch(spark):
     batch = sorted(map(tuple, QUERIES["q_kmv_overlap"](spark, sf).collect()))
     streamed = sorted(map(tuple, QUERIES["q_stream_kmv"](spark, sf).collect()))
     assert streamed == batch and len(batch) == 10
+
+def test_kmv_stamp_roundtrip_and_cross_k_merge_fails(spark, tmp_path):
+    """r13 stamp parity: sketches carry (k, hash_bits) as column
+    metadata, the stamp survives a parquet round-trip (schema-inferred
+    read), and merging stamped sketches under a different k hard-fails
+    in kmv_explode AND kmv_from_hashes instead of silently biasing the
+    estimator. Unstamped caller-built tables stay trusted."""
+    import pytest
+    from pyspark.sql import functions as F
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_build,
+        kmv_explode,
+        kmv_from_hashes,
+        kmv_stamp,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    sk = kmv_build(ev, F.col("user_id"), ["event_type"], k=64)
+    st = kmv_stamp(sk)
+    assert st and int(st["k"]) == 64 and int(st["hash_bits"]) == 60
+
+    d = str(tmp_path / "sk")
+    sk.write.parquet(d)
+    back = spark.read.parquet(d)
+    st2 = kmv_stamp(back)
+    assert st2 and int(st2["k"]) == 64, "stamp must survive parquet"
+
+    # matched-k merge reproduces the whole-corpus sketch bit-exactly
+    merged = kmv_from_hashes(
+        kmv_explode(back, ["event_type"], k=64), ["event_type"], k=64
+    )
+    a = {r["event_type"]: r["kmv"] for r in merged.collect()}
+    b = {r["event_type"]: r["kmv"] for r in sk.collect()}
+    assert a == b
+
+    # cross-k merge: hard failure at the validated entrance
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        kmv_explode(back, ["event_type"], k=128)
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        kmv_from_hashes(
+            kmv_explode(back, ["event_type"]), ["event_type"], k=128
+        )
+
+    # unstamped input (caller-built rows) is trusted at any k
+    plain = back.select("event_type", F.explode("kmv").alias("_h"))
+    assert kmv_from_hashes(plain, ["event_type"], k=128).count() > 0
