@@ -93,11 +93,15 @@ HEADLINE = [
     "q_dsir_sample",
     "q_kmv_overlap",
     "q_kmv_rolling",
-    # NOT headline: q_simhash_dupheavy / q_minhash_dupheavy are REGIME
-    # pins — they build signatures over synthetic 12-20x replica
-    # corpora to exercise the dup-heavy pair strategies, so their cost
-    # is dominated by constructing a corpus that does not exist at
-    # this sf. Their per-round cost is recorded by the oracle sweeps
+    # round-13 session-2: the cube-served NB classifier (model from
+    # the token_counts artifact, one irreducible scoring explode)
+    "q_nb_language_id",
+    # NOT headline: q_simhash_dupheavy / q_minhash_dupheavy (and the
+    # r13 q_winnow_dupheavy / q_overlap_dupheavy) are REGIME pins —
+    # they build signatures over synthetic 12-60x replica corpora to
+    # exercise the dup-heavy pair strategies, so their cost is
+    # dominated by constructing a corpus that does not exist at this
+    # sf. Their per-round cost is recorded by the oracle sweeps
     # (CORRECTNESS/NOTES) and the strategy crossover numbers live in
     # SCALING.md.
 ]

@@ -1445,6 +1445,7 @@ def ngram_overlap_pairs(
     block_cols: list[str] | None = None,
     max_docs: int | None = 100_000,
     base: DataFrame | None = None,
+    strategy: str = "plain",
 ) -> DataFrame:
     """Overlap-coefficient (containment) near-dup pairs:
     ``|A∩B| / min(|A|,|B|)`` over k-word shingle sets — the detector
@@ -1483,7 +1484,36 @@ def ngram_overlap_pairs(
 
     ``base``: optional precomputed with_shingles() table (see
     :func:`ngram_jaccard_pairs`).
+
+    ``strategy`` (r13, the dup-heavy / re-crawl regime): "plain"
+    (default) posts per RAW doc — correct, but an m-member
+    exact-replica cluster puts m copies in EVERY posting list, so the
+    join does Σ|shingles|·C(m,2) work (measured quadratic: R=120
+    replicas at sf0.001 → 9.6 s / 1M pairs, no cap bounds it — the
+    df-cap escape hatch is intentionally absent here because common
+    shingles ARE the containment signal). "collapse" groups docs by
+    TEXT identity first (identical text ⇒ identical shingle set ⇒
+    identical overlap with everything — an exact factoring), joins
+    representatives only (O(distinct texts) candidate work), and
+    expands pairs by membership algebra: within-group pairs have
+    overlap exactly 1.0 (qualifying whenever threshold ≤ 1 and the
+    set is non-empty), cross-group pairs inherit the representative
+    overlap. Bit-identical to plain on every corpus (no df semantics
+    to shift, unlike winnowing_pairs). "auto" measures the
+    duplication ratio with ONE EAGER aggregate (≥1.25 → collapse);
+    plan-only callers should pass an explicit strategy.
     """
+    if strategy == "auto":
+        n, d = df.select(
+            F.count(F.lit(1)), F.countDistinct(text_col)
+        ).first()
+        strategy = "collapse" if d and n / d >= 1.25 else "plain"
+    if strategy == "collapse":
+        return _ngram_overlap_pairs_collapsed(
+            df, id_col, text_col, k, threshold, block_cols, max_docs
+        )
+    if strategy != "plain":
+        raise ValueError(f"unknown ngram_overlap_pairs strategy: {strategy!r}")
     _gate_corpus_size(df, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
     owns_shingled = base is None
     if base is not None:
@@ -1531,6 +1561,96 @@ def ngram_overlap_pairs(
     finally:
         if owns_shingled:
             shingled.unpersist()
+
+
+def _ngram_overlap_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    block_cols: list[str] | None,
+    max_docs: int | None,
+) -> DataFrame:
+    """Text-identity collapse path of :func:`ngram_overlap_pairs`:
+    shingle one representative per distinct (block…, text), run the
+    count-based posting join over representatives, expand to raw-id
+    pairs by membership algebra (within-group overlap is exactly 1.0;
+    cross-group pairs inherit the representative overlap). The
+    corpus-size gate applies to the COLLAPSED corpus — distinct texts
+    are what the quadratic identity bounds."""
+    blocks = list(block_cols or [])
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_tx"),
+        *blocks,
+        F.md5(F.concat_ws("\x1f", *blocks, F.col(text_col))).alias("_tk"),
+    )
+    groups = keyed.groupBy("_tk").agg(
+        F.min(F.struct("_id", "_tx", *[F.col(c) for c in blocks])).alias("_s"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    reps = groups.select(
+        "_tk",
+        F.col("_s._tx").alias("_tx"),
+        *[F.col(f"_s.{c}").alias(c) for c in blocks],
+    )
+    _gate_corpus_size(reps, max_docs, "ngram_overlap_pairs", "minhash_then_exact")
+    members = keyed.select("_tk", "_id")
+    base = with_shingles(reps, "_tk", "_tx", k, keep_cols=blocks).persist()
+    try:
+        rp = ngram_overlap_pairs(
+            reps,
+            "_tk",
+            "_tx",
+            k=k,
+            threshold=threshold,
+            block_cols=blocks or None,
+            max_docs=None,
+            base=base,
+            strategy="plain",
+        )
+        cross = (
+            rp.join(
+                members.select(
+                    F.col("_tk").alias("id_a"), F.col("_id").alias("_ia")
+                ),
+                "id_a",
+            )
+            .join(
+                members.select(
+                    F.col("_tk").alias("id_b"), F.col("_id").alias("_ib")
+                ),
+                "id_b",
+            )
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+                "overlap",
+            )
+        )
+        if threshold > 1.0:
+            return cross.transform(_eager_materialize)
+        # within-group: overlap of identical NON-EMPTY sets is exactly
+        # 1.0 (empty sets produce no posting hit in plain — excluded)
+        dup_groups = (
+            groups.where(F.col("_m") >= 2)
+            .join(
+                base.select("_tk", F.size("_shingles").alias("_nsh")), "_tk"
+            )
+            .where(F.col("_nsh") > 0)
+            .select("_tk")
+        )
+        wm = members.join(dup_groups, "_tk")
+        within = (
+            wm.select("_tk", F.col("_id").alias("id_a"))
+            .join(wm.select("_tk", F.col("_id").alias("id_b")), "_tk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("overlap"))
+        )
+        return cross.unionByName(within).transform(_eager_materialize)
+    finally:
+        base.unpersist()
 
 
 def minhash_cross_pairs(

@@ -359,6 +359,7 @@ def winnowing_pairs(
     min_shared: int = 10,
     max_doc_freq: int = 50,
     fp: DataFrame | None = None,
+    strategy: str = "plain",
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints — the
     substring-level complement to MinHash (which sees bag-of-shingles,
@@ -386,7 +387,46 @@ def winnowing_pairs(
     (the artifact store's does since r12), the stop-fingerprint cut
     is a pushed-down scan predicate; otherwise the df aggregate +
     semi-join computes it per call.
+
+    ``strategy`` (r13, the dup-heavy / re-crawl regime):
+
+    - ``"plain"`` (default): postings per RAW doc. Correct and
+      output-proportional for near-dup clusters, but exact-replica
+      mass has a measured CLIFF: a cluster of m identical texts
+      multiplies every one of its fingerprints' df by m, and once
+      m·df > max_doc_freq ALL of them are dropped — the most obvious
+      duplicates silently return ZERO pairs (measured at R=60
+      replicas, sf0.001: 0 pairs where R=48 found 116k).
+    - ``"collapse"``: group docs by TEXT identity first (identical
+      text ⇒ identical sketch ⇒ identical pair semantics — an exact
+      factoring, not an approximation), fingerprint one
+      representative per group, run the posting join over
+      representatives, then expand pairs by group-membership algebra
+      (within-group pairs share the whole retained sketch). Candidate
+      work is O(distinct texts); the expansion is output-sized.
+      SEMANTIC NOTE: the stop-fingerprint df is counted over DISTINCT
+      TEXTS — the boilerplate definition a re-crawl-heavy corpus
+      actually wants — so results differ from "plain" exactly where
+      plain mis-handles exact dups (bit-identical on corpora with no
+      duplicate texts, cliff-free where plain zeroes out).
+    - ``"auto"``: measure the duplication ratio with ONE EAGER
+      count aggregate (rows vs distinct texts; ≥1.25 → collapse).
+      Plan-only callers should pass an explicit strategy.
+
+    ``fp`` is only consulted by the plain path (postings are keyed by
+    raw id); collapse refingerprints representatives from ``df``.
     """
+    if strategy == "auto":
+        n, d = df.select(
+            F.count(F.lit(1)), F.countDistinct(text_col)
+        ).first()
+        strategy = "collapse" if d and n / d >= 1.25 else "plain"
+    if strategy == "collapse":
+        return _winnowing_pairs_collapsed(
+            df, id_col, text_col, k, w, min_shared, max_doc_freq
+        )
+    if strategy != "plain":
+        raise ValueError(f"unknown winnowing_pairs strategy: {strategy!r}")
     owns_fp = fp is None
     if fp is None:
         fp = _winnowing_fp_hashes(df, id_col, text_col, k, w).persist()
@@ -420,6 +460,97 @@ def winnowing_pairs(
     finally:
         if owns_fp:
             fp.unpersist()
+
+
+def _winnowing_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    min_shared: int,
+    max_doc_freq: int,
+) -> DataFrame:
+    """The text-identity collapse path of :func:`winnowing_pairs`:
+    sketch one representative per distinct text, df-cap and
+    posting-join over representatives (O(distinct texts) candidate
+    work however heavy the re-crawl mass), then expand to raw-id
+    pairs by membership algebra — within-group member pairs share
+    the representative's whole RETAINED sketch (n_shared = the
+    post-cap fingerprint count), cross-group member pairs inherit
+    their representatives' n_shared. Both expansions are
+    output-sized joins. Identical text ⇒ identical sketch makes the
+    factoring exact; see winnowing_pairs for the df-semantics note."""
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_tx"),
+        F.md5(F.col(text_col)).alias("_tk"),
+    )
+    groups = keyed.groupBy("_tk").agg(
+        F.min(F.struct("_id", "_tx")).alias("_s"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    reps = groups.select("_tk", F.col("_s._tx").alias("_tx"))
+    members = keyed.select("_tk", "_id")
+    fp = _winnowing_fp_hashes(reps, "_tk", "_tx", k, w).persist()
+    try:
+        rare = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("fp")
+        )
+        posting = fp.join(rare, "fp").persist()
+        try:
+            nfp = posting.groupBy("_tk").agg(F.count(F.lit(1)).alias("_nfp"))
+            a = posting.select(F.col("_tk").alias("_ta"), "fp")
+            b = posting.select(F.col("_tk").alias("_tb"), "fp")
+            rp = (
+                a.join(b, "fp")
+                .where(F.col("_ta") < F.col("_tb"))
+                .groupBy("_ta", "_tb")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .where(F.col("n_shared") >= min_shared)
+            )
+            cross = (
+                rp.join(
+                    members.select(
+                        F.col("_tk").alias("_ta"), F.col("_id").alias("_ia")
+                    ),
+                    "_ta",
+                )
+                .join(
+                    members.select(
+                        F.col("_tk").alias("_tb"), F.col("_id").alias("_ib")
+                    ),
+                    "_tb",
+                )
+                .select(
+                    F.least("_ia", "_ib").alias("id_a"),
+                    F.greatest("_ia", "_ib").alias("id_b"),
+                    "n_shared",
+                )
+            )
+            dup_groups = (
+                groups.where(F.col("_m") >= 2)
+                .join(nfp, "_tk")
+                .where(F.col("_nfp") >= min_shared)
+                .select("_tk", F.col("_nfp").alias("n_shared"))
+            )
+            # filter to qualifying groups BEFORE the member self-join
+            # so only answer-bearing groups pay the C(m,2) expansion
+            wm = members.join(dup_groups, "_tk")
+            within = (
+                wm.select("_tk", "n_shared", F.col("_id").alias("id_a"))
+                .join(wm.select("_tk", F.col("_id").alias("id_b")), "_tk")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "n_shared")
+            )
+            return cross.unionByName(within).transform(materialize)
+        finally:
+            posting.unpersist()
+    finally:
+        fp.unpersist()
 
 
 def _lm_position_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -204,9 +204,222 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------- dup-heavy strategies: winnowing / ngram-overlap
+#
+# r13, closing the r12 verdict's #3 item: the two remaining pair
+# families meet the exact-replica (re-crawl) regime through the new
+# text-identity collapse strategy. Measured motivation (sf0.001
+# quarter, exact replicas): winnowing's df cap SILENTLY ZEROES
+# clusters past max_doc_freq members (R=60 → 0 pairs where R=48 found
+# 116k), and ngram_overlap has no cap at all (R=120 → quadratic
+# posting work). Collapse factors both by identical-text groups —
+# candidate work O(distinct texts), expansion output-sized — and the
+# oracles below reproduce the full pair mass by replica ALGEBRA over
+# per-original sketches (the q_minhash_dupheavy contract).
+
+_WD_R = 60  # replica multiplicity — deliberately PAST the df cap
+_SUB_NIBBLES = ("0", "1", "2", "3")
+
+
+def _exact_replicas(docs: DataFrame, r: int, *keep: str) -> DataFrame:
+    """r EXACT copies of every doc (same text, ids doc_id·r + rep) —
+    the re-crawl regime, as opposed to queries_ext34's near-dup
+    replicas (marker-token-appended, globally-unique text)."""
+    return docs.selectExpr(
+        f"explode(sequence(0, {r - 1})) as _r", "doc_id", "text", *keep
+    ).selectExpr(f"doc_id * {r} + _r as doc_id", "text", *keep)
+
+
+def q_winnow_dupheavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing near-dup pairs on a 60×-exact-replica corpus — PAST
+    the stop-fingerprint cliff (every cluster fingerprint's raw df is
+    60 > max_doc_freq=50, so strategy="plain" measurably returns ZERO
+    pairs). strategy="collapse" groups by text identity first, so the
+    df cap counts DISTINCT TEXTS (the boilerplate definition a
+    re-crawl corpus wants), candidate work is O(originals), and the
+    C(60,2)-per-cluster pair mass comes from output-sized expansion.
+    Output is the dup-heavy family's standard algebra-checkable form:
+    per (within-cluster?, n_shared) pair counts + id-sum checksums.
+    The originals are exact-deduped by text before replication so the
+    oracle's group-≡-original algebra holds at any sf."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import winnowing_pairs
+
+    R = _WD_R
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    orig = exact_dedup(docs.where(nib.isin(*_SUB_NIBBLES)), ["text"], "doc_id")
+    dup = _exact_replicas(orig.select("doc_id", "text"), R)
+    pairs = winnowing_pairs(dup, strategy="collapse")
+    within = (
+        F.floor(F.col("id_a") / R) == F.floor(F.col("id_b") / R)
+    ).alias("within")
+    return (
+        pairs.groupBy(within, "n_shared")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+        )
+        .orderBy("within", "n_shared")
+    )
+
+
+def _winnow_dupheavy_oracle(r: int = _WD_R) -> str:
+    # member ids of original o are o·r + 0..r-1; with S(o) = Σ ids =
+    # o·r² + r(r-1)/2:  within pairs — each member in (r-1) pairs →
+    # id_sum = (r-1)·S(o), n = C(r,2); cross pairs (a,b) — id_sum =
+    # r·S(a) + r·S(b) = r³(a+b) + r²(r-1), n = r² (orientation-free:
+    # the checksum sums id_a+id_b, invariant under least/greatest)
+    c2 = r * (r - 1) // 2
+    within_ids = f"{(r - 1) * r * r} * doc_id + {(r - 1) * c2}"
+    cross_ids = f"{r**3} * (a.doc_id + b.doc_id) + {r * r * (r - 1)}"
+    nibs = ", ".join(f"'{n}'" for n in _SUB_NIBBLES)
+    return f"""
+WITH quarter AS (
+  SELECT doc_id, text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({nibs})
+),
+orig AS (SELECT MIN(doc_id) AS doc_id, text FROM quarter GROUP BY text),
+clean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM orig
+),
+pos0 AS (
+  SELECT doc_id, s,
+         unnest(range(1, CAST(greatest(length(s) - 7, 1) AS BIGINT) + 1)) AS i
+  FROM clean
+),
+pos AS (SELECT doc_id, i, substring(s, CAST(i AS INTEGER), 8) AS gram FROM pos0),
+wins AS (
+  SELECT doc_id, i,
+         MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fpv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id, fpv AS fingerprint
+  FROM wins WHERE i <= greatest(n_grams - 7, 1)
+),
+rare AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+p AS (SELECT f.doc_id, f.fingerprint FROM fp f JOIN rare USING (fingerprint)),
+nfp AS (SELECT doc_id, COUNT(*) AS nfp FROM p GROUP BY 1),
+rp AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ns
+  FROM p a JOIN p b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 10
+),
+cross_rows AS (
+  SELECT FALSE AS within, ns AS n_shared,
+         CAST(COUNT(*) * {r * r} AS BIGINT) AS n_pairs,
+         CAST(SUM({r**3} * (a_id + b_id) + {r * r * (r - 1)}) AS BIGINT) AS id_sum
+  FROM rp GROUP BY ns
+),
+within_rows AS (
+  SELECT TRUE AS within, nfp AS n_shared,
+         CAST(COUNT(*) * {c2} AS BIGINT) AS n_pairs,
+         CAST(SUM({within_ids}) AS BIGINT) AS id_sum
+  FROM nfp WHERE nfp >= 10 GROUP BY nfp
+)
+SELECT * FROM cross_rows
+UNION ALL SELECT * FROM within_rows
+ORDER BY within, n_shared
+"""
+
+
+def q_overlap_dupheavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs on the same
+    60×-exact-replica corpus, language-blocked. ngram_overlap_pairs
+    has NO stop-shingle cap (common shingles ARE the containment
+    signal), so strategy="plain" does Σ|shingles|·C(m,2) posting work
+    in this regime — measured quadratic. strategy="collapse" is
+    bit-identical to plain on EVERY corpus (identical text ⇒ identical
+    shingle set; no df semantics involved) with O(distinct texts)
+    candidate work. Same algebra-checkable output form as
+    q_winnow_dupheavy; within-cluster overlap is exactly 1.0."""
+    from .operators.dedup import exact_dedup, ngram_overlap_pairs
+
+    R = _WD_R
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    orig = exact_dedup(
+        docs.where(nib.isin(*_SUB_NIBBLES)), ["lang", "text"], "doc_id"
+    )
+    dup = _exact_replicas(orig.select("doc_id", "text", "lang"), R, "lang")
+    pairs = ngram_overlap_pairs(
+        dup, block_cols=["lang"], k=3, threshold=0.6, strategy="collapse",
+        max_docs=None,
+    )
+    within = (
+        F.floor(F.col("id_a") / R) == F.floor(F.col("id_b") / R)
+    ).alias("within")
+    return (
+        pairs.groupBy(within, F.round("overlap", 9).alias("overlap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+        )
+        .orderBy("within", "overlap")
+    )
+
+
+def _overlap_dupheavy_oracle(r: int = _WD_R) -> str:
+    c2 = r * (r - 1) // 2
+    within_ids = f"{(r - 1) * r * r} * doc_id + {(r - 1) * c2}"
+    nibs = ", ".join(f"'{n}'" for n in _SUB_NIBBLES)
+    return f"""
+WITH quarter AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({nibs})
+),
+orig AS (
+  SELECT MIN(doc_id) AS doc_id, lang, text FROM quarter GROUP BY lang, text
+),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM orig
+),
+sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+rp AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)), 9) AS ov
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / least(len(a.sh), len(b.sh)) >= 0.6
+),
+cross_rows AS (
+  SELECT FALSE AS within, ov AS overlap,
+         CAST(COUNT(*) * {r * r} AS BIGINT) AS n_pairs,
+         CAST(SUM({r**3} * (a_id + b_id) + {r * r * (r - 1)}) AS BIGINT) AS id_sum
+  FROM rp GROUP BY ov
+),
+within_rows AS (
+  SELECT TRUE AS within, 1.0 AS overlap,
+         CAST(COUNT(*) * {c2} AS BIGINT) AS n_pairs,
+         CAST(SUM({within_ids}) AS BIGINT) AS id_sum
+  FROM sh WHERE len(sh) > 0
+)
+SELECT * FROM cross_rows
+UNION ALL SELECT * FROM within_rows WHERE n_pairs > 0
+ORDER BY within, overlap
+"""
+
+
 EXT36_QUERIES = {
     "q_nb_language_id": q_nb_language_id,
+    "q_winnow_dupheavy": q_winnow_dupheavy,
+    "q_overlap_dupheavy": q_overlap_dupheavy,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
+    "q_winnow_dupheavy": _winnow_dupheavy_oracle(),
+    "q_overlap_dupheavy": _overlap_dupheavy_oracle(),
 }

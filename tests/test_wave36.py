@@ -147,3 +147,106 @@ def test_nb_language_id_invariants(spark):
         if preds and preds.most_common(1)[0][0] == lang:
             diag_modal += 1
     assert diag_modal >= 3, dict(acc=acc, diag_modal=diag_modal)
+
+
+def _exact_replica_corpus(spark, r):
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sub = docs.where(nib.isin("0", "1", "2", "3"))
+    return sub.selectExpr(
+        f"explode(sequence(0, {r - 1})) as _r", "doc_id", "text", "lang"
+    ).selectExpr(f"doc_id * {r} + _r as doc_id", "text", "lang")
+
+
+def test_overlap_collapse_bit_identical_to_plain(spark):
+    """ngram_overlap collapse has NO semantic shift (identical text ⇒
+    identical shingle set): pair sets must be bit-equal to plain on an
+    exact-replica corpus, and auto must agree."""
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        ngram_overlap_pairs,
+    )
+
+    dup = _exact_replica_corpus(spark, 12).persist()
+    try:
+        kw = dict(block_cols=["lang"], k=3, threshold=0.6)
+        plain = sorted(
+            tuple(r) for r in ngram_overlap_pairs(dup, **kw).collect()
+        )
+        coll = sorted(
+            tuple(r)
+            for r in ngram_overlap_pairs(
+                dup, strategy="collapse", **kw
+            ).collect()
+        )
+        auto = sorted(
+            tuple(r)
+            for r in ngram_overlap_pairs(dup, strategy="auto", **kw).collect()
+        )
+        assert plain and plain == coll == auto
+    finally:
+        dup.unpersist()
+
+
+def test_winnow_collapse_matches_reference_expansion(spark):
+    """winnow collapse ≡ plain-over-distinct-texts + membership
+    algebra (the collapsed-df semantics), checked pair by pair."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.text import (
+        _winnowing_fp_hashes,
+        winnowing_pairs,
+    )
+
+    R = 12
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sub = docs.where(nib.isin("0", "1", "2", "3")).persist()
+    dup = _exact_replica_corpus(spark, R)
+    try:
+        got = sorted(
+            tuple(r) for r in winnowing_pairs(dup, strategy="collapse").collect()
+        )
+        op = winnowing_pairs(sub).collect()
+        fp = _winnowing_fp_hashes(sub, "doc_id", "text", 8, 8)
+        dfc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("d"))
+        kept = (
+            fp.join(dfc.where(F.col("d") <= 50), "fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nfp"))
+        )
+        ref = []
+        for r in op:
+            a, b, ns = r["id_a"], r["id_b"], r["n_shared"]
+            ref += [
+                (min(a * R + ra, b * R + rb), max(a * R + ra, b * R + rb), ns)
+                for ra in range(R)
+                for rb in range(R)
+            ]
+        for row in kept.collect():
+            o, n = row["doc_id"], row["nfp"]
+            if n >= 10:
+                ref += [
+                    (o * R + ra, o * R + rb, n)
+                    for ra in range(R)
+                    for rb in range(ra + 1, R)
+                ]
+        assert got == sorted(ref)
+    finally:
+        sub.unpersist()
+
+
+def test_winnow_plain_cliff_and_collapse_fix(spark):
+    """The measured df-cap cliff: at R=60 exact replicas every cluster
+    fingerprint's raw df exceeds max_doc_freq=50, so plain returns
+    ZERO pairs; collapse (df over distinct texts) finds the full
+    C(60,2)-per-cluster mass."""
+    from crypto_price_data_pipeline_spark.operators.text import winnowing_pairs
+
+    dup = _exact_replica_corpus(spark, 60).persist()
+    try:
+        assert winnowing_pairs(dup).count() == 0
+        n = winnowing_pairs(dup, strategy="collapse").count()
+        assert n >= 60 * 59 // 2, n  # at least one full cluster
+    finally:
+        dup.unpersist()
