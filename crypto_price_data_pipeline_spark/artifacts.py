@@ -203,7 +203,18 @@ def minhash_base(spark: SparkSession, sf: str) -> DataFrame:
             docs, "doc_id", "text", k=3, keep_cols=["lang"]
         ).withColumn("_n", F.size("_shingles"))
 
-    return _artifact(spark, "minhash_base", sf, _build)
+    def _stats(df: DataFrame) -> dict:
+        # text-duplication stats (r13): distinct shingle-set identities
+        # stand in for distinct texts (identical text => identical
+        # array; 64-bit collisions negligible at vocabulary scale).
+        # ngram_overlap_pairs(strategy="auto", base=<this>) reads the
+        # dup ratio from the stamp instead of running an eager agg.
+        n, d = df.select(
+            F.count(F.lit(1)), F.countDistinct(F.xxhash64("_shingles"))
+        ).first()
+        return {"mb_n": int(n), "mb_dsig": int(d)}
+
+    return _artifact(spark, "minhash_base", sf, _build, stats_fn=_stats)
 
 
 def minhash_mins(spark: SparkSession, sf: str) -> DataFrame:
@@ -274,7 +285,20 @@ def winnow_postings(spark: SparkSession, sf: str) -> DataFrame:
             "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
         )
 
-    return _artifact(spark, "winnow_fp", sf, _build)
+    def _stats(df: DataFrame) -> dict:
+        # sketch-duplication stats (r13): per-doc sorted-fingerprint
+        # identity stands in for text identity (identical text =>
+        # identical sketch). winnowing_pairs(strategy="auto",
+        # fp=<this>) reads the dup ratio from the stamp for free.
+        n, d = (
+            df.groupBy("doc_id")
+            .agg(F.xxhash64(F.sort_array(F.collect_list("fp"))).alias("_sig"))
+            .select(F.count(F.lit(1)), F.countDistinct("_sig"))
+            .first()
+        )
+        return {"wf_n": int(n), "wf_dsig": int(d)}
+
+    return _artifact(spark, "winnow_fp", sf, _build, stats_fn=_stats)
 
 
 def tfidf_weights(spark: SparkSession, sf: str) -> DataFrame:

@@ -1499,14 +1499,26 @@ def ngram_overlap_pairs(
     overlap exactly 1.0 (qualifying whenever threshold ≤ 1 and the
     set is non-empty), cross-group pairs inherit the representative
     overlap. Bit-identical to plain on every corpus (no df semantics
-    to shift, unlike winnowing_pairs). "auto" measures the
-    duplication ratio with ONE EAGER aggregate (≥1.25 → collapse);
-    plan-only callers should pass an explicit strategy.
+    to shift, unlike winnowing_pairs). "auto" decides from the
+    duplication ratio (≥1.25 → collapse) — FREE when ``base`` is the
+    artifact store's shingle table, whose stamp carries the measured
+    (mb_n, mb_dsig) distinct-shingle-set stats from build (r13);
+    otherwise ONE EAGER aggregate over ``df``. Plan-only callers
+    without a stamped ``base`` should pass an explicit strategy.
     """
     if strategy == "auto":
-        n, d = df.select(
-            F.count(F.lit(1)), F.countDistinct(text_col)
-        ).first()
+        stats = None
+        if base is not None:
+            for field in base.schema.fields:
+                p = (field.metadata or {}).get("artifact_params") or {}
+                if "mb_dsig" in p:
+                    stats = (p["mb_n"], p["mb_dsig"])
+                    break
+        if stats is None:
+            stats = df.select(
+                F.count(F.lit(1)), F.countDistinct(text_col)
+            ).first()
+        n, d = stats
         strategy = "collapse" if d and n / d >= 1.25 else "plain"
     if strategy == "collapse":
         return _ngram_overlap_pairs_collapsed(

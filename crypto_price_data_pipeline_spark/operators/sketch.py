@@ -251,3 +251,81 @@ def kmv_pair_stats(a: Column, b: Column, k: int = 256) -> dict[str, Column]:
         "est_jaccard": jac,
         "est_intersection": jac * est_u,
     }
+
+
+# --------------------------------------------------- KMV value sample
+
+
+def kmv_sample(
+    df: DataFrame,
+    key: Column,
+    val: Column,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """(group_cols…, smp: array<struct<h,v>> ascending by hash): a
+    DETERMINISTIC uniform row sample per group — the rows whose
+    60-bit key hashes are the group's k smallest, carrying a value
+    column. The bottom-k-by-hash rule makes the sample (a) uniform
+    (md5 is uniform over the key domain), (b) MERGEABLE by the same
+    semilattice argument as the distinct sketch (any hash among a
+    window's k smallest is among the k smallest of whichever stored
+    partial introduced it — so daily samples re-rank into any
+    window's sample exactly), and (c) bit-reproducible cross-engine
+    (membership is a pure function of md5). That is what the built-in
+    percentile_approx (KLL) cannot offer a warehouse: its sketch is
+    neither storable-and-mergeable at the SQL surface nor
+    deterministic across engines. Quantiles read from the merged
+    sample carry standard uniform-sampling error (unit-pinned <10%
+    median relative error at k=128 on the rolling-window query).
+
+    PRECONDITION: ``key`` unique per row (the winnow posting rule) —
+    duplicate keys would collapse to one sampled row.
+    """
+    return kmv_sample_from_hashes(
+        df.select(*group_cols, kmv_hash(key).alias("_h"), val.alias("_v")),
+        group_cols,
+        k,
+    )
+
+
+def kmv_sample_from_hashes(
+    hashed: DataFrame, group_cols: list[str], k: int = 256, presalt: bool = True
+) -> DataFrame:
+    """Bottom-k value sample from ALREADY-hashed rows (group_cols…,
+    _h, _v) — the merge surface (explode stored samples, re-rank).
+    Same two-bounded-windows shape and ``presalt`` contract as
+    :func:`kmv_from_hashes`; rows carry the value through the ranks.
+    Output array is sorted by (hash, value) — deterministic even if
+    two keys hash-collide."""
+    from pyspark.sql.window import Window
+
+    dist = hashed
+    if presalt:
+        w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy(
+            "_h", "_v"
+        )
+        dist = (
+            dist.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .drop("_r1")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    kept = dist.withColumn("_r2", F.row_number().over(w2)).where(
+        F.col("_r2") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp")
+    )
+
+
+def kmv_sample_quantile(smp: Column, p: float) -> Column:
+    """Deterministic lower-nearest-rank quantile of a sample column:
+    the value at rank ceil(p·n) of the sample's SORTED VALUES —
+    written as the same integer-rank expression on both engines (no
+    interpolation, so no float-divergence surface)."""
+    vals = F.array_sort(F.transform(smp, lambda s: s["_v"]))
+    rank = F.greatest(
+        F.ceil(F.size(vals) * F.lit(float(p))).cast("int"), F.lit(1)
+    )
+    return F.element_at(vals, rank)

@@ -409,17 +409,29 @@ def winnowing_pairs(
       actually wants — so results differ from "plain" exactly where
       plain mis-handles exact dups (bit-identical on corpora with no
       duplicate texts, cliff-free where plain zeroes out).
-    - ``"auto"``: measure the duplication ratio with ONE EAGER
-      count aggregate (rows vs distinct texts; ≥1.25 → collapse).
-      Plan-only callers should pass an explicit strategy.
+    - ``"auto"``: decide from the duplication ratio (rows vs distinct
+      sketch identities; ≥1.25 → collapse). FREE when ``fp`` is the
+      artifact store's posting table — its stamp carries the measured
+      (wf_n, wf_dsig) from build (r13); otherwise ONE EAGER count
+      aggregate over ``df``. Plan-only callers without a stamped
+      ``fp`` should pass an explicit strategy.
 
     ``fp`` is only consulted by the plain path (postings are keyed by
     raw id); collapse refingerprints representatives from ``df``.
     """
     if strategy == "auto":
-        n, d = df.select(
-            F.count(F.lit(1)), F.countDistinct(text_col)
-        ).first()
+        stats = None
+        if fp is not None:
+            for field in fp.schema.fields:
+                p = (field.metadata or {}).get("artifact_params") or {}
+                if "wf_dsig" in p:
+                    stats = (p["wf_n"], p["wf_dsig"])
+                    break
+        if stats is None:
+            stats = df.select(
+                F.count(F.lit(1)), F.countDistinct(text_col)
+            ).first()
+        n, d = stats
         strategy = "collapse" if d and n / d >= 1.25 else "plain"
     if strategy == "collapse":
         return _winnowing_pairs_collapsed(

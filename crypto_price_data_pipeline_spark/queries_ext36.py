@@ -413,13 +413,112 @@ ORDER BY within, overlap
 """
 
 
+# --------------------------------------- mergeable quantile sketch
+
+
+def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day p50/p90 of event value per event type from MERGED
+    daily bottom-k-by-hash samples (operators.sketch.kmv_sample) — the
+    quantile complement of q_kmv_rolling: the built-in
+    percentile_approx (KLL) cannot merge STORED partials at the SQL
+    surface and is not bit-reproducible across engines, while the
+    bottom-k sample is a semilattice (daily samples re-rank into any
+    window's sample EXACTLY — merge ≡ whole) and membership is a pure
+    function of md5, so the DuckDB oracle reproduces sample AND
+    quantile bit-for-bit. Daily samples fan out to the ≤7 windows
+    they cover (k-long arrays, never event rows — the q_kmv_rolling
+    shape) and the quantile is the deterministic lower-nearest-rank
+    value, no interpolation. k=128: unit pins <10% median relative
+    error vs the exact rolling quantile."""
+    from .operators.sketch import (
+        kmv_sample,
+        kmv_sample_from_hashes,
+        kmv_sample_quantile,
+    )
+
+    k = 128
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "event_id", "value"
+    )
+    daily = kmv_sample(
+        ev, F.col("event_id"), F.col("value"), ["event_type", "day"], k=k
+    )
+    days = ev.select("day").distinct().withColumnRenamed("day", "wday")
+    spread = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias(
+            "wday"
+        ),
+        "smp",
+    ).join(F.broadcast(days), "wday")
+    # presalt=False: bounded merge input (≤ 7·k rows per group at any
+    # corpus size), same argument as q_kmv_rolling
+    merged = kmv_sample_from_hashes(
+        spread.select(
+            "event_type", "wday", F.explode("smp").alias("_s")
+        ).select(
+            "event_type",
+            "wday",
+            F.col("_s._h").alias("_h"),
+            F.col("_s._v").alias("_v"),
+        ),
+        ["event_type", "wday"],
+        k=k,
+        presalt=False,
+    )
+    return merged.select(
+        "event_type",
+        F.col("wday").alias("day"),
+        F.round(kmv_sample_quantile(F.col("smp"), 0.5), 9).alias("p50_7d"),
+        F.round(kmv_sample_quantile(F.col("smp"), 0.9), 9).alias("p90_7d"),
+    ).orderBy("event_type", "day")
+
+
+Q_QUANTILE_SKETCH_SQL = r"""
+WITH ev AS (SELECT event_type, day(ts) AS day, event_id, value FROM events),
+h AS (
+  SELECT event_type, day, value,
+         list_reduce(list_transform(range(1, 16),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS hv
+  FROM ev
+),
+rk AS (
+  SELECT event_type, day, hv, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY hv, value) AS rn
+  FROM h
+),
+daily AS (SELECT event_type, day, hv, value FROM rk WHERE rn <= 128),
+spread AS (
+  SELECT event_type, day + off AS wday, hv, value
+  FROM (SELECT *, unnest(range(0, 7)) AS off FROM daily)
+  WHERE day + off IN (SELECT DISTINCT day(ts) FROM events)
+),
+rk2 AS (
+  SELECT event_type, wday, hv, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, wday ORDER BY hv, value) AS rn
+  FROM spread
+),
+sk AS (
+  SELECT event_type, wday, list_sort(list(value)) AS vals
+  FROM rk2 WHERE rn <= 128 GROUP BY 1, 2
+)
+SELECT event_type, CAST(wday AS INTEGER) AS day,
+       ROUND(vals[greatest(CAST(ceil(len(vals) * 0.5) AS INTEGER), 1)], 9) AS p50_7d,
+       ROUND(vals[greatest(CAST(ceil(len(vals) * 0.9) AS INTEGER), 1)], 9) AS p90_7d
+FROM sk ORDER BY 1, 2
+"""
+
+
 EXT36_QUERIES = {
     "q_nb_language_id": q_nb_language_id,
     "q_winnow_dupheavy": q_winnow_dupheavy,
     "q_overlap_dupheavy": q_overlap_dupheavy,
+    "q_quantile_sketch": q_quantile_sketch,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
     "q_winnow_dupheavy": _winnow_dupheavy_oracle(),
     "q_overlap_dupheavy": _overlap_dupheavy_oracle(),
+    "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
 }

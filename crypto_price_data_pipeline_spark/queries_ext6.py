@@ -199,7 +199,7 @@ def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return ngram_overlap_pairs(
         docs, block_cols=["lang"], k=3, threshold=0.6,
-        base=minhash_base(spark, sf),
+        base=minhash_base(spark, sf), strategy="auto",
     ).orderBy("id_a", "id_b")
 
 
@@ -598,7 +598,7 @@ def q_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return winnowing_pairs(
         docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50,
-        fp=winnow_postings(spark, sf),
+        fp=winnow_postings(spark, sf), strategy="auto",
     ).orderBy("id_a", "id_b")
 
 

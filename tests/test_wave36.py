@@ -250,3 +250,129 @@ def test_winnow_plain_cliff_and_collapse_fix(spark):
         assert n >= 60 * 59 // 2, n  # at least one full cluster
     finally:
         dup.unpersist()
+
+
+def test_dup_stats_stamped_and_auto_reads_them(spark):
+    """minhash_base / winnow_fp carry measured (n, distinct-identity)
+    dup stats in their stamps (r13), and strategy='auto' with a
+    stamped artifact decides WITHOUT touching df — pinned by passing a
+    poisoned df whose evaluation would fail if auto ran its eager
+    fallback aggregate."""
+    from crypto_price_data_pipeline_spark.artifacts import (
+        minhash_base,
+        winnow_postings,
+    )
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        ngram_overlap_pairs,
+    )
+    from crypto_price_data_pipeline_spark.operators.text import winnowing_pairs
+
+    base = minhash_base(spark, SF)
+    pb = next(
+        (f.metadata or {}).get("artifact_params")
+        for f in base.schema.fields
+        if (f.metadata or {}).get("artifact_params")
+    )
+    assert pb["mb_n"] >= pb["mb_dsig"] > 0
+    fp = winnow_postings(spark, SF)
+    pw = next(
+        (f.metadata or {}).get("artifact_params")
+        for f in fp.schema.fields
+        if (f.metadata or {}).get("artifact_params")
+    )
+    assert pw["wf_n"] >= pw["wf_dsig"] > 0
+
+    # poisoned df: any action on it raises (ANSI divide-by-zero in a
+    # filter), so auto must not evaluate it when a stamp is available.
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    poisoned = docs.where(F.expr("1 div 0 = 1"))
+    # pristine corpora: stamped ratio 1.0 -> plain; building the plan
+    # must not raise (no eager action on the poisoned frame)
+    # (max_docs=None skips the corpus-size gate, which is itself a
+    # documented eager count — not the auto fallback under test)
+    ngram_overlap_pairs(
+        poisoned, block_cols=["lang"], base=base, strategy="auto",
+        max_docs=None,
+    )
+    winnowing_pairs(poisoned, fp=fp, strategy="auto")
+
+
+def test_kmv_sample_merge_equals_whole_and_quantile_accuracy(spark):
+    """kmv_sample mergeability (union of per-chunk samples re-ranks to
+    the whole-corpus sample BIT-EXACTLY — the semilattice contract)
+    and the rolling quantile sketch's accuracy: median relative error
+    of sketch p50/p90 vs the exact rolling quantiles < 10% at k=128."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_sample,
+        kmv_sample_from_hashes,
+    )
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id", "value"
+    )
+    whole = {
+        r["event_type"]: r["smp"]
+        for r in kmv_sample(
+            ev, F.col("event_id"), F.col("value"), ["event_type"], k=64
+        ).collect()
+    }
+    # 3 disjoint chunks -> per-chunk samples -> exploded re-rank
+    chunked = kmv_sample(
+        ev.withColumn("_c", F.pmod("event_id", F.lit(3))),
+        F.col("event_id"),
+        F.col("value"),
+        ["event_type", "_c"],
+        k=64,
+    )
+    merged = {
+        r["event_type"]: r["smp"]
+        for r in kmv_sample_from_hashes(
+            chunked.select(
+                "event_type", F.explode("smp").alias("_s")
+            ).select(
+                "event_type",
+                F.col("_s._h").alias("_h"),
+                F.col("_s._v").alias("_v"),
+            ),
+            ["event_type"],
+            k=64,
+            presalt=False,
+        ).collect()
+    }
+    assert merged == whole
+
+    got = {
+        (r["event_type"], r["day"]): (r["p50_7d"], r["p90_7d"])
+        for r in QUERIES["q_quantile_sketch"](spark, SF).collect()
+    }
+    evd = load_table(spark, SF, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "value"
+    )
+    days = [r["day"] for r in evd.select("day").distinct().collect()]
+    exact = {}
+    for r in (
+        evd.join(
+            spark.createDataFrame(
+                [(d,) for d in days], "wday int"
+            ).withColumn("_lo", F.col("wday") - 6),
+            (F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("wday")),
+        )
+        .groupBy("event_type", "wday")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    ):
+        exact[(r["event_type"], r["wday"])] = (r["p50"], r["p90"])
+    assert set(got) == set(exact)
+    errs = []
+    for key, (g50, g90) in got.items():
+        e50, e90 = exact[key]
+        errs.append(abs(g50 - e50) / abs(e50))
+        errs.append(abs(g90 - e90) / abs(e90))
+    errs.sort()
+    assert errs[len(errs) // 2] < 0.10, errs[len(errs) // 2]
