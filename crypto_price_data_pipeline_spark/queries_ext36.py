@@ -510,15 +510,103 @@ FROM sk ORDER BY 1, 2
 """
 
 
+def q_stream_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed per-type value quantiles (p50/p90) from an
+    INCREMENTALLY maintained bottom-k value sample — the 20th
+    partial-store stream (crash/restart-covered by name). Each
+    micro-batch lands its own batch-local sample as a per-batch_id
+    partial (overwrite replay contract); the read side re-ranks the
+    exploded union — correct because bottom-k sampling is the same
+    semilattice as the distinct sketch (any member of the corpus
+    sample is a member of the batch sample that introduced it; merge ≡
+    whole is unit-pinned bit-exact for kmv_sample). A corpus append
+    costs one batch sample, never a rescan. The oracle rebuilds the
+    whole-corpus sample and the lower-nearest-rank quantiles exactly —
+    streamed ≡ batch by construction."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.sketch import (
+        kmv_sample,
+        kmv_sample_from_hashes,
+        kmv_sample_quantile,
+    )
+    from .streaming.partial_store import run_partial_stream, write_day_chunks
+
+    k = 256
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_quantile_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = f"{work}/src"
+    write_day_chunks(ev, src)
+    store = f"{work}/smp"
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        kmv_sample(
+            batch, F.col("event_id"), F.col("value"), ["event_type"], k=k
+        ).write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
+
+    run_partial_stream(
+        spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
+    )
+
+    merged = kmv_sample_from_hashes(
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store)
+        .select("event_type", F.explode("smp").alias("_s"))
+        .select(
+            "event_type",
+            F.col("_s._h").alias("_h"),
+            F.col("_s._v").alias("_v"),
+        ),
+        ["event_type"],
+        k=k,
+    )
+    return merged.select(
+        "event_type",
+        F.round(kmv_sample_quantile(F.col("smp"), 0.5), 9).alias("p50"),
+        F.round(kmv_sample_quantile(F.col("smp"), 0.9), 9).alias("p90"),
+    ).orderBy("event_type")
+
+
+Q_STREAM_QUANTILE_SQL = r"""
+WITH h AS (
+  SELECT event_type, value,
+         list_reduce(list_transform(range(1, 16),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv, value) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, list_sort(list(value)) AS vals
+  FROM rk WHERE rn <= 256 GROUP BY 1
+)
+SELECT event_type,
+       ROUND(vals[greatest(CAST(ceil(len(vals) * 0.5) AS INTEGER), 1)], 9) AS p50,
+       ROUND(vals[greatest(CAST(ceil(len(vals) * 0.9) AS INTEGER), 1)], 9) AS p90
+FROM sk ORDER BY 1
+"""
+
+
 EXT36_QUERIES = {
     "q_nb_language_id": q_nb_language_id,
     "q_winnow_dupheavy": q_winnow_dupheavy,
     "q_overlap_dupheavy": q_overlap_dupheavy,
     "q_quantile_sketch": q_quantile_sketch,
+    "q_stream_quantile": q_stream_quantile,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
     "q_winnow_dupheavy": _winnow_dupheavy_oracle(),
     "q_overlap_dupheavy": _overlap_dupheavy_oracle(),
     "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
+    "q_stream_quantile": Q_STREAM_QUANTILE_SQL,
 }

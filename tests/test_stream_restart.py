@@ -48,6 +48,7 @@ PARTIAL_STORE_STREAMS = [
     "q_stream_survival",
     "q_stream_artifact_index",
     "q_stream_kmv",
+    "q_stream_quantile",
 ]
 
 
