@@ -14,7 +14,13 @@ all five scanline filters; :func:`wav_decode`: struct-only RIFF
 chunk walker, 16-bit PCM any channel count) wired behind
 ``decode_image(codec="png")`` / ``decode_audio(codec="wav")`` and
 each verified value-exact by an oracled roundtrip query
-(q_png_decode, q_wav_decode). Full image libraries (``codec="pil"``),
+(q_png_decode, q_wav_decode). r13 adds a REAL compressed-image codec:
+baseline sequential JPEG in pure numpy (``operators/jpeg.py`` —
+DCT/quant/Huffman encoder + generic-DHT decoder, grayscale and YCbCr
+4:4:4) behind ``decode_image(codec="jpeg")``, verified by the
+in-plan-bounded roundtrip query q_jpeg_decode (lossy, so the oracle
+pins dims + an err≤16 gate instead of value equality). Full image
+libraries (``codec="pil"``: progressive/subsampled JPEG, WebP, …),
 compressed audio (mp3/flac/opus) and video containers
 (``codec="ffmpeg"``) remain gated behind ``NotImplementedError`` —
 this container has no media libs — with the mapInPandas plumbing
@@ -289,8 +295,12 @@ def decode_image(
     ``codec="fake"`` uses the deterministic byte-layout decoder above;
     ``codec="png"`` decodes real PNG payloads with the stdlib
     :func:`png_decode` (8-bit non-interlaced gray/RGB/RGBA, all five
-    filters); ``codec="pil"`` remains the slot for a full image
-    library (absent in this container → NotImplementedError).
+    filters); ``codec="jpeg"`` decodes real baseline-sequential JPEGs
+    with the pure-numpy :func:`operators.jpeg.jpeg_decode` (r13 —
+    grayscale / YCbCr 4:4:4, generic DHT reader; progressive /
+    subsampled raise the documented NotImplementedError);
+    ``codec="pil"`` remains the slot for a full image library
+    (absent in this container → NotImplementedError).
     ``on_error``: see :func:`_tolerant` — "skip" drops undecodable
     rows instead of failing the job."""
     if codec == "fake":
@@ -298,6 +308,10 @@ def decode_image(
             return _fake_image_decode(payload, width)
     elif codec == "png":
         _decode = png_decode
+    elif codec == "jpeg":
+        from .jpeg import jpeg_decode
+
+        _decode = jpeg_decode
     else:
         raise NotImplementedError(
             f"image codec {codec!r} not available in this environment; "

@@ -596,12 +596,92 @@ FROM sk ORDER BY 1
 """
 
 
+# -------------------------------------------- compressed image codec
+
+
+def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real COMPRESSED image decode through the multimodal plumbing
+    (r13): each document's first 256 bytes become a 16×16 grayscale
+    baseline JPEG via the pure-numpy encoder (operators/jpeg.py), then
+    ``decode_image(codec="jpeg")`` decodes the real DCT/Huffman
+    bitstreams back to pixel tensors inside Arrow-batched mapInPandas.
+    JPEG is lossy, so decode(encode(x)) == x cannot gate it the
+    q_png_decode way; instead the query joins the decoded tensor back
+    to the original bytes and enforces an IN-PLAN error gate (the ANN
+    recall-floor pattern): max |decoded − original| ≤ 16 per image
+    (measured ≤7 at quality 95 on this corpus — 2× margin). The
+    oracle pins (media_id, dims, gate) for EVERY document, so a codec
+    regression — wrong dims, undecodable stream, error blowup — drops
+    or flips rows and fails the comparison."""
+    import pandas as _pd
+
+    from .operators.jpeg import jpeg_encode
+    from .operators.multimodal import decode_image
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 256), "UTF-8").alias("raw"),
+    )
+
+    def to_jpeg(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads, originals = [], []
+            for raw in pdf["raw"]:
+                b = bytes(raw or b"")[:256]
+                b = b + b"\x00" * (256 - len(b))
+                a = _np.frombuffer(b, dtype=_np.uint8).reshape(16, 16)
+                payloads.append(jpeg_encode(a, quality=95))
+                originals.append(list(b))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "original": originals,
+                }
+            )
+
+    jpegs = media.mapInPandas(
+        to_jpeg, "media_id long, payload binary, original array<int>"
+    )
+    decoded = decode_image(jpegs.select("media_id", "payload"), codec="jpeg")
+    err = F.aggregate(
+        F.zip_with(
+            F.flatten("pixels"),
+            "original",
+            lambda d, o: F.abs(d.cast("int") - o),
+        ),
+        F.lit(0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return (
+        decoded.join(jpegs.select("media_id", "original"), "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            (err <= F.lit(16)).alias("within_bound"),
+        )
+        .where("within_bound")
+        .orderBy("media_id")
+    )
+
+
+Q_JPEG_DECODE_SQL = """
+SELECT doc_id AS media_id, 16 AS width, 16 AS height, TRUE AS within_bound
+FROM documents ORDER BY doc_id
+"""
+
+
 EXT36_QUERIES = {
     "q_nb_language_id": q_nb_language_id,
     "q_winnow_dupheavy": q_winnow_dupheavy,
     "q_overlap_dupheavy": q_overlap_dupheavy,
     "q_quantile_sketch": q_quantile_sketch,
     "q_stream_quantile": q_stream_quantile,
+    "q_jpeg_decode": q_jpeg_decode,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
@@ -609,4 +689,5 @@ EXT36_ORACLES = {
     "q_overlap_dupheavy": _overlap_dupheavy_oracle(),
     "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
     "q_stream_quantile": Q_STREAM_QUANTILE_SQL,
+    "q_jpeg_decode": Q_JPEG_DECODE_SQL,
 }
