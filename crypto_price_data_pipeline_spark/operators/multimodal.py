@@ -19,12 +19,16 @@ baseline sequential JPEG in pure numpy (``operators/jpeg.py`` —
 DCT/quant/Huffman encoder + generic-DHT decoder, grayscale and YCbCr
 4:4:4) behind ``decode_image(codec="jpeg")``, verified by the
 in-plan-bounded roundtrip query q_jpeg_decode (lossy, so the oracle
-pins dims + an err≤16 gate instead of value equality). Full image
+pins dims + an err≤16 gate instead of value equality) — and a REAL
+compressed-audio codec: FLAC in pure Python (``operators/flac.py`` —
+rice-coded fixed-predictor subframes, CRC-8/16 validated) behind
+``decode_audio(codec="flac")``, lossless and therefore oracled
+value-exact (q_flac_decode, the q_wav_decode pattern). Full image
 libraries (``codec="pil"``: progressive/subsampled JPEG, WebP, …),
-compressed audio (mp3/flac/opus) and video containers
-(``codec="ffmpeg"``) remain gated behind ``NotImplementedError`` —
-this container has no media libs — with the mapInPandas plumbing
-codec-agnostic.
+lossy audio (mp3/opus), FLAC's LPC/mid-side surface and video
+containers (``codec="ffmpeg"``) remain gated behind
+``NotImplementedError`` — this container has no media libs — with
+the mapInPandas plumbing codec-agnostic.
 """
 
 from __future__ import annotations
@@ -452,15 +456,25 @@ def decode_audio(
 ) -> DataFrame:
     """payload → PCM sample rows via Arrow-batched ``mapInPandas`` —
     the audio twin of :func:`decode_image`. ``codec="wav"`` uses the
-    stdlib :func:`wav_decode`; other codecs (mp3/flac/opus) raise the
-    documented NotImplementedError until a real audio library is
-    present. ``on_error``: see :func:`_tolerant`."""
-    if codec != "wav":
+    stdlib :func:`wav_decode`; ``codec="flac"`` decodes real
+    COMPRESSED (lossless) streams with the pure-Python
+    :func:`operators.flac.flac_decode` (r13 — constant/verbatim/fixed
+    subframes, rice residuals, CRC-validated; LPC and mid/side raise
+    the documented NotImplementedError); other codecs (mp3/opus)
+    stay gated until a real audio library is present. ``on_error``:
+    see :func:`_tolerant`."""
+    if codec == "wav":
+        _dec = wav_decode
+    elif codec == "flac":
+        from .flac import flac_decode
+
+        _dec = flac_decode
+    else:
         raise NotImplementedError(
             f"audio codec {codec!r} not available in this environment; "
             "plug a soundfile/ffmpeg decoder into the extract closure"
         )
-    _decode = _tolerant(wav_decode, on_error, "decode_audio")
+    _decode = _tolerant(_dec, on_error, "decode_audio")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

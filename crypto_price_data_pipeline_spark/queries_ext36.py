@@ -675,6 +675,85 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real COMPRESSED audio decode through the multimodal plumbing
+    (r13): each document's first 64 bytes map to deterministic int16
+    samples (the q_wav_decode rule: ascii·257 − 16384), are encoded
+    as spec-valid FLAC (pure-Python encoder, rice-coded order-2 fixed
+    predictor, CRC-8/16) and ``decode_audio(codec="flac")`` parses
+    the compressed bitstream back inside Arrow-batched mapInPandas.
+    FLAC is LOSSLESS, so unlike q_jpeg_decode the oracle checks
+    decode(encode(x)) == x VALUE-EXACTLY per clip — sum and
+    position-weighted checksums reproduced from the raw text bytes.
+    Same non-ASCII guard as q_wav_decode (the engine maps per byte,
+    the oracle per character)."""
+    import pandas as _pd
+
+    from .operators.flac import flac_encode_pcm16
+    from .operators.multimodal import decode_audio
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def to_flac(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                b = bytes(raw or b"")[:64]
+                if any(v >= 0x80 for v in b):
+                    raise ValueError(
+                        f"q_flac_decode: non-ASCII byte in doc {mid}: the "
+                        "per-byte engine mapping and the per-character "
+                        "oracle diverge on non-ASCII text — extend both "
+                        "together before admitting such a corpus"
+                    )
+                b = b + b"\x00" * (64 - len(b))
+                samples = [(v & 0x7F) * 257 - 16384 for v in b]
+                payloads.append(
+                    flac_encode_pcm16(samples, 16_000, 1, subframe="fixed2")
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    flacs = media.mapInPandas(to_flac, "media_id long, payload binary")
+    decoded = decode_audio(flacs, codec="flac")
+    weighted = F.zip_with(
+        "samples", F.sequence(F.lit(1), F.lit(64)), lambda v, i: v.cast("long") * i
+    )
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        F.aggregate("samples", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "s_sum"
+        ),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "s_dot"
+        ),
+    ).orderBy("media_id")
+
+
+Q_FLAC_DECODE_SQL = """
+WITH px AS (
+  SELECT doc_id, i,
+         (CASE WHEN i <= length(substr(text, 1, 64))
+               THEN ascii(substr(text, CAST(i AS INT), 1)) % 128 ELSE 0 END) * 257
+           - 16384 AS v
+  FROM documents, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+)
+SELECT doc_id AS media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * i) AS BIGINT) AS s_dot
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 EXT36_QUERIES = {
     "q_nb_language_id": q_nb_language_id,
     "q_winnow_dupheavy": q_winnow_dupheavy,
@@ -682,6 +761,7 @@ EXT36_QUERIES = {
     "q_quantile_sketch": q_quantile_sketch,
     "q_stream_quantile": q_stream_quantile,
     "q_jpeg_decode": q_jpeg_decode,
+    "q_flac_decode": q_flac_decode,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
@@ -690,4 +770,5 @@ EXT36_ORACLES = {
     "q_quantile_sketch": Q_QUANTILE_SKETCH_SQL,
     "q_stream_quantile": Q_STREAM_QUANTILE_SQL,
     "q_jpeg_decode": Q_JPEG_DECODE_SQL,
+    "q_flac_decode": Q_FLAC_DECODE_SQL,
 }
