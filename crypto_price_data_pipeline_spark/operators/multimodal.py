@@ -577,13 +577,23 @@ def sample_video_frames(
     emit every ``every_n``-th frame's luma plane — the video twin of
     :func:`decode_image`/:func:`decode_audio` (per-batch explode
     inside mapInPandas, like :func:`sample_frames`). ``codec="y4m"``
-    only; compressed containers (mp4/webm → ``"ffmpeg"``) stay gated.
+    parses the raw YUV4MPEG2 container; ``codec="mjpeg"`` parses real
+    COMPRESSED Motion-JPEG AVI files (r13 —
+    :func:`operators.mjpeg.avi_mjpeg_decode`, every frame a baseline
+    JPEG bitstream inside a RIFF container); other compressed
+    containers (mp4/webm → ``"ffmpeg"``) stay gated.
     ``on_error``: see :func:`_tolerant`."""
-    if codec != "y4m":
+    if codec == "y4m":
+        _dec = y4m_decode
+    elif codec == "mjpeg":
+        from .mjpeg import avi_mjpeg_decode
+
+        _dec = avi_mjpeg_decode
+    else:
         raise NotImplementedError(
             f"video codec {codec!r} not available in this environment"
         )
-    _decode = _tolerant(y4m_decode, on_error, "sample_video_frames")
+    _decode = _tolerant(_dec, on_error, "sample_video_frames")
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -737,6 +737,88 @@ def q_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_mjpeg_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Real COMPRESSED video-container frame sampling (r13): each
+    document's first 1024 bytes ('x'-padded) become a 4-frame 16×16
+    grayscale Motion-JPEG AVI (every frame a real baseline JPEG
+    bitstream inside a real RIFF container — operators/mjpeg.py);
+    ``sample_video_frames(codec="mjpeg")`` walks the container back
+    and keeps every 2nd frame. MJPEG is lossy, so like q_jpeg_decode
+    the query enforces an IN-PLAN error gate — max |decoded − source
+    slice| ≤ 16 per sampled frame via an Arrow-vectorized pandas UDF
+    over the joined originals — and the oracle pins (media_id,
+    frame_idx, dims, gate) for every sampled frame of every doc.
+    Completes the compressed trio begun by q_jpeg_decode (image) and
+    q_flac_decode (audio)."""
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.mjpeg import avi_mjpeg_encode
+    from .operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.rpad(F.substring("text", 1, 1024), 1024, "x"), "UTF-8"
+        ).alias("raw"),
+    )
+
+    def to_avi(batches):
+        for pdf in batches:
+            payloads = []
+            for raw in pdf["raw"]:
+                b = bytes(raw or b"")
+                frames = [b[i * 256:(i + 1) * 256] for i in range(4)]
+                payloads.append(avi_mjpeg_encode(frames, 16, 16, quality=95))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    clips = media.mapInPandas(to_avi, "media_id long, payload binary")
+    sampled = sample_video_frames(clips, every_n=2, codec="mjpeg")
+
+    @pandas_udf("int")
+    def frame_err(frame, raw, idx):
+        import numpy as _np
+
+        out = []
+        for f, r, i in zip(frame, raw, idx):
+            sl = bytes(r)[int(i) * 256:(int(i) + 1) * 256]
+            a = _np.frombuffer(bytes(f), dtype=_np.uint8).astype(int)
+            b = _np.frombuffer(sl, dtype=_np.uint8).astype(int)
+            out.append(int(_np.abs(a - b).max()))
+        return _pd.Series(out)
+
+    return (
+        # originals come from `media`, not `clips`: joining the clips
+        # branch would re-run the AVI encode just to pass `raw` through
+        sampled.join(media, "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            "width",
+            "height",
+            (
+                frame_err(F.col("frame"), F.col("raw"), F.col("frame_idx"))
+                <= F.lit(16)
+            ).alias("within_bound"),
+        )
+        .where("within_bound")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+Q_MJPEG_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       TRUE AS within_bound
+FROM documents, LATERAL (SELECT unnest(range(0, 4, 2)) AS idx) t
+ORDER BY media_id, frame_idx
+"""
+
+
 Q_FLAC_DECODE_SQL = """
 WITH px AS (
   SELECT doc_id, i,
@@ -762,6 +844,7 @@ EXT36_QUERIES = {
     "q_stream_quantile": q_stream_quantile,
     "q_jpeg_decode": q_jpeg_decode,
     "q_flac_decode": q_flac_decode,
+    "q_mjpeg_frames": q_mjpeg_frames,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
@@ -771,4 +854,5 @@ EXT36_ORACLES = {
     "q_stream_quantile": Q_STREAM_QUANTILE_SQL,
     "q_jpeg_decode": Q_JPEG_DECODE_SQL,
     "q_flac_decode": Q_FLAC_DECODE_SQL,
+    "q_mjpeg_frames": Q_MJPEG_FRAMES_SQL,
 }

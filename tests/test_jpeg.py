@@ -108,3 +108,58 @@ def test_spark_decode_image_jpeg_path_and_skip(spark):
         assert np.abs(np.array(r["pixels"]) - a).max() <= 16
     with pytest.raises(Exception):
         decode_image(media, codec="jpeg", on_error="raise").collect()
+
+
+# -------------------------------------------- MJPEG AVI container
+
+
+def test_mjpeg_avi_roundtrip_and_taxonomy():
+    from crypto_price_data_pipeline_spark.operators.mjpeg import (
+        avi_mjpeg_decode,
+        avi_mjpeg_encode,
+    )
+
+    frames = []
+    for i in range(5):
+        a = (
+            (np.add.outer(np.arange(16) * 3, np.arange(16) * 5) + i * 40) % 256
+        ).astype(np.uint8)
+        frames.append(bytes(a.reshape(-1)))
+    enc = avi_mjpeg_encode(frames, 16, 16, fps=10, quality=95)
+    assert enc == avi_mjpeg_encode(frames, 16, 16, fps=10, quality=95)
+    w, h, cs, dec = avi_mjpeg_decode(enc)
+    assert (w, h, cs, len(dec)) == (16, 16, "mjpeg", 5)
+    for d, f in zip(dec, frames):
+        err = np.abs(
+            np.frombuffer(d, dtype=np.uint8).astype(int)
+            - np.frombuffer(f, dtype=np.uint8).astype(int)
+        ).max()
+        assert err <= 16
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_mjpeg_decode(b"not avi")
+    with pytest.raises(ValueError, match="truncated"):
+        avi_mjpeg_decode(enc[:100])
+
+
+def test_spark_sample_video_frames_mjpeg(spark):
+    import pandas as pd
+
+    from crypto_price_data_pipeline_spark.operators.mjpeg import (
+        avi_mjpeg_encode,
+    )
+    from crypto_price_data_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    frames = [bytes([(i * 7 + j) % 256 for j in range(64)]) for i in range(6)]
+    payload = bytearray(avi_mjpeg_encode(frames, 8, 8, quality=95))
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [payload, bytearray(b"bad")]})
+    )
+    rows = sample_video_frames(
+        media, every_n=2, codec="mjpeg", on_error="skip"
+    ).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4]
+    assert all(r["media_id"] == 1 and (r["width"], r["height"]) == (8, 8) for r in rows)
+    with pytest.raises(NotImplementedError, match="video codec"):
+        sample_video_frames(media, codec="ffmpeg")
