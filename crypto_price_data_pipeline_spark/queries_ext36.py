@@ -1,17 +1,26 @@
-"""Wave 36 [EXT]: cube-served corpus modeling — consumers of the
-(w, lang, nib, c, df) counting cube (artifacts.token_lang_counts)
-whose MODEL side is a vocabulary-sized aggregation over the stored
-cube instead of a per-query corpus pass.
+"""Wave 36 [EXT] (r13): four families.
 
-r13 context: the r12 verdict's top item was to wire the token cube
-into its other natural consumers. q_vocab_coverage and q_word_freq
-(both counting-only) now run with ZERO corpus tokenize; this wave
-adds the per-document classifier case, where the corpus tokenize is
-irreducible (each doc must be scored against the model) but the
-MODEL — per-language smoothed unigram probabilities — comes from the
-cube for free. q_language_id (queries_ext3.py) keeps its constant
-stopword profile: its scoring pass is the same irreducible shape and
-it has no counting pass to remove.
+1. CUBE-SERVED CORPUS MODELING — consumers of the (w, lang, nib, c,
+   df) counting cube (artifacts.token_lang_counts) whose MODEL side
+   is a vocabulary-sized aggregation over the stored cube instead of
+   a per-query corpus pass (the r12 verdict's top item; the
+   counting-only q_vocab_coverage / q_word_freq rewrites live in
+   their original modules). q_nb_language_id is the per-document
+   classifier case: the corpus tokenize is irreducible (each doc
+   must be scored) but the model comes from the cube for free.
+   q_language_id (queries_ext3.py) keeps its constant stopword
+   profile: same irreducible scoring shape, no counting pass to
+   remove.
+2. DUP-HEAVY PAIR STRATEGIES — q_winnow_dupheavy / q_overlap_dupheavy
+   pin the text-identity collapse paths on 60×-exact-replica corpora
+   (see the section comment below).
+3. MERGEABLE QUANTILE SKETCH — q_quantile_sketch / q_stream_quantile
+   (bottom-k-by-hash value samples, the KMV semilattice).
+4. COMPRESSED CODEC QUERIES — q_jpeg_decode / q_flac_decode /
+   q_mjpeg_frames drive the r13 pure-Python baseline JPEG, FLAC and
+   MJPEG-AVI codecs end-to-end through the multimodal plumbing
+   (lossless FLAC oracled value-exact; lossy JPEG/MJPEG through
+   in-plan error gates the oracle pins per row).
 
 Determinism contract (shared with q_dsir_sample): each smoothed
 probability p_L(w) = (c_{w,L}+1)/(N_L+V) is ONE double division of
