@@ -88,8 +88,8 @@ KMV_M = 1 << 60
 KMV_HASH_BITS = 60
 
 
-def _kmv_meta(k: int) -> dict:
-    return {"sketch": "kmv", "k": int(k), "hash_bits": KMV_HASH_BITS}
+def _kmv_meta(k: int, kind: str = "kmv") -> dict:
+    return {"sketch": kind, "k": int(k), "hash_bits": KMV_HASH_BITS}
 
 
 def kmv_stamp(df: DataFrame, col: str = "kmv") -> dict | None:
@@ -101,7 +101,7 @@ def kmv_stamp(df: DataFrame, col: str = "kmv") -> dict | None:
     same contract as the minhash banding stats (artifacts.PARAMS).
     Returns None for unstamped (caller-built, trusted) tables."""
     for f in df.schema.fields:
-        if f.name == col and f.metadata.get("sketch") == "kmv":
+        if f.name == col and str(f.metadata.get("sketch", "")).startswith("kmv"):
             return dict(f.metadata)
     return None
 
@@ -297,9 +297,13 @@ def kmv_sample_from_hashes(
     Same two-bounded-windows shape and ``presalt`` contract as
     :func:`kmv_from_hashes`; rows carry the value through the ranks.
     Output array is sorted by (hash, value) — deterministic even if
-    two keys hash-collide."""
+    two keys hash-collide. Same stamp contract as kmv_from_hashes:
+    a stamped ``_h`` (from :func:`kmv_sample_explode`) must agree
+    with ``k`` — cross-k sample merges are biased the same way
+    cross-k distinct merges are."""
     from pyspark.sql.window import Window
 
+    _check_kmv_stamp(kmv_stamp(hashed, "_h"), k, "kmv_sample_from_hashes")
     dist = hashed
     if presalt:
         w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy(
@@ -316,7 +320,29 @@ def kmv_sample_from_hashes(
     )
     return kept.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("smp")
+    ).withMetadata("smp", _kmv_meta(k, "kmv_sample"))
+
+
+def kmv_sample_explode(
+    table: DataFrame, group_cols: list[str], k: int | None = None
+) -> DataFrame:
+    """Explode a stored sample table to (group_cols…, _h, _v) merge
+    rows — the validated entrance to :func:`kmv_sample_from_hashes`,
+    mirroring :func:`kmv_explode`: a stamped table must agree with
+    the caller's ``k`` (hard-fail), and the stamp re-attaches to
+    ``_h`` so the re-rank validates again."""
+    stamp = kmv_stamp(table, "smp")
+    if k is not None:
+        _check_kmv_stamp(stamp, k, "kmv_sample_explode")
+    eff_k = int(stamp["k"]) if stamp is not None else k
+    out = table.select(
+        *group_cols, F.explode("smp").alias("_s")
+    ).select(
+        *group_cols, F.col("_s._h").alias("_h"), F.col("_s._v").alias("_v")
     )
+    if eff_k is not None:
+        out = out.withMetadata("_h", _kmv_meta(eff_k, "kmv_sample"))
+    return out
 
 
 def kmv_sample_quantile(smp: Column, p: float) -> Column:

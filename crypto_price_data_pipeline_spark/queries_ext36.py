@@ -441,6 +441,7 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     error vs the exact rolling quantile."""
     from .operators.sketch import (
         kmv_sample,
+        kmv_sample_explode,
         kmv_sample_from_hashes,
         kmv_sample_quantile,
     )
@@ -463,14 +464,7 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     # presalt=False: bounded merge input (≤ 7·k rows per group at any
     # corpus size), same argument as q_kmv_rolling
     merged = kmv_sample_from_hashes(
-        spread.select(
-            "event_type", "wday", F.explode("smp").alias("_s")
-        ).select(
-            "event_type",
-            "wday",
-            F.col("_s._h").alias("_h"),
-            F.col("_s._v").alias("_v"),
-        ),
+        kmv_sample_explode(spread, ["event_type", "wday"], k=k),
         ["event_type", "wday"],
         k=k,
         presalt=False,
@@ -538,6 +532,7 @@ def q_stream_quantile(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.sketch import (
         kmv_sample,
+        kmv_sample_explode,
         kmv_sample_from_hashes,
         kmv_sample_quantile,
     )
@@ -562,14 +557,13 @@ def q_stream_quantile(spark: SparkSession, sf: str) -> DataFrame:
         spark, src=src, schema=ev.schema, sink=sink, ckpt=f"{work}/ckpt"
     )
 
+    # schema-INFERRED read: the parquet footer restores the sample's
+    # (k, hash_bits) stamp, so a cross-k merge hard-fails here
     merged = kmv_sample_from_hashes(
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(store)
-        .select("event_type", F.explode("smp").alias("_s"))
-        .select(
-            "event_type",
-            F.col("_s._h").alias("_h"),
-            F.col("_s._v").alias("_v"),
+        kmv_sample_explode(
+            spark.read.option("recursiveFileLookup", "true").parquet(store),
+            ["event_type"],
+            k=k,
         ),
         ["event_type"],
         k=k,

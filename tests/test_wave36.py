@@ -376,3 +376,44 @@ def test_kmv_sample_merge_equals_whole_and_quantile_accuracy(spark):
         errs.append(abs(g90 - e90) / abs(e90))
     errs.sort()
     assert errs[len(errs) // 2] < 0.10, errs[len(errs) // 2]
+
+
+def test_kmv_sample_stamp_and_cross_k_merge_fails(spark, tmp_path):
+    """The value sample carries the same (k, hash_bits) stamp contract
+    as the distinct sketch: parquet round-trip keeps it, and cross-k
+    merges hard-fail at both validated entrances."""
+    import pytest
+
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_sample,
+        kmv_sample_explode,
+        kmv_sample_from_hashes,
+        kmv_stamp,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id", "value"
+    )
+    sk = kmv_sample(ev, F.col("event_id"), F.col("value"), ["event_type"], k=32)
+    st = kmv_stamp(sk, "smp")
+    assert st and st["sketch"] == "kmv_sample" and int(st["k"]) == 32
+
+    d = str(tmp_path / "smp")
+    sk.write.parquet(d)
+    back = spark.read.parquet(d)
+    assert int(kmv_stamp(back, "smp")["k"]) == 32
+
+    merged = kmv_sample_from_hashes(
+        kmv_sample_explode(back, ["event_type"], k=32), ["event_type"], k=32
+    )
+    a = {r["event_type"]: [tuple(s) for s in r["smp"]] for r in merged.collect()}
+    b = {r["event_type"]: [tuple(s) for s in r["smp"]] for r in sk.collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        kmv_sample_explode(back, ["event_type"], k=64)
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        kmv_sample_from_hashes(
+            kmv_sample_explode(back, ["event_type"]), ["event_type"], k=64
+        )
