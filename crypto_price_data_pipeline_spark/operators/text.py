@@ -360,6 +360,7 @@ def winnowing_pairs(
     max_doc_freq: int = 50,
     fp: DataFrame | None = None,
     strategy: str = "plain",
+    collapse_df: str = "distinct_texts",
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints — the
     substring-level complement to MinHash (which sees bag-of-shingles,
@@ -404,11 +405,15 @@ def winnowing_pairs(
       representatives, then expand pairs by group-membership algebra
       (within-group pairs share the whole retained sketch). Candidate
       work is O(distinct texts); the expansion is output-sized.
-      SEMANTIC NOTE: the stop-fingerprint df is counted over DISTINCT
-      TEXTS — the boilerplate definition a re-crawl-heavy corpus
-      actually wants — so results differ from "plain" exactly where
-      plain mis-handles exact dups (bit-identical on corpora with no
-      duplicate texts, cliff-free where plain zeroes out).
+      SEMANTIC NOTE: by default the stop-fingerprint df is counted
+      over DISTINCT TEXTS (``collapse_df="distinct_texts"``) — the
+      boilerplate definition a re-crawl-heavy corpus actually wants —
+      so results differ from "plain" exactly where plain mis-handles
+      exact dups (bit-identical on duplicate-free corpora, cliff-free
+      where plain zeroes out). ``collapse_df="raw_docs"`` weights
+      each group by its membership instead: BIT-IDENTICAL to plain on
+      every corpus (cliff included) at O(distinct texts) candidate
+      cost — the drop-in-compatible mode.
     - ``"auto"``: decide from the duplication ratio (rows vs distinct
       sketch identities; ≥1.25 → collapse). FREE when ``fp`` is the
       artifact store's posting table — its stamp carries the measured
@@ -435,7 +440,8 @@ def winnowing_pairs(
         strategy = "collapse" if d and n / d >= 1.25 else "plain"
     if strategy == "collapse":
         return _winnowing_pairs_collapsed(
-            df, id_col, text_col, k, w, min_shared, max_doc_freq
+            df, id_col, text_col, k, w, min_shared, max_doc_freq,
+            df_unit=collapse_df,
         )
     if strategy != "plain":
         raise ValueError(f"unknown winnowing_pairs strategy: {strategy!r}")
@@ -482,6 +488,7 @@ def _winnowing_pairs_collapsed(
     w: int,
     min_shared: int,
     max_doc_freq: int,
+    df_unit: str = "distinct_texts",
 ) -> DataFrame:
     """The text-identity collapse path of :func:`winnowing_pairs`:
     sketch one representative per distinct text, df-cap and
@@ -492,7 +499,16 @@ def _winnowing_pairs_collapsed(
     post-cap fingerprint count), cross-group member pairs inherit
     their representatives' n_shared. Both expansions are
     output-sized joins. Identical text ⇒ identical sketch makes the
-    factoring exact; see winnowing_pairs for the df-semantics note."""
+    factoring exact; see winnowing_pairs for the df-semantics note.
+
+    ``df_unit`` picks what the stop-fingerprint cap counts:
+    "distinct_texts" (default — the cliff-free boilerplate
+    definition) or "raw_docs" (each group weighted by its membership
+    m: the cap sees exactly what plain's per-doc postings see, so
+    this mode is BIT-IDENTICAL to strategy="plain" on EVERY corpus —
+    including zeroing out past the cliff — while still paying only
+    O(distinct texts) candidate work; unit-pinned both sides of the
+    cliff)."""
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_tx"),
@@ -506,12 +522,17 @@ def _winnowing_pairs_collapsed(
     members = keyed.select("_tk", "_id")
     fp = _winnowing_fp_hashes(reps, "_tk", "_tx", k, w).persist()
     try:
-        rare = (
-            fp.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_doc_freq)
-            .select("fp")
-        )
+        if df_unit == "distinct_texts":
+            dfw = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        elif df_unit == "raw_docs":
+            dfw = (
+                fp.join(groups.select("_tk", "_m"), "_tk")
+                .groupBy("fp")
+                .agg(F.sum("_m").alias("_df"))
+            )
+        else:
+            raise ValueError(f"unknown df_unit {df_unit!r}")
+        rare = dfw.where(F.col("_df") <= max_doc_freq).select("fp")
         posting = fp.join(rare, "fp").persist()
         try:
             nfp = posting.groupBy("_tk").agg(F.count(F.lit(1)).alias("_nfp"))

@@ -417,3 +417,30 @@ def test_kmv_sample_stamp_and_cross_k_merge_fails(spark, tmp_path):
         kmv_sample_from_hashes(
             kmv_sample_explode(back, ["event_type"]), ["event_type"], k=64
         )
+
+
+def test_winnow_collapse_raw_docs_mode_bit_identical_to_plain(spark):
+    """collapse_df='raw_docs' weights each text group by membership, so
+    the df cap sees exactly what plain's per-doc postings see —
+    BIT-IDENTICAL pair sets on every corpus, on BOTH sides of the
+    cliff (R=12: nonzero and equal; R=60: both zero), while candidate
+    work stays O(distinct texts)."""
+    from crypto_price_data_pipeline_spark.operators.text import winnowing_pairs
+
+    for R in (12, 60):
+        dup = _exact_replica_corpus(spark, R).persist()
+        try:
+            plain = sorted(tuple(r) for r in winnowing_pairs(dup).collect())
+            compat = sorted(
+                tuple(r)
+                for r in winnowing_pairs(
+                    dup, strategy="collapse", collapse_df="raw_docs"
+                ).collect()
+            )
+            assert plain == compat, R
+            if R == 60:
+                assert plain == []  # the documented cliff, both modes
+            else:
+                assert plain
+        finally:
+            dup.unpersist()
