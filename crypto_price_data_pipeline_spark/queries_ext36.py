@@ -15,7 +15,10 @@
    pin the text-identity collapse paths on 60×-exact-replica corpora
    (see the section comment below).
 3. MERGEABLE QUANTILE SKETCH — q_quantile_sketch / q_stream_quantile
-   (bottom-k-by-hash value samples, the KMV semilattice).
+   (bottom-k-by-hash value samples, the KMV semilattice) — plus the
+   sketch family's decontamination use: q_kmv_contamination monitors
+   per-source train/held 8-gram overlap from two ≤k-long sketches
+   (the cheap continuous twin of the exact q_contamination audit).
 4. COMPRESSED CODEC QUERIES — q_jpeg_decode / q_flac_decode /
    q_mjpeg_frames drive the r13 pure-Python baseline JPEG, FLAC and
    MJPEG-AVI codecs end-to-end through the multimodal plumbing
@@ -602,6 +605,108 @@ FROM sk ORDER BY 1
 # -------------------------------------------- compressed image codec
 
 
+def q_kmv_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/held n-gram contamination MONITOR from KMV sketches: per
+    source, the estimated Jaccard / union / intersection of the word-
+    8-gram shingle sets of the train split vs the held split (the
+    q_vocab_coverage md5-nibble rule). This is the sketch's
+    decontamination use: the EXACT check (q_contamination) re-joins
+    n-gram postings per audit, while two ≤k-long sketches per
+    (source, split) answer "how contaminated is this source's held
+    split, roughly, right now" as pure array algebra over stored
+    cells — at 100 TB the sketches ride the warehouse and the monitor
+    is a broadcast-sized join, no corpus rescan. Shingle keys are the
+    literal space-joined token strings, so the DuckDB oracle rebuilds
+    sketch AND estimator bit-exactly (the q_kmv_overlap contract);
+    k=256 per (source, split)."""
+    from .operators.dedup import tokens_col
+    from .operators.sketch import kmv_build, kmv_pair_stats
+    from .session import scale_out
+
+    k = 256
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    held = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "c", "d", "e", "f"
+    )
+    toks = tokens_col("text")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    )
+    keyed = scale_out(docs).select(
+        "source",
+        F.when(held, F.lit("held")).otherwise(F.lit("train")).alias("_split"),
+        F.explode(sh).alias("_g"),
+    )
+    sk = kmv_build(keyed, F.col("_g"), ["source", "_split"], k=k)
+    tr = sk.where(F.col("_split") == "train").select(
+        "source", F.col("kmv").alias("_a")
+    )
+    he = sk.where(F.col("_split") == "held").select(
+        "source", F.col("kmv").alias("_b")
+    )
+    stats = kmv_pair_stats(F.col("_a"), F.col("_b"), k)
+    return (
+        tr.join(he, "source")
+        .select(
+            "source",
+            F.round(stats["est_jaccard"], 9).alias("est_jaccard"),
+            F.round(stats["est_union"], 6).alias("est_union"),
+            F.round(stats["est_intersection"], 6).alias("est_intersection"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_KMV_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f')
+              THEN 'held' ELSE 'train' END AS split,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT source, split,
+         unnest(list_transform(range(1, CAST(greatest(len(t) - 7, 1) AS BIGINT) + 1),
+                i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+),
+h AS (
+  SELECT DISTINCT source, split,
+         list_reduce(list_transform(range(1, 16),
+             i -> CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS hv
+  FROM grams
+),
+rk AS (
+  SELECT source, split, hv,
+         ROW_NUMBER() OVER (PARTITION BY source, split ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (
+  SELECT source, split, list_sort(list(hv)) AS s
+  FROM rk WHERE rn <= 256 GROUP BY 1, 2
+),
+m AS (
+  SELECT a.source, a.s AS sa, b.s AS sb,
+         list_sort(list_distinct(a.s || b.s))[1:256] AS su
+  FROM sk a JOIN sk b ON a.source = b.source
+  WHERE a.split = 'train' AND b.split = 'held'
+),
+est AS (
+  SELECT source,
+         CAST(len(list_intersect(su, list_intersect(sa, sb))) AS DOUBLE) / len(su) AS jac,
+         CASE WHEN len(su) < 256 THEN CAST(len(su) AS DOUBLE)
+              ELSE 255.0 / (CAST(su[256] AS DOUBLE) / 1152921504606846976.0) END AS eu
+  FROM m
+)
+SELECT source, ROUND(jac, 9) AS est_jaccard,
+       ROUND(eu, 6) AS est_union, ROUND(jac * eu, 6) AS est_intersection
+FROM est ORDER BY source
+"""
+
+
 def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Real COMPRESSED image decode through the multimodal plumbing
     (r13): each document's first 256 bytes become a 16×16 grayscale
@@ -848,6 +953,7 @@ EXT36_QUERIES = {
     "q_jpeg_decode": q_jpeg_decode,
     "q_flac_decode": q_flac_decode,
     "q_mjpeg_frames": q_mjpeg_frames,
+    "q_kmv_contamination": q_kmv_contamination,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
@@ -858,4 +964,5 @@ EXT36_ORACLES = {
     "q_jpeg_decode": Q_JPEG_DECODE_SQL,
     "q_flac_decode": Q_FLAC_DECODE_SQL,
     "q_mjpeg_frames": Q_MJPEG_FRAMES_SQL,
+    "q_kmv_contamination": Q_KMV_CONTAMINATION_SQL,
 }

