@@ -407,6 +407,13 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
         pos += 2 + seglen
     if size_wh is None or data_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    if len(scan) < len(comps):
+        # A first SOS covering fewer components than the frame declares
+        # is a multi-scan (non-interleaved) baseline file; decoding only
+        # the first scan would silently leave the remaining planes zero.
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG unsupported"
+        )
     w, h = size_wh
     # entropy data runs until the EOI marker
     end = payload.rfind(b"\xff\xd9")

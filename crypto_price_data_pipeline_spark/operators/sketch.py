@@ -300,11 +300,17 @@ def kmv_sample_from_hashes(
     two keys hash-collide. Same stamp contract as kmv_from_hashes:
     a stamped ``_h`` (from :func:`kmv_sample_explode`) must agree
     with ``k`` — cross-k sample merges are biased the same way
-    cross-k distinct merges are."""
+    cross-k distinct merges are.
+
+    Like :func:`kmv_from_hashes`, input rows are deduplicated on
+    (group, _h, _v) before ranking, so a replayed/duplicated merge
+    partial (the crash-recovery double-count hazard) cannot occupy
+    multiple of the k sample slots — merge is idempotent to the same
+    faults the distinct-sketch path is."""
     from pyspark.sql.window import Window
 
     _check_kmv_stamp(kmv_stamp(hashed, "_h"), k, "kmv_sample_from_hashes")
-    dist = hashed
+    dist = hashed.dropDuplicates([*group_cols, "_h", "_v"])
     if presalt:
         w1 = Window.partitionBy(*group_cols, F.pmod("_h", F.lit(64))).orderBy(
             "_h", "_v"

@@ -292,18 +292,12 @@ FROM m ORDER BY 1, 2
 """
 
 
-def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling 7-day distinct-user estimates per event type from MERGED
-    daily KMV sketches — the sketch's flagship warehouse use: exact
-    rolling distincts at 100 TB would re-shuffle every (window, user)
-    pair per day, whereas daily bottom-k sketches build once (k longs
-    per (type, day)) and every window is an array merge + re-rank.
-    Each daily sketch fans out to the ≤7 windows it covers (a
-    sequence explode of k-long arrays, never the event rows); windows
-    are the days present in the data. Fully deterministic — the
-    oracle rebuilds daily sketches, the window merge AND the
-    estimator. k=128: small corpora sit in the exact regime, sf0.1 in
-    the estimation regime."""
+def _kmv_rolling_from_events(ev: DataFrame, k: int = 128) -> DataFrame:
+    """Core of q_kmv_rolling over an (event_type, day: DATE, user_id)
+    frame — factored so units can feed a synthetic multi-month corpus
+    (the r13 verdict's aliasing note: daily cells MUST key on a
+    calendar date; ``dayofmonth`` keys would alias day 5 of different
+    months into one cell)."""
     from .operators.sketch import (
         kmv_build,
         kmv_estimate,
@@ -311,17 +305,13 @@ def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
         kmv_from_hashes,
     )
 
-    k = 128
-    ev = load_table(spark, sf, "events").select(
-        "event_type", F.dayofmonth("ts").alias("day"), "user_id"
-    )
     daily = kmv_build(ev, F.col("user_id"), ["event_type", "day"], k=k)
     days = ev.select("day").distinct().withColumnRenamed("day", "wday")
     spread = daily.select(
         "event_type",
-        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias(
-            "wday"
-        ),
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
         "kmv",
     ).join(F.broadcast(days), "wday")
     # presalt=False: the merge input is ≤ 7·k rows per (type, window)
@@ -342,8 +332,27 @@ def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def q_kmv_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates per event type from MERGED
+    daily KMV sketches — the sketch's flagship warehouse use: exact
+    rolling distincts at 100 TB would re-shuffle every (window, user)
+    pair per day, whereas daily bottom-k sketches build once (k longs
+    per (type, day)) and every window is an array merge + re-rank.
+    Each daily sketch fans out to the ≤7 CALENDAR-DATE windows it
+    covers (a date-sequence explode of k-long arrays, never the event
+    rows — ``to_date`` keys, so a multi-month corpus can never alias
+    same day-of-month cells); windows are the days present in the
+    data. Fully deterministic — the oracle rebuilds daily sketches,
+    the window merge AND the estimator. k=128: small corpora sit in
+    the exact regime, sf0.1 in the estimation regime."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    return _kmv_rolling_from_events(ev, k=128)
+
+
 Q_KMV_ROLLING_SQL = r"""
-WITH ev AS (SELECT event_type, day(ts) AS day, user_id FROM events),
+WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
 h AS (
   SELECT DISTINCT event_type, day,
          list_reduce(list_transform(range(1, 16),
@@ -358,9 +367,10 @@ rk AS (
 ),
 daily AS (SELECT event_type, day, hv FROM rk WHERE rn <= 128),
 spread AS (
-  SELECT event_type, day + off AS wday, hv
+  SELECT event_type, day + CAST(off AS INTEGER) AS wday, hv
   FROM (SELECT *, unnest(range(0, 7)) AS off FROM daily)
-  WHERE day + off IN (SELECT DISTINCT day(ts) FROM events)
+  WHERE day + CAST(off AS INTEGER)
+        IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)
 ),
 d2 AS (SELECT DISTINCT event_type, wday, hv FROM spread),
 rk2 AS (
@@ -372,7 +382,7 @@ sk AS (
   SELECT event_type, wday, list_sort(list(hv)) AS s
   FROM rk2 WHERE rn <= 128 GROUP BY 1, 2
 )
-SELECT event_type, CAST(wday AS INTEGER) AS day,
+SELECT event_type, wday AS day,
        ROUND(CASE WHEN len(s) < 128 THEN CAST(len(s) AS DOUBLE)
              ELSE 127.0 / (CAST(s[128] AS DOUBLE) / 1152921504606846976.0) END,
              6) AS est_uniques_7d

@@ -428,20 +428,11 @@ ORDER BY within, overlap
 # --------------------------------------- mergeable quantile sketch
 
 
-def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling 7-day p50/p90 of event value per event type from MERGED
-    daily bottom-k-by-hash samples (operators.sketch.kmv_sample) — the
-    quantile complement of q_kmv_rolling: the built-in
-    percentile_approx (KLL) cannot merge STORED partials at the SQL
-    surface and is not bit-reproducible across engines, while the
-    bottom-k sample is a semilattice (daily samples re-rank into any
-    window's sample EXACTLY — merge ≡ whole) and membership is a pure
-    function of md5, so the DuckDB oracle reproduces sample AND
-    quantile bit-for-bit. Daily samples fan out to the ≤7 windows
-    they cover (k-long arrays, never event rows — the q_kmv_rolling
-    shape) and the quantile is the deterministic lower-nearest-rank
-    value, no interpolation. k=128: unit pins <10% median relative
-    error vs the exact rolling quantile."""
+def _quantile_sketch_from_events(ev: DataFrame, k: int = 128) -> DataFrame:
+    """Core of q_quantile_sketch over an (event_type, day: DATE,
+    event_id, value) frame — factored so units can feed a synthetic
+    multi-month corpus (the r13 verdict's aliasing note: daily cells
+    MUST key on a calendar date, not ``dayofmonth``)."""
     from .operators.sketch import (
         kmv_sample,
         kmv_sample_explode,
@@ -449,19 +440,15 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
         kmv_sample_quantile,
     )
 
-    k = 128
-    ev = load_table(spark, sf, "events").select(
-        "event_type", F.dayofmonth("ts").alias("day"), "event_id", "value"
-    )
     daily = kmv_sample(
         ev, F.col("event_id"), F.col("value"), ["event_type", "day"], k=k
     )
     days = ev.select("day").distinct().withColumnRenamed("day", "wday")
     spread = daily.select(
         "event_type",
-        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias(
-            "wday"
-        ),
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
         "smp",
     ).join(F.broadcast(days), "wday")
     # presalt=False: bounded merge input (≤ 7·k rows per group at any
@@ -480,8 +467,32 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day p50/p90 of event value per event type from MERGED
+    daily bottom-k-by-hash samples (operators.sketch.kmv_sample) — the
+    quantile complement of q_kmv_rolling: the built-in
+    percentile_approx (KLL) cannot merge STORED partials at the SQL
+    surface and is not bit-reproducible across engines, while the
+    bottom-k sample is a semilattice (daily samples re-rank into any
+    window's sample EXACTLY — merge ≡ whole) and membership is a pure
+    function of md5, so the DuckDB oracle reproduces sample AND
+    quantile bit-for-bit. Daily samples fan out to the ≤7
+    CALENDAR-DATE windows they cover (k-long arrays, never event rows
+    — the q_kmv_rolling shape; ``to_date`` keys, so a multi-month
+    corpus can never alias same day-of-month cells) and the quantile
+    is the deterministic lower-nearest-rank value, no interpolation.
+    k=128: unit pins <10% median relative error vs the exact rolling
+    quantile."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "event_id", "value"
+    )
+    return _quantile_sketch_from_events(ev, k=128)
+
+
 Q_QUANTILE_SKETCH_SQL = r"""
-WITH ev AS (SELECT event_type, day(ts) AS day, event_id, value FROM events),
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, event_id, value FROM events
+),
 h AS (
   SELECT event_type, day, value,
          list_reduce(list_transform(range(1, 16),
@@ -496,9 +507,10 @@ rk AS (
 ),
 daily AS (SELECT event_type, day, hv, value FROM rk WHERE rn <= 128),
 spread AS (
-  SELECT event_type, day + off AS wday, hv, value
+  SELECT event_type, day + CAST(off AS INTEGER) AS wday, hv, value
   FROM (SELECT *, unnest(range(0, 7)) AS off FROM daily)
-  WHERE day + off IN (SELECT DISTINCT day(ts) FROM events)
+  WHERE day + CAST(off AS INTEGER)
+        IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)
 ),
 rk2 AS (
   SELECT event_type, wday, hv, value,
@@ -509,7 +521,7 @@ sk AS (
   SELECT event_type, wday, list_sort(list(value)) AS vals
   FROM rk2 WHERE rn <= 128 GROUP BY 1, 2
 )
-SELECT event_type, CAST(wday AS INTEGER) AS day,
+SELECT event_type, wday AS day,
        ROUND(vals[greatest(CAST(ceil(len(vals) * 0.5) AS INTEGER), 1)], 9) AS p50_7d,
        ROUND(vals[greatest(CAST(ceil(len(vals) * 0.9) AS INTEGER), 1)], 9) AS p90_7d
 FROM sk ORDER BY 1, 2

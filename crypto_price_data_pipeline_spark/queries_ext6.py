@@ -599,6 +599,11 @@ def q_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return winnowing_pairs(
         docs, "doc_id", "text", k=8, w=8, min_shared=10, max_doc_freq=50,
         fp=winnow_postings(spark, sf), strategy="auto",
+        # The pinned oracle counts stop-fingerprint df over RAW docs, so
+        # auto's collapse branch must use the plain-bit-compatible df
+        # unit — on a dup ratio >= 1.25 corpus the default
+        # "distinct_texts" unit would silently diverge from the oracle.
+        collapse_df="raw_docs",
     ).orderBy("id_a", "id_b")
 
 

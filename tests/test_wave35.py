@@ -275,7 +275,7 @@ def test_kmv_rolling_accuracy_and_shape(spark):
     sf = "/root/testdata/sf0.01"
     rows = QUERIES["q_kmv_rolling"](spark, sf).collect()
     ev = load_table(spark, sf, "events").select(
-        "event_type", F.dayofmonth("ts").alias("day"), "user_id"
+        "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     pairs = {(r.event_type, r.day) for r in ev.select("event_type", "day").distinct().collect()}
     types = {t for t, _ in pairs}
@@ -286,7 +286,11 @@ def test_kmv_rolling_accuracy_and_shape(spark):
     for t in types:
         for d in days:
             exact[(t, d)] = len(
-                {r.user_id for r in data if r.event_type == t and d - 6 <= r.day <= d}
+                {
+                    r.user_id
+                    for r in data
+                    if r.event_type == t and 0 <= (d - r.day).days <= 6
+                }
             )
     errs = sorted(
         abs(r.est_uniques_7d - exact[(r.event_type, r.day)]) / exact[(r.event_type, r.day)]

@@ -349,15 +349,15 @@ def test_kmv_sample_merge_equals_whole_and_quantile_accuracy(spark):
         for r in QUERIES["q_quantile_sketch"](spark, SF).collect()
     }
     evd = load_table(spark, SF, "events").select(
-        "event_type", F.dayofmonth("ts").alias("day"), "value"
+        "event_type", F.to_date("ts").alias("day"), "value"
     )
     days = [r["day"] for r in evd.select("day").distinct().collect()]
     exact = {}
     for r in (
         evd.join(
             spark.createDataFrame(
-                [(d,) for d in days], "wday int"
-            ).withColumn("_lo", F.col("wday") - 6),
+                [(d,) for d in days], "wday date"
+            ).withColumn("_lo", F.date_sub(F.col("wday"), 6)),
             (F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("wday")),
         )
         .groupBy("event_type", "wday")

@@ -1,0 +1,208 @@
+"""Wave-37 units: the r13 ADVICE closures. (1) q_winnowing_pairs'
+auto strategy now pins collapse_df="raw_docs", so a dup-heavy corpus
+routed through the collapse branch stays bit-identical to the plain
+(oracle) df semantics. (2) jpeg_decode refuses multi-scan
+(non-interleaved) baseline files explicitly instead of silently
+returning zero planes. (3) kmv_sample_from_hashes dedupes merge rows
+on (group, _h, _v) before ranking, so a replayed/duplicated partial
+(the crash-recovery double-count hazard) cannot bias the sample."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_winnow_auto_raw_docs_bit_identical_to_plain_when_dupheavy(spark):
+    """The registry call shape (strategy='auto', collapse_df='raw_docs')
+    on a corpus whose dup ratio trips the collapse branch must equal
+    plain exactly — the r13 ADVICE medium finding."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.text import (
+        winnowing_pairs,
+    )
+
+    base = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    # Replicate 3x -> dup ratio 3 >= 1.25, so auto picks collapse.
+    dup = base.unionByName(
+        base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    kw = dict(k=8, w=8, min_shared=4, max_doc_freq=80)
+    plain = winnowing_pairs(dup, strategy="plain", **kw)
+    auto = winnowing_pairs(
+        dup, strategy="auto", collapse_df="raw_docs", **kw
+    )
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], r["n_shared"]) for r in rows
+    )
+    got_plain, got_auto = key(plain.collect()), key(auto.collect())
+    assert got_plain and got_auto == got_plain
+
+
+def test_jpeg_multiscan_refused_explicitly():
+    """A first SOS covering fewer components than SOF declares is a
+    multi-scan (non-interleaved) file: refuse, don't half-decode."""
+    from crypto_price_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[..., 0] = 200
+    enc = jpeg_encode(rgb, quality=90)
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    body = enc[sos + 4:]  # past marker + 2-byte length
+    ns = body[0]
+    assert ns == 3
+    seglen = int.from_bytes(enc[sos + 2:sos + 4], "big")
+    # Rewrite SOS to cover only the first component (ns=1): keep the
+    # first (cid, tbls) pair and the 3 spectral-selection bytes.
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns:1 + 2 * ns + 3]
+    patched = (
+        enc[:sos + 2]
+        + (len(new_body) + 2).to_bytes(2, "big")
+        + new_body
+        + enc[sos + 2 + seglen:]
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        jpeg_decode(patched)
+
+
+def test_kmv_sample_merge_idempotent_to_replayed_partials(spark):
+    """Union of the exploded partials WITH A FULL REPLAY of themselves
+    (every merge row duplicated) re-ranks to the whole-corpus sample
+    bit-exactly — the dedupe-before-rank contract."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_sample,
+        kmv_sample_from_hashes,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id", "value"
+    )
+    whole = {
+        r["event_type"]: r["smp"]
+        for r in kmv_sample(
+            ev, F.col("event_id"), F.col("value"), ["event_type"], k=64
+        ).collect()
+    }
+    chunked = kmv_sample(
+        ev.withColumn("_c", F.pmod("event_id", F.lit(3))),
+        F.col("event_id"),
+        F.col("value"),
+        ["event_type", "_c"],
+        k=64,
+    )
+    rows = chunked.select(
+        "event_type", F.explode("smp").alias("_s")
+    ).select(
+        "event_type",
+        F.col("_s._h").alias("_h"),
+        F.col("_s._v").alias("_v"),
+    )
+    replayed = rows.unionByName(rows)  # crash-replayed batch partial
+    merged = {
+        r["event_type"]: r["smp"]
+        for r in kmv_sample_from_hashes(
+            replayed, ["event_type"], k=64, presalt=False
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_rolling_sketch_calendar_keys_no_multimonth_aliasing(spark):
+    """The r13 verdict's design note, pinned: rolling sketch windows
+    key daily cells on to_date(ts), so a TWO-MONTH corpus keeps day 5
+    of January and day 5 of February in separate cells. The old
+    dayofmonth keying (reproduced here by collapsing both months onto
+    one) provably aliases — its windows overcount by merging months.
+    Cells are < k distinct, so the sketch sits in the exact regime and
+    equality assertions are exact."""
+    import datetime
+
+    from crypto_price_data_pipeline_spark.queries_ext35 import (
+        _kmv_rolling_from_events,
+    )
+    from crypto_price_data_pipeline_spark.queries_ext36 import (
+        _quantile_sketch_from_events,
+    )
+
+    rows = []
+    eid = 0
+    for m in (1, 2):
+        for dom in (5, 6, 7):
+            for i in range(5):
+                rows.append(
+                    (
+                        "x",
+                        datetime.date(2024, m, dom),
+                        m * 1000 + dom * 10 + i,
+                        eid,
+                        float(m * 100 + dom * 10 + i),
+                    )
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_type string, day date, user_id long, "
+        "event_id long, value double"
+    )
+
+    # ---- calendar-keyed rolling distincts == exact per-window counts
+    got = {
+        (r.event_type, r.day): r.est_uniques_7d
+        for r in _kmv_rolling_from_events(
+            ev.select("event_type", "day", "user_id"), k=128
+        ).collect()
+    }
+    data = ev.collect()
+    days = sorted({r.day for r in data})
+    exact = {
+        ("x", d): float(
+            len({r.user_id for r in data if 0 <= (d - r.day).days <= 6})
+        )
+        for d in days
+    }
+    assert got == exact  # Jan-7 window = 15, never polluted by Feb
+
+    # ---- the OLD keying (dayofmonth ≡ collapse months) overcounts
+    aliased_ev = ev.select(
+        "event_type",
+        F.make_date(F.lit(2024), F.lit(1), F.dayofmonth("day")).alias("day"),
+        "user_id",
+    )
+    aliased = {
+        r.day.day: r.est_uniques_7d
+        for r in _kmv_rolling_from_events(aliased_ev, k=128).collect()
+    }
+    # day-7 window under aliasing merges both months: 30 users vs 15
+    assert aliased[7] == 30.0
+    assert exact[("x", datetime.date(2024, 1, 7))] == 15.0
+
+    # ---- quantile twin: calendar-keyed p50/p90 == exact (cells < k
+    # keep the WHOLE window population, so lower-nearest-rank is exact)
+    gq = {
+        (r.event_type, r.day): (r.p50_7d, r.p90_7d)
+        for r in _quantile_sketch_from_events(
+            ev.select("event_type", "day", "event_id", "value"), k=128
+        ).collect()
+    }
+    import math
+
+    for d in days:
+        vals = sorted(r.value for r in data if 0 <= (d - r.day).days <= 6)
+        p50 = vals[max(math.ceil(len(vals) * 0.5), 1) - 1]
+        p90 = vals[max(math.ceil(len(vals) * 0.9), 1) - 1]
+        assert gq[("x", d)] == (p50, p90)
