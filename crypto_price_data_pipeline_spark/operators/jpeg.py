@@ -24,6 +24,14 @@ Design notes:
 - DCT/IDCT are float64 orthonormal matrix products (numpy), exact to
   rounding; the roundtrip error bound in tests comes from
   quantization, not the transform.
+- Hot paths are numpy-batched (r14): DCT/quant/zigzag run as ONE
+  stacked matmul over all blocks of an image on both sides, entropy
+  bits are packed/unstuffed in whole-stream numpy passes, and the
+  Huffman scan walks a rolling int bit-buffer with 16-bit peeks
+  (canonical mincode/maxcode rows) instead of per-bit dict lookups —
+  ~4-6× per image, byte-identical output to the per-bit r13 codec.
+  Only the run-length state machine stays serial per block; at 100 TB
+  the same mapInPandas boundary swaps in a native codec unchanged.
 
 Return convention matches ``multimodal.png_decode``:
 (width, height, pixels[row][col]) with gray values for 1-component
@@ -116,29 +124,6 @@ def _dht_payload(table_class: int, table_id: int, symbols: list[int], length: in
     return bytes([table_class << 4 | table_id] + bits + symbols)
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self._acc = 0
-        self._n = 0
-
-    def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                b = self._acc
-                self.out.append(b)
-                if b == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self._acc = 0
-                self._n = 0
-
-    def flush(self) -> None:
-        while self._n:
-            self.write(1, 1)  # pad with 1s (the all-ones code is unused)
-
-
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, bits) of JPEG magnitude coding; negatives in one's
     complement of their absolute value."""
@@ -148,43 +133,103 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
-def _encode_block(
-    w: _BitWriter,
-    block: np.ndarray,
-    qtbl: np.ndarray,
-    dc_pred: int,
+def _block_zigzag_quant(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """All 8×8 blocks of a padded plane → (nblocks, 64) quantized
+    zigzag coefficients in (brow, bcol) order, one batched matmul —
+    the per-block DCT/quant/zigzag loop, vectorized (r14)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    coef = np.matmul(np.matmul(_DCT, blocks), _DCT.T)
+    quant = np.round(coef / qtbl).astype(np.int64)
+    return quant[:, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _tokenize_blocks(
+    zz_by_comp: list[np.ndarray],
     dc_codes: dict,
     ac_codes: dict,
-) -> int:
-    coef = _DCT @ (block - 128.0) @ _DCT.T
-    quant = np.round(coef / qtbl).astype(np.int64)
-    zz = quant[_ZZ_ROWS, _ZZ_COLS]
-    dc = int(zz[0])
-    size, bits = _magnitude(dc - dc_pred)
-    code, nlen = dc_codes[size]
-    w.write(code, nlen)
-    if size:
-        w.write(bits, size)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for i in range(1, last_nz + 1):
-        v = int(zz[i])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, nlen = ac_codes[0xF0]
-            w.write(code, nlen)
-            run -= 16
-        size, bits = _magnitude(v)
-        code, nlen = ac_codes[(run << 4) | size]
-        w.write(code, nlen)
-        w.write(bits, size)
-        run = 0
-    if last_nz < 63:
-        code, nlen = ac_codes[0x00]
-        w.write(code, nlen)
-    return dc
+) -> tuple[list[int], list[int]]:
+    """Huffman token stream (values, bit-lengths) for MCU-interleaved
+    blocks — plain-int run-length coding per block (the serial part of
+    entropy coding); the bit-level packing is numpy (:func:`_pack_bits`).
+    ``zz_by_comp``: per-component (nblocks, 64) quantized zigzag rows."""
+    nf = len(zz_by_comp)
+    nb = zz_by_comp[0].shape[0]
+    # last nonzero AC index per block, vectorized (0 if AC all-zero)
+    lasts = []
+    for zz in zz_by_comp:
+        rev = zz[:, :0:-1] != 0  # AC 63..1 reversed
+        lasts.append(
+            np.where(rev.any(axis=1), 63 - np.argmax(rev, axis=1), 0).tolist()
+        )
+    zzl = [zz.tolist() for zz in zz_by_comp]
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+    tvals: list[int] = []
+    tbits: list[int] = []
+    preds = [0] * nf
+    for b in range(nb):
+        for ci in range(nf):
+            blk = zzl[ci][b]
+            dc = blk[0]
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size, bits = _magnitude(diff)
+            code, nlen = dc_codes[size]
+            tvals.append(code)
+            tbits.append(nlen)
+            if size:
+                tvals.append(bits)
+                tbits.append(size)
+            run = 0
+            last = lasts[ci][b]
+            for i in range(1, last + 1):
+                v = blk[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    tvals.append(zrl_code)
+                    tbits.append(zrl_len)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, nlen = ac_codes[(run << 4) | size]
+                tvals.append(code)
+                tbits.append(nlen)
+                tvals.append(bits)
+                tbits.append(size)
+                run = 0
+            if last < 63:
+                tvals.append(eob_code)
+                tbits.append(eob_len)
+    return tvals, tbits
+
+
+def _pack_bits(tvals: list[int], tbits: list[int]) -> bytes:
+    """MSB-first bit-pack a token stream, pad with 1s to a byte
+    boundary, stuff 0x00 after every 0xFF — byte-identical to the old
+    per-bit writer, in three numpy passes (r14)."""
+    va = np.asarray(tvals, dtype=np.int64)
+    nb = np.asarray(tbits, dtype=np.int64)
+    total = int(nb.sum())
+    if total == 0:
+        return b""
+    starts = np.cumsum(nb) - nb
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+    shifts = np.repeat(nb, nb) - 1 - within
+    bits = ((np.repeat(va, nb) >> shifts) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(bits)
+    ff = np.flatnonzero(by == 0xFF)
+    if ff.size:
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
 
 
 def _pad_blocks(plane: np.ndarray) -> np.ndarray:
@@ -213,7 +258,6 @@ def jpeg_encode(arr, quality: int = 90) -> bytes:
     h, w = planes[0].shape
     qtbls = [_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality)]
     padded = [_pad_blocks(p) for p in planes]
-    rows, cols = padded[0].shape[0] // 8, padded[0].shape[1] // 8
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -240,18 +284,12 @@ def jpeg_encode(arr, quality: int = 90) -> bytes:
         out += bytes([ci + 1, tbl << 4 | tbl])
     out += b"\x00\x3f\x00"
 
-    bw = _BitWriter()
-    preds = [0] * nf
-    for br in range(rows):
-        for bc in range(cols):
-            for ci in range(nf):
-                block = padded[ci][br * 8:(br + 1) * 8, bc * 8:(bc + 1) * 8]
-                preds[ci] = _encode_block(
-                    bw, block, qtbls[comp_q[ci]].astype(np.float64),
-                    preds[ci], _DC_CODES, _AC_CODES,
-                )
-    bw.flush()
-    out += bw.out
+    zz_by_comp = [
+        _block_zigzag_quant(padded[ci], qtbls[comp_q[ci]].astype(np.float64))
+        for ci in range(nf)
+    ]
+    tvals, tbits = _tokenize_blocks(zz_by_comp, _DC_CODES, _AC_CODES)
+    out += _pack_bits(tvals, tbits)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -266,60 +304,42 @@ def jpeg_encode_gray(data: bytes, width: int, quality: int = 90) -> bytes:
 # ------------------------------------------------------------ decode
 
 
-class _BitReader:
-    def __init__(self, buf: bytes) -> None:
-        self.buf = buf
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
-
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.buf):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.buf[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.buf):
-                    raise ValueError("JPEG entropy stream truncated at FF")
-                marker = self.buf[self.pos]
-                if marker == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker inside entropy data")
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _build_decoder(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from a DHT's canonical description —
-    generic, so files carrying Annex K tables decode the same as ours."""
-    table: dict[tuple[int, int], int] = {}
+def _build_decoder(
+    bits: list[int], symbols: list[int]
+) -> tuple[list[tuple[int, int, int, int]], list[int]]:
+    """Canonical-Huffman decode tables from a DHT description —
+    generic, so files carrying Annex K tables decode the same as ours.
+    Returns (rows, vals): one row per PRESENT code length, ordered
+    short→long, as (length, mincode, maxcode, valptr) — the classic
+    mincode/maxcode walk, driven by a 16-bit peek instead of per-bit
+    reads (r14)."""
+    rows: list[tuple[int, int, int, int]] = []
     code = 0
-    it = iter(symbols)
+    k = 0
     for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            table[(ln, code)] = next(it)
-            code += 1
+        n = bits[ln - 1]
+        if n:
+            rows.append((ln, code, code + n - 1, k))
+            code += n
+            k += n
         code <<= 1
-    return table
+    return rows, list(symbols)
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _unstuff(ent: bytes) -> bytes:
+    """Remove the 0x00 stuffed after every 0xFF entropy byte (numpy
+    pass); any 0xFF followed by a non-zero is a stray marker and any
+    trailing bare 0xFF is a truncation — same taxonomy as the old
+    per-byte reader."""
+    arr = np.frombuffer(ent, dtype=np.uint8)
+    if arr.size and arr[-1] == 0xFF:
+        raise ValueError("JPEG entropy stream truncated at FF")
+    ffp = np.flatnonzero(arr[:-1] == 0xFF)
+    if ffp.size == 0:
+        return ent
+    if (arr[ffp + 1] != 0).any():
+        raise ValueError("unexpected marker inside entropy data")
+    return np.delete(arr, ffp + 1).tobytes()
 
 
 def _extend(val: int, size: int) -> int:
@@ -328,6 +348,97 @@ def _extend(val: int, size: int) -> int:
     if val < (1 << (size - 1)):
         return val - (1 << size) + 1
     return val
+
+
+def _decode_entropy(
+    data: bytes,
+    scan: list[tuple[int, int, int]],
+    huff: dict[tuple[int, int], tuple],
+    n_mcus: int,
+    n_comps: int,
+) -> np.ndarray:
+    """Serial Huffman/RLE scan decode → (n_mcus·len(scan), 64) zigzag
+    coefficient rows in MCU-interleaved order. The only per-bit state
+    machine left in the codec: a rolling int bit-buffer with 16-bit
+    peeks (≈10 int ops per symbol vs ≈10 per BIT for the old dict
+    reader); dequant/IDCT happen batched in the caller (r14)."""
+    real_bits = len(data) * 8
+    buf = data + b"\x00" * 4  # peek pad; real_bits guards overreads
+    tables = [(huff[(0, d)], huff[(1, a)]) for _, d, a in scan]
+    comp_of = [ci for ci, _, _ in scan]
+    preds = [0] * n_comps
+    acc = 0
+    nacc = 0
+    p = 0
+    used = 0
+    rows_list: list[list[int]] = []
+    for _ in range(n_mcus):
+        for si in range(len(scan)):
+            dct, act = tables[si]
+            ci = comp_of[si]
+            row = [0] * 64
+            # ---- DC symbol
+            while nacc < 16:
+                acc = ((acc << 8) | buf[p]) & 0xFFFFFF
+                p += 1
+                nacc += 8
+            peek = (acc >> (nacc - 16)) & 0xFFFF
+            for ln, mincode, maxcode, valptr in dct[0]:
+                c = peek >> (16 - ln)
+                if c <= maxcode:
+                    size = dct[1][valptr + c - mincode]
+                    break
+            else:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            used += ln
+            nacc -= ln
+            if size:
+                while nacc < size:
+                    acc = ((acc << 8) | buf[p]) & 0xFFFFFF
+                    p += 1
+                    nacc += 8
+                used += size
+                preds[ci] += _extend((acc >> (nacc - size)) & ((1 << size) - 1), size)
+                nacc -= size
+            row[0] = preds[ci]
+            # ---- AC symbols
+            k = 1
+            while k < 64:
+                while nacc < 16:
+                    acc = ((acc << 8) | buf[p]) & 0xFFFFFF
+                    p += 1
+                    nacc += 8
+                peek = (acc >> (nacc - 16)) & 0xFFFF
+                for ln, mincode, maxcode, valptr in act[0]:
+                    c = peek >> (16 - ln)
+                    if c <= maxcode:
+                        sym = act[1][valptr + c - mincode]
+                        break
+                else:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                used += ln
+                nacc -= ln
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                while nacc < size:
+                    acc = ((acc << 8) | buf[p]) & 0xFFFFFF
+                    p += 1
+                    nacc += 8
+                used += size
+                row[k] = _extend((acc >> (nacc - size)) & ((1 << size) - 1), size)
+                nacc -= size
+                k += 1
+            if used > real_bits:
+                raise ValueError("JPEG entropy stream truncated")
+            rows_list.append(row)
+    return np.array(rows_list, dtype=np.int64).reshape(-1, 64)
 
 
 def jpeg_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
@@ -417,40 +528,35 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
     w, h = size_wh
     # entropy data runs until the EOI marker
     end = payload.rfind(b"\xff\xd9")
-    br = _BitReader(payload[data_start:end if end > data_start else len(payload)])
+    ent = _unstuff(
+        payload[data_start:end if end > data_start else len(payload)]
+    )
     rows, cols = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((rows * 8, cols * 8)) for _ in comps]
-    preds = [0] * len(comps)
-    for brow in range(rows):
-        for bcol in range(cols):
-            for ci, dct, act in scan:
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_symbol(br, huff[(0, dct)])
-                preds[ci] += _extend(br.read_bits(size), size)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, huff[(1, act)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC index overflow")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coef = np.zeros((8, 8))
-                coef[_ZZ_ROWS, _ZZ_COLS] = zz
-                block = _DCT.T @ (coef * qtbl[comps[ci][1]]) @ _DCT + 128.0
-                planes[ci][
-                    brow * 8:(brow + 1) * 8, bcol * 8:(bcol + 1) * 8
-                ] = block
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255).astype(np.int64) for p in planes]
+    try:
+        zz = _decode_entropy(ent, scan, huff, rows * cols, len(comps))
+    except IndexError:
+        raise ValueError("JPEG entropy stream truncated") from None
+    # batched dequant + IDCT over ALL blocks (MCU-interleaved order),
+    # then one transpose/reshape per plane — no per-block numpy calls
+    nc = len(comps)
+    qzz = np.stack(
+        [qtbl[tq][_ZZ_ROWS, _ZZ_COLS] for _, tq in comps]
+    )  # (nc, 64)
+    comp_idx = np.tile(np.arange(nc), rows * cols)
+    coef = np.zeros((zz.shape[0], 8, 8))
+    coef[:, _ZZ_ROWS, _ZZ_COLS] = zz * qzz[comp_idx]
+    blocks = np.matmul(np.matmul(_DCT.T, coef), _DCT) + 128.0
+    grid = (
+        blocks.reshape(rows, cols, nc, 8, 8)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(nc, rows * 8, cols * 8)
+    )
+    planes = [
+        np.clip(np.round(grid[ci, :h, :w]), 0, 255).astype(np.int64)
+        for ci in range(nc)
+    ]
     if len(planes) == 1:
-        return w, h, [[int(v) for v in row] for row in planes[0]]
+        return w, h, planes[0].tolist()
     if len(planes) != 3:
         raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
     y, cb, cr = (p.astype(np.float64) for p in planes)
@@ -460,4 +566,4 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
     ).astype(np.int64)
     b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255).astype(np.int64)
     packed = (r << 16) | (g << 8) | b
-    return w, h, [[int(v) for v in row] for row in packed]
+    return w, h, packed.tolist()

@@ -737,52 +737,62 @@ def q_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.jpeg import jpeg_encode
     from .operators.multimodal import decode_image
+    from .session import scale_out
 
     docs = load_table(spark, sf, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.substring("text", 1, 256), "UTF-8").alias("raw"),
+    # scale_out: the codec work is pure Python per row — a single-file
+    # local scan would otherwise run the whole encode/decode on one
+    # core (at 100 TB the scan has thousands of splits and this no-ops)
+    media = scale_out(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.substring("text", 1, 256), "UTF-8").alias("raw"),
+        )
     )
 
     def to_jpeg(batches):
         import numpy as _np
 
         for pdf in batches:
-            payloads, originals = [], []
+            payloads = []
             for raw in pdf["raw"]:
                 b = bytes(raw or b"")[:256]
                 b = b + b"\x00" * (256 - len(b))
                 a = _np.frombuffer(b, dtype=_np.uint8).reshape(16, 16)
                 payloads.append(jpeg_encode(a, quality=95))
-                originals.append(list(b))
             yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": payloads,
-                    "original": originals,
-                }
+                {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    jpegs = media.mapInPandas(
-        to_jpeg, "media_id long, payload binary, original array<int>"
-    )
-    decoded = decode_image(jpegs.select("media_id", "payload"), codec="jpeg")
-    err = F.aggregate(
-        F.zip_with(
-            F.flatten("pixels"),
-            "original",
-            lambda d, o: F.abs(d.cast("int") - o),
-        ),
-        F.lit(0),
-        lambda acc, e: F.greatest(acc, e),
-    )
+    jpegs = media.mapInPandas(to_jpeg, "media_id long, payload binary")
+    decoded = decode_image(jpegs, codec="jpeg")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def img_err(pixels, raw):
+        import numpy as _np
+
+        out = []
+        for px, r in zip(pixels, raw):
+            b = bytes(r or b"")[:256]
+            b = b + b"\x00" * (256 - len(b))
+            a = _np.concatenate([_np.asarray(row) for row in px]).astype(int)
+            out.append(int(_np.abs(a - _np.frombuffer(b, _np.uint8)).max()))
+        return _pd.Series(out)
+
     return (
-        decoded.join(jpegs.select("media_id", "original"), "media_id")
+        # originals come from `media`, not `jpegs` (the q_mjpeg_frames
+        # rule): joining the encoded branch would re-run the whole
+        # JPEG encode just to carry the raw bytes through
+        decoded.join(media, "media_id")
         .select(
             "media_id",
             "width",
             "height",
-            (err <= F.lit(16)).alias("within_bound"),
+            (img_err(F.col("pixels"), F.col("raw")) <= F.lit(16)).alias(
+                "within_bound"
+            ),
         )
         .where("within_bound")
         .orderBy("media_id")
@@ -811,11 +821,16 @@ def q_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.flac import flac_encode_pcm16
     from .operators.multimodal import decode_audio
+    from .session import scale_out
 
     docs = load_table(spark, sf, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    # scale_out: same single-split guard as q_jpeg_decode — the
+    # pure-Python FLAC encode must not run on one core locally
+    media = scale_out(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+        )
     )
 
     def to_flac(batches):
@@ -875,13 +890,18 @@ def q_mjpeg_frames(spark: SparkSession, sf: str) -> DataFrame:
 
     from .operators.mjpeg import avi_mjpeg_encode
     from .operators.multimodal import sample_video_frames
+    from .session import scale_out
 
     docs = load_table(spark, sf, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(
-            F.rpad(F.substring("text", 1, 1024), 1024, "x"), "UTF-8"
-        ).alias("raw"),
+    # scale_out: same single-split guard as q_jpeg_decode — the AVI
+    # encode is the plan's dominant cost and must use every core
+    media = scale_out(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(
+                F.rpad(F.substring("text", 1, 1024), 1024, "x"), "UTF-8"
+            ).alias("raw"),
+        )
     )
 
     def to_avi(batches):
