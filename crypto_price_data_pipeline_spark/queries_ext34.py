@@ -53,6 +53,7 @@ from .io.sources import load_table
 HEAVY_EXACT: tuple[str, ...] = (
     "q_minhash_pairs",
     "q_minhash_exact",
+    "q_minhash_dupheavy",
     "q_ngram_jaccard",
     "q_ngram_overlap",
     "q_stream_dedup",
@@ -68,20 +69,31 @@ HEAVY_EXACT: tuple[str, ...] = (
 )
 
 _SUB_NIBBLES = ("0", "1", "2", "3")  # 4/16 of md5's first hex digit
-_SUB_DIRS: dict[str, str] = {}
+# Per-name nibble overrides for twins whose EXACT form already runs on
+# the md5 quarter (the generic quarter twin would reproduce it at full
+# cost): their _sub runs on a 1/16 corpus instead — the query's own
+# quarter predicate is a superset of the twin nibble, so engine and
+# oracle stay membership-consistent (r14, the q_minhash_dupheavy rule).
+_TWIN_NIBBLES: dict[str, tuple[str, ...]] = {
+    "q_minhash_dupheavy": ("0",),
+}
+_SUB_DIRS: dict[tuple[str, tuple[str, ...]], str] = {}
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
 
 
-def sampled_sf_dir(spark: SparkSession, sf: str) -> str:
-    """A cached (per process+sf) twin of ``sf`` whose documents and
-    embeddings tables are filtered to the deterministic md5 quarter;
-    every other table is a symlink to the original. The artifact store
-    keys by directory, so the twin corpus gets its own (quarter-sized)
-    signature artifacts — exactly what a distinct corpus should."""
-    key = os.path.abspath(sf)
+def sampled_sf_dir(
+    spark: SparkSession, sf: str, nibbles: tuple[str, ...] = _SUB_NIBBLES
+) -> str:
+    """A cached (per process+sf+nibbles) twin of ``sf`` whose documents
+    and embeddings tables are filtered to the deterministic md5
+    ``nibbles`` subset (default: the standard quarter); every other
+    table is a symlink to the original. The artifact store keys by
+    directory, so the twin corpus gets its own (sub-sized) signature
+    artifacts — exactly what a distinct corpus should."""
+    key = (os.path.abspath(sf), tuple(nibbles))
     cached = _SUB_DIRS.get(key)
     if cached and os.path.isdir(cached):
         return cached
@@ -89,13 +101,13 @@ def sampled_sf_dir(spark: SparkSession, sf: str) -> str:
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     for tbl, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
         nib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-        load_table(spark, sf, tbl).where(nib.isin(*_SUB_NIBBLES)).write.mode(
+        load_table(spark, sf, tbl).where(nib.isin(*nibbles)).write.mode(
             "overwrite"
         ).parquet(os.path.join(d, f"{tbl}.parquet"))
     for tbl in _TABLES:
         if tbl in ("documents", "embeddings"):
             continue
-        src = os.path.join(key, f"{tbl}.parquet")
+        src = os.path.join(key[0], f"{tbl}.parquet")
         if os.path.exists(src):
             os.symlink(src, os.path.join(d, f"{tbl}.parquet"))
     _SUB_DIRS[key] = d
@@ -104,22 +116,22 @@ def sampled_sf_dir(spark: SparkSession, sf: str) -> str:
 
 def _twin_fn(
     base_fn: Callable[[SparkSession, str], DataFrame],
+    nibbles: tuple[str, ...] = _SUB_NIBBLES,
 ) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf: str) -> DataFrame:
-        return base_fn(spark, sampled_sf_dir(spark, sf))
+        return base_fn(spark, sampled_sf_dir(spark, sf, nibbles))
 
     return fn
 
 
-_DOC_PRED = (
-    "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
-)
-_VEC_PRED = (
-    "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
-)
+def _nib_pred(id_col: str, nibbles: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{n}'" for n in nibbles)
+    return (
+        f"substring(md5(CAST({id_col} AS VARCHAR)), 1, 1) IN ({lst})"
+    )
 
 
-def sub_oracle_sql(sql: str) -> str:
+def sub_oracle_sql(sql: str, nibbles: tuple[str, ...] = _SUB_NIBBLES) -> str:
     """The original oracle with its base-table references rewritten to
     the sampled sub-corpus: ``documents``/``embeddings`` become
     MATERIALIZED CTEs carrying the md5 predicate (MATERIALIZED so a
@@ -132,10 +144,12 @@ def sub_oracle_sql(sql: str) -> str:
     if m is None:  # pragma: no cover - guarded by the heavy list audit
         raise ValueError("heavy oracle does not start with WITH")
     head = "WITH RECURSIVE" if m.group(1) else "WITH"
+    doc_pred = _nib_pred("doc_id", nibbles)
+    vec_pred = _nib_pred("vec_id", nibbles)
     return (
         f"{head}\n"
-        f"__docs_sub AS MATERIALIZED (SELECT * FROM documents WHERE {_DOC_PRED}),\n"
-        f"__embs_sub AS MATERIALIZED (SELECT * FROM embeddings WHERE {_VEC_PRED}),"
+        f"__docs_sub AS MATERIALIZED (SELECT * FROM documents WHERE {doc_pred}),\n"
+        f"__embs_sub AS MATERIALIZED (SELECT * FROM embeddings WHERE {vec_pred}),"
         + body[m.end() :]
     )
 
@@ -146,12 +160,16 @@ def make_verification_twins(
 ) -> tuple[dict, dict]:
     """(twin queries, twin oracles) for every HEAVY_EXACT name present
     in the registry. Called by queries.py AFTER all waves register, so
-    the twins wrap the final callables."""
+    the twins wrap the final callables. Names in ``_TWIN_NIBBLES`` get
+    a tighter md5 subset than the standard quarter (their exact form
+    already runs on the quarter, so the generic twin would cost the
+    same as the exact)."""
     tq: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     to: dict[str, str] = {}
     for name in HEAVY_EXACT:
-        tq[f"{name}_sub"] = _twin_fn(queries[name])
-        to[f"{name}_sub"] = sub_oracle_sql(oracles[name])
+        nibs = _TWIN_NIBBLES.get(name, _SUB_NIBBLES)
+        tq[f"{name}_sub"] = _twin_fn(queries[name], nibs)
+        to[f"{name}_sub"] = sub_oracle_sql(oracles[name], nibs)
     return tq, to
 
 
