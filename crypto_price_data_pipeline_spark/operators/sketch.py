@@ -253,6 +253,70 @@ def kmv_pair_stats(a: Column, b: Column, k: int = 256) -> dict[str, Column]:
     }
 
 
+def _merge_k(tables: list[DataFrame], col: str, k_out, what: str) -> int:
+    ks = []
+    for t in tables:
+        st = kmv_stamp(t, col)
+        if st is None:
+            raise ValueError(
+                f"{what} requires stamped sketch tables (the stamp is "
+                "what makes a cross-k merge checkable)"
+            )
+        ks.append(int(st["k"]))
+    k = min(ks) if k_out == "min" else int(k_out)
+    if any(kk < k for kk in ks):
+        raise ValueError(
+            f"{what}: k_out={k} exceeds an input's k={min(ks)} — the "
+            "k-th minimum of a union that lost hashes beyond a smaller "
+            "input's k-th minimum is biased upward; merge down "
+            "(k_out='min') or rebuild the small side."
+        )
+    return k
+
+
+def kmv_merge(
+    tables: list[DataFrame],
+    group_cols: list[str],
+    k_out: int | str = "min",
+) -> DataFrame:
+    """Merge STAMPED distinct-sketch tables of (possibly) DIFFERENT k
+    into one ``k_out`` sketch — the r13 stamp check hard-fails cross-k
+    merges, but a rebuild is not actually necessary to merge DOWN: a
+    union kept to the bottom min(k) IS a spec-valid min(k) sketch (any
+    hash among a group's min(k) smallest is among the k'≥min(k)
+    smallest of whichever input introduced it — the same semilattice
+    argument as same-k merges, unit-pinned ≡ a direct min(k) build).
+    ``k_out`` ABOVE any input's k stays a hard refusal: hashes beyond
+    the smaller input's k-th minimum were discarded, so the union's
+    k_out-th minimum would be biased upward. Unstamped tables are
+    refused — the stamp is what makes the degrade checkable."""
+    k = _merge_k(tables, "kmv", k_out, "kmv_merge")
+    rows = None
+    for t in tables:
+        part = kmv_explode(t, group_cols).withMetadata("_h", {})
+        rows = part if rows is None else rows.unionByName(part)
+    return kmv_from_hashes(rows, group_cols, k=k)
+
+
+def kmv_sample_merge(
+    tables: list[DataFrame],
+    group_cols: list[str],
+    k_out: int | str = "min",
+) -> DataFrame:
+    """The value-sample twin of :func:`kmv_merge`: bottom-min(k) of a
+    union of bottom-k' samples carries the values through the same
+    semilattice argument (membership is a pure function of the hash,
+    values ride along), so cross-k sample merges degrade to min(k)
+    exactly like the distinct sketch — unit-pinned ≡ a direct min(k)
+    build. Same refusal rules."""
+    k = _merge_k(tables, "smp", k_out, "kmv_sample_merge")
+    rows = None
+    for t in tables:
+        part = kmv_sample_explode(t, group_cols).withMetadata("_h", {})
+        rows = part if rows is None else rows.unionByName(part)
+    return kmv_sample_from_hashes(rows, group_cols, k=k)
+
+
 # --------------------------------------------------- KMV value sample
 
 

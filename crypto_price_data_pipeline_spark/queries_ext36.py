@@ -617,26 +617,13 @@ FROM sk ORDER BY 1
 # -------------------------------------------- compressed image codec
 
 
-def q_kmv_contamination(spark: SparkSession, sf: str) -> DataFrame:
-    """Train/held n-gram contamination MONITOR from KMV sketches: per
-    source, the estimated Jaccard / union / intersection of the word-
-    8-gram shingle sets of the train split vs the held split (the
-    q_vocab_coverage md5-nibble rule). This is the sketch's
-    decontamination use: the EXACT check (q_contamination) re-joins
-    n-gram postings per audit, while two ≤k-long sketches per
-    (source, split) answer "how contaminated is this source's held
-    split, roughly, right now" as pure array algebra over stored
-    cells — at 100 TB the sketches ride the warehouse and the monitor
-    is a broadcast-sized join, no corpus rescan. Shingle keys are the
-    literal space-joined token strings, so the DuckDB oracle rebuilds
-    sketch AND estimator bit-exactly (the q_kmv_overlap contract);
-    k=256 per (source, split)."""
+def _contamination_keyed(docs: DataFrame) -> DataFrame:
+    """(source, _split, _g) shingle rows for the contamination monitor:
+    word-8-gram keys (space-joined literal token strings, the
+    q_vocab_coverage rule) under the md5-nibble train/held split —
+    shared by the batch monitor and its streamed twin."""
     from .operators.dedup import tokens_col
-    from .operators.sketch import kmv_build, kmv_pair_stats
-    from .session import scale_out
 
-    k = 256
-    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
     held = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "c", "d", "e", "f"
     )
@@ -645,12 +632,18 @@ def q_kmv_contamination(spark: SparkSession, sf: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(7), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
     )
-    keyed = scale_out(docs).select(
+    return docs.select(
         "source",
         F.when(held, F.lit("held")).otherwise(F.lit("train")).alias("_split"),
         F.explode(sh).alias("_g"),
     )
-    sk = kmv_build(keyed, F.col("_g"), ["source", "_split"], k=k)
+
+
+def _contamination_output(sk: DataFrame, k: int) -> DataFrame:
+    """Per-source train/held estimator rows from the (source, _split)
+    sketch table — pure array algebra over the stored cells."""
+    from .operators.sketch import kmv_pair_stats
+
     tr = sk.where(F.col("_split") == "train").select(
         "source", F.col("kmv").alias("_a")
     )
@@ -668,6 +661,82 @@ def q_kmv_contamination(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_kmv_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/held n-gram contamination MONITOR from KMV sketches: per
+    source, the estimated Jaccard / union / intersection of the word-
+    8-gram shingle sets of the train split vs the held split (the
+    q_vocab_coverage md5-nibble rule). This is the sketch's
+    decontamination use: the EXACT check (q_contamination) re-joins
+    n-gram postings per audit, while two ≤k-long sketches per
+    (source, split) answer "how contaminated is this source's held
+    split, roughly, right now" as pure array algebra over stored
+    cells — at 100 TB the sketches ride the warehouse and the monitor
+    is a broadcast-sized join, no corpus rescan. Shingle keys are the
+    literal space-joined token strings, so the DuckDB oracle rebuilds
+    sketch AND estimator bit-exactly (the q_kmv_overlap contract);
+    k=256 per (source, split)."""
+    from .operators.sketch import kmv_build
+    from .session import scale_out
+
+    k = 256
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    keyed = _contamination_keyed(scale_out(docs))
+    sk = kmv_build(keyed, F.col("_g"), ["source", "_split"], k=k)
+    return _contamination_output(sk, k)
+
+
+def q_stream_kmv_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed q_kmv_contamination (same oracle): the per-(source,
+    split) shingle sketches maintained INCREMENTALLY — each micro-batch
+    lands its own batch-local sketches as a per-batch_id partial
+    (overwrite replay contract, streaming/partial_store.py — the 21st
+    partial-store stream, crash/restart-covered by name) and the
+    monitor reads by re-ranking the exploded union of stored partials.
+    Correct because bottom-k is a semilattice (merge ≡ whole, the
+    q_stream_kmv argument). This is the monitor's production shape: a
+    corpus append costs one batch sketch; the continuous contamination
+    readout never rescans the corpus."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.sketch import kmv_build, kmv_explode, kmv_from_hashes
+    from .streaming.partial_store import run_partial_stream
+
+    k = 256
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    work = tempfile.mkdtemp(prefix="stream_kmv_contam_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = f"{work}/src"
+    store = f"{work}/sk"
+    for c in range(3):
+        docs.where(F.col("doc_id") % 3 == c).coalesce(1).write.parquet(
+            f"{src}/chunk_{c}"
+        )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        kmv_build(
+            _contamination_keyed(batch), F.col("_g"), ["source", "_split"], k=k
+        ).write.mode("overwrite").parquet(f"{store}/batch_{batch_id:05d}")
+
+    run_partial_stream(
+        spark, src=src, schema=docs.schema, sink=sink, ckpt=f"{work}/ckpt"
+    )
+
+    # schema-INFERRED read: the parquet footer restores the (k,
+    # hash_bits) stamp, so a cross-k partial merge hard-fails here
+    merged = kmv_from_hashes(
+        kmv_explode(
+            spark.read.option("recursiveFileLookup", "true").parquet(store),
+            ["source", "_split"],
+            k=k,
+        ),
+        ["source", "_split"],
+        k=k,
+    )
+    return _contamination_output(merged, k)
 
 
 Q_KMV_CONTAMINATION_SQL = r"""
@@ -986,6 +1055,7 @@ EXT36_QUERIES = {
     "q_flac_decode": q_flac_decode,
     "q_mjpeg_frames": q_mjpeg_frames,
     "q_kmv_contamination": q_kmv_contamination,
+    "q_stream_kmv_contamination": q_stream_kmv_contamination,
 }
 EXT36_ORACLES = {
     "q_nb_language_id": _nb_sql(),
@@ -997,4 +1067,6 @@ EXT36_ORACLES = {
     "q_flac_decode": Q_FLAC_DECODE_SQL,
     "q_mjpeg_frames": Q_MJPEG_FRAMES_SQL,
     "q_kmv_contamination": Q_KMV_CONTAMINATION_SQL,
+    # streamed ≡ batch: the twin hits the identical estimator oracle
+    "q_stream_kmv_contamination": Q_KMV_CONTAMINATION_SQL,
 }

@@ -49,6 +49,7 @@ PARTIAL_STORE_STREAMS = [
     "q_stream_artifact_index",
     "q_stream_kmv",
     "q_stream_quantile",
+    "q_stream_kmv_contamination",
 ]
 
 

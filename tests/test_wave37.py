@@ -206,3 +206,64 @@ def test_rolling_sketch_calendar_keys_no_multimonth_aliasing(spark):
         p50 = vals[max(math.ceil(len(vals) * 0.5), 1) - 1]
         p90 = vals[max(math.ceil(len(vals) * 0.9), 1) - 1]
         assert gq[("x", d)] == (p50, p90)
+
+
+def test_kmv_merge_degrades_to_min_k(spark):
+    """Cross-k merges no longer force a rebuild: merging a k=64 and a
+    k=32 sketch with k_out='min' equals a DIRECT k=32 build over the
+    concatenated inputs bit-exactly (union kept to bottom-min(k) IS a
+    spec-valid min(k) sketch); merging UP stays a hard refusal, as
+    does an unstamped input."""
+    from crypto_price_data_pipeline_spark.io.sources import load_table
+    from crypto_price_data_pipeline_spark.operators.sketch import (
+        kmv_build,
+        kmv_merge,
+        kmv_sample,
+        kmv_sample_merge,
+        kmv_stamp,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "event_id", "value"
+    )
+    a = ev.where(F.pmod("event_id", F.lit(2)) == 0)
+    b = ev.where(F.pmod("event_id", F.lit(2)) == 1)
+    sk_a = kmv_build(a, F.col("event_id"), ["event_type"], k=64)
+    sk_b = kmv_build(b, F.col("event_id"), ["event_type"], k=32)
+    merged = {
+        r["event_type"]: r["kmv"]
+        for r in kmv_merge([sk_a, sk_b], ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["kmv"]
+        for r in kmv_build(ev, F.col("event_id"), ["event_type"], k=32).collect()
+    }
+    assert merged == direct and len(merged) > 0
+    out_stamp = kmv_stamp(
+        kmv_merge([sk_a, sk_b], ["event_type"]), "kmv"
+    )
+    assert out_stamp and int(out_stamp["k"]) == 32
+
+    with pytest.raises(ValueError, match="biased upward"):
+        kmv_merge([sk_a, sk_b], ["event_type"], k_out=64)
+    with pytest.raises(ValueError, match="stamped"):
+        kmv_merge(
+            [sk_a.withMetadata("kmv", {}), sk_b], ["event_type"]
+        )
+
+    # value-sample twin: same degrade, values carried
+    sm_a = kmv_sample(a, F.col("event_id"), F.col("value"), ["event_type"], k=64)
+    sm_b = kmv_sample(b, F.col("event_id"), F.col("value"), ["event_type"], k=32)
+    m2 = {
+        r["event_type"]: r["smp"]
+        for r in kmv_sample_merge([sm_a, sm_b], ["event_type"]).collect()
+    }
+    d2 = {
+        r["event_type"]: r["smp"]
+        for r in kmv_sample(
+            ev, F.col("event_id"), F.col("value"), ["event_type"], k=32
+        ).collect()
+    }
+    assert m2 == d2 and len(m2) > 0
+    with pytest.raises(ValueError, match="biased upward"):
+        kmv_sample_merge([sm_a, sm_b], ["event_type"], k_out=64)
