@@ -17,9 +17,26 @@ dup-heavy regime (pair mass scaling quadratically inside clusters) is
 covered separately by q_simhash_dupheavy / q_minhash_dupheavy's
 measured-stats strategy selection.
 
+Serving-tier curves (r14, the r13 verdict's #6): ``--queries`` takes
+a comma list of registry names and curves THOSE instead of the
+similarity-tier default — built for the ANN probe paths
+(q_lsh_served_topk / q_batch_lsh_topk / q_pq_topk) and the KMV /
+quantile sketch builds (q_kmv_rolling / q_quantile_sketch). For those
+the corpus build also replicates:
+
+- embeddings: replica k cyclic-shifts every vector by k positions
+  (np.roll semantics in pure column ops). A shift preserves norms and
+  all WITHIN-replica dot products exactly — each replica reproduces
+  the base corpus's neighbor structure — while cross-replica sims are
+  decorrelated, so the index genuinely carries N× distinct content
+  (identical-copy replication would make every probe trivially easy).
+- events: ids offset (id·scale + k), ts/value/type carried — distinct
+  counts and sketch work scale exactly 1:1.
+
 Usage:
     python tools/scale_curve.py [--base /root/testdata/sf0.1]
-                                [--scales 1,4,10] [--out -]
+                                [--scales 1,4,10]
+                                [--queries name1,name2,...]
 
 Prints a markdown table + one JSON line; paste the table into
 SCALING.md. Wall times are single-run local[32] numbers — read them
@@ -80,19 +97,56 @@ def build_corpus(spark, base_sf: str, scale: int, out_dir: str) -> int:
         "n_chars",
     )
     reps.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = load_table(spark, base_sf, "embeddings")
+    emb_reps = emb.selectExpr(
+        f"explode(sequence(0, {scale - 1})) AS _r",
+        "vec_id",
+        "embedding",
+        "label",
+    ).selectExpr(
+        f"vec_id * {scale} + _r AS vec_id",
+        # replica-k cyclic shift: norms and within-replica dot products
+        # are exactly preserved; cross-replica sims decorrelate
+        "concat(slice(embedding, pmod(_r, size(embedding)) + 1,"
+        "             size(embedding) - pmod(_r, size(embedding))),"
+        "       slice(embedding, 1, pmod(_r, size(embedding)))) AS embedding",
+        "label",
+    )
+    emb_reps.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    ev = load_table(spark, base_sf, "events")
+    ev_reps = ev.selectExpr(
+        f"explode(sequence(0, {scale - 1})) AS _r", "*"
+    ).selectExpr(
+        f"event_id * {scale} + _r AS event_id",
+        "ts",
+        f"user_id * {scale} + _r AS user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev_reps.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
     return spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
 
 
-def measure(spark, sf_dir: str) -> dict[str, float]:
+def measure(
+    spark, sf_dir: str, queries: list[str] | None = None
+) -> dict[str, float]:
     from crypto_price_data_pipeline_spark import artifacts
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
     times: dict[str, float] = {}
-    for name in ARTIFACTS:
-        t0 = time.monotonic()
-        artifacts.rebuild(spark, sf_dir, name).count()
-        times[f"artifact_{name}"] = round(time.monotonic() - t0, 3)
-    for name in PAIR_QUERIES:
+    if queries is None:
+        for name in ARTIFACTS:
+            t0 = time.monotonic()
+            artifacts.rebuild(spark, sf_dir, name).count()
+            times[f"artifact_{name}"] = round(time.monotonic() - t0, 3)
+    for name in queries if queries is not None else PAIR_QUERIES:
         t0 = time.monotonic()
         n = QUERIES[name](spark, sf_dir).count()
         times[name] = round(time.monotonic() - t0, 3)
@@ -104,8 +158,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scales", default="1,4,10")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma list of registry names to curve instead of the "
+        "similarity-tier default (artifacts are skipped in this mode)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    qnames = args.queries.split(",") if args.queries else None
 
     from crypto_price_data_pipeline_spark.session import get_spark
 
@@ -116,14 +177,24 @@ def main() -> None:
         try:
             n = build_corpus(spark, args.base, scale, work)
             print(f"-- scale {scale}x: {n} docs", file=sys.stderr)
-            times = measure(spark, work)
+            if scale == scales[0] and qnames:
+                # discarded warm-up: Python-worker/JIT startup would
+                # otherwise inflate the 1x point and FLATTER the
+                # exponent (the similarity tier amortizes this across
+                # its artifact builds; a short query list does not)
+                measure(spark, work, qnames)
+            times = measure(spark, work, qnames)
             times["n_docs"] = n
             results[scale] = times
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
     base = results[scales[0]]
-    keys = [f"artifact_{a}" for a in ARTIFACTS] + PAIR_QUERIES
+    keys = (
+        qnames
+        if qnames
+        else [f"artifact_{a}" for a in ARTIFACTS] + PAIR_QUERIES
+    )
     print("| entry | " + " | ".join(f"{s}x sec" for s in scales) +
           " | " + " | ".join(f"{s}x/1x" for s in scales[1:]) + " |")
     print("|" + "---|" * (1 + 2 * len(scales) - 1))
