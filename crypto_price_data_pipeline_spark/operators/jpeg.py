@@ -452,7 +452,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qtbl: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], tuple] = {}
     comps: list[tuple[int, int]] = []  # (id, qtbl_id)
     size_wh: tuple[int, int] | None = None
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc tbl, ac tbl)

@@ -267,3 +267,58 @@ def test_kmv_merge_degrades_to_min_k(spark):
     assert m2 == d2 and len(m2) > 0
     with pytest.raises(ValueError, match="biased upward"):
         kmv_sample_merge([sm_a, sm_b], ["event_type"], k_out=64)
+
+
+def test_jpeg_codec_roundtrip_property():
+    """Property harness for the r14 vectorized codec: random sizes
+    (1..41 incl. non-multiple-of-8), gray and RGB, several qualities —
+    dims exact, determinism exact, roundtrip error within the EXACT
+    worst-case bound of the quantization profile (triangle inequality:
+    pixel error ≤ Σ_uv (q_uv/2)·|basis_uv| + rounding slack; YCbCr
+    channels compose through the 1.772 chroma gain). Fixed seed (the
+    repo's determinism rule). The tight empirical bounds live in
+    test_jpeg.py; this pins the rewrite can never exceed the math."""
+    import numpy as np
+
+    from crypto_price_data_pipeline_spark.operators.jpeg import (
+        _Q_CHR,
+        _Q_LUM,
+        _quality_scale,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    cmax = np.array([np.sqrt(1 / 8)] + [0.5] * 7)  # max |c_u cos(...)|
+    amp = np.outer(cmax, cmax)
+
+    def tbl_bound(tbl, quality):
+        q = _quality_scale(tbl, quality).astype(float)
+        return 0.5 * float((q * amp).sum())
+
+    rng = np.random.RandomState(1234)
+    for trial in range(24):
+        h = int(rng.randint(1, 42))
+        w = int(rng.randint(1, 42))
+        quality = int(rng.choice([35, 60, 80, 90, 95]))
+        color = bool(rng.randint(2))
+        shape = (h, w, 3) if color else (h, w)
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        enc = jpeg_encode(a, quality=quality)
+        assert enc == jpeg_encode(a, quality=quality)  # deterministic
+        wd, hd, px = jpeg_decode(enc)
+        assert (wd, hd) == (w, h)
+        arr = np.asarray(px)
+        if color:
+            dec = np.stack(
+                [(arr >> 16) & 255, (arr >> 8) & 255, arr & 255], axis=-1
+            )
+            bound = (
+                tbl_bound(_Q_LUM, quality)
+                + 1.772 * tbl_bound(_Q_CHR, quality)
+                + 6
+            )
+        else:
+            dec = arr
+            bound = tbl_bound(_Q_LUM, quality) + 2
+        err = float(np.abs(dec.astype(int) - a.astype(int)).max())
+        assert err <= bound, (trial, h, w, quality, color, err, bound)
