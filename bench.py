@@ -96,6 +96,8 @@ HEADLINE = [
     # round-13 session-2: the cube-served NB classifier (model from
     # the token_counts artifact, one irreducible scoring explode)
     "q_nb_language_id",
+    # round-14: boilerplate span removal (the dedup family's transform)
+    "q_boilerplate_strip",
     # NOT headline: q_simhash_dupheavy / q_minhash_dupheavy (and the
     # r13 q_winnow_dupheavy / q_overlap_dupheavy) are REGIME pins —
     # they build signatures over synthetic 12-60x replica corpora to

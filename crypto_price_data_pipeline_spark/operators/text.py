@@ -275,6 +275,94 @@ def winnowing_fingerprints(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Cross-document boilerplate SPAN REMOVAL (the transform the
+    detection family stops short of): every character position of the
+    normalized text covered by a ``k``-gram appearing in more than
+    ``max_doc_freq`` documents is masked, and the surviving characters
+    re-concatenate in order — the n-gram-df approximation of
+    ExactSubstr-style training-data span dedup (Lee et al.: remove
+    corpus-duplicated spans, keep the unique remainder), where every
+    existing dedup operator here only DETECTS pairs or drops whole
+    docs. A span whose every k-gram is corpus-common disappears
+    entirely; span boundaries are k-gram-granular by construction.
+
+    Returns (id, kept_text, n_masked, n_chars) — kept_text is the
+    masked-and-rebuilt normalized string (exact string output, so a
+    SQL oracle can pin it bit-for-bit), n_masked the count of removed
+    character positions, n_chars the normalized length.
+
+    Scale shape: one gram explode (posting rows ≈ chars), one
+    distinct + count aggregate for the gram document frequencies, one
+    semi-join back, one per-doc bounded collect_list of masked start
+    positions (≤ doc length), then a zero-shuffle in-row rebuild:
+    covered = flatten of per-start k-sequences, kept = order-
+    preserving ``array_except`` against the position sequence. The df
+    side is never collected or broadcast-materialized on the driver —
+    posting→df→semi-join is all shuffle algebra, the same shape as
+    the winnowing stop-fingerprint cut.
+
+    df counts RAW documents (each replica of a duplicated text counts
+    once per doc_id) — the plain-winnowing df unit; run exact dedup
+    first on re-crawl-heavy corpora or the replicas themselves push
+    shared grams past the cap (the documented winnowing cliff, which
+    for REMOVAL is the desired reading: mass-duplicated text IS
+    boilerplate)."""
+    s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
+    cleaned = df.select(id_col, s.alias("_s"))
+    n = F.length("_s")
+    gram_starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    posting = cleaned.select(
+        id_col, F.explode(gram_starts).alias("_i"), "_s"
+    ).select(id_col, "_i", F.substr(F.col("_s"), F.col("_i"), F.lit(k)).alias("_g"))
+    hot = (
+        posting.select("_g", id_col)
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("_g")
+    )
+    starts = (
+        posting.join(hot, "_g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_i")).alias("_starts"))
+    )
+    joined = cleaned.join(starts, id_col, "left").select(
+        id_col,
+        "_s",
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_starts"), lambda i: F.sequence(i, i + (k - 1))
+            )
+        )
+    )
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.array_except(positions, cov)  # order-preserving on arg 1
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda p: F.substr(F.col("_s"), p, F.lit(1))),
+            "",
+        ).alias("kept_text"),
+        F.size(cov).cast("int").alias("n_masked"),
+        n.cast("int").alias("n_chars"),
+    )
+
+
 def _winnowing_fp_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int, w: int
 ) -> DataFrame:

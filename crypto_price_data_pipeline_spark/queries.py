@@ -1607,6 +1607,10 @@ from .queries_ext36 import EXT36_ORACLES, EXT36_QUERIES  # noqa: E402
 
 QUERIES.update(EXT36_QUERIES)
 ORACLES.update(EXT36_ORACLES)
+from .queries_ext37 import EXT37_ORACLES, EXT37_QUERIES  # noqa: E402
+
+QUERIES.update(EXT37_QUERIES)
+ORACLES.update(EXT37_ORACLES)
 # heavy-oracle verification twins (wave 34): generated LAST so they
 # wrap the final registered callables/oracles
 from .queries_ext34 import make_verification_twins  # noqa: E402

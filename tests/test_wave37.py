@@ -322,3 +322,42 @@ def test_jpeg_codec_roundtrip_property():
             bound = tbl_bound(_Q_LUM, quality) + 2
         err = float(np.abs(dec.astype(int) - a.astype(int)).max())
         assert err <= bound, (trial, h, w, quality, color, err, bound)
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Planted corpus: a phrase shared by every doc is removed wherever
+    it appears (all its 8-grams cross the df cap) while unique tails
+    survive VERBATIM; a doc with no hot grams passes through
+    unchanged; short (< k) and empty docs degrade to identity."""
+    from crypto_price_data_pipeline_spark.operators.text import (
+        boilerplate_strip,
+    )
+
+    common = "the quick brown fox jumps"  # cleaned: 21 chars
+    # doc-unique from the FIRST char (a shared first tail char would
+    # make the last boundary-crossing gram corpus-common and mask it)
+    tails = [(str(i) + "xy") * 8 for i in range(10)]
+    rows = [(i, f"{common} {tails[i]}") for i in range(10)]
+    rows.append((100, "entirely singular content with no overlap"))
+    rows.append((101, "tiny"))  # cleaned len 4 < k: no grams at all
+    rows.append((102, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(
+            docs, "doc_id", "text", k=8, max_doc_freq=5
+        ).collect()
+    }
+    # the whole shared phrase is gone (boundary-crossing grams are
+    # doc-unique, but every common position is covered by an inside
+    # hot gram); the unique tail survives VERBATIM
+    for i in range(10):
+        assert out[i]["kept_text"] == tails[i]
+        assert out[i]["n_masked"] == len("thequickbrownfoxjumps")
+        assert out[i]["n_masked"] + len(tails[i]) == out[i]["n_chars"]
+    # untouched doc: identity
+    assert out[100]["kept_text"] == "entirelysingularcontentwithnooverlap"
+    assert out[100]["n_masked"] == 0
+    # sub-k and empty docs: no grams, identity
+    assert out[101]["kept_text"] == "tiny" and out[101]["n_masked"] == 0
+    assert out[102]["kept_text"] == "" and out[102]["n_chars"] == 0
