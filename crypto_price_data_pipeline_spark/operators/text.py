@@ -281,6 +281,7 @@ def boilerplate_strip(
     text_col: str = "text",
     k: int = 8,
     max_doc_freq: int = 50,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate SPAN REMOVAL (the transform the
     detection family stops short of): every character position of the
@@ -313,7 +314,15 @@ def boilerplate_strip(
     first on re-crawl-heavy corpora or the replicas themselves push
     shared grams past the cap (the documented winnowing cliff, which
     for REMOVAL is the desired reading: mass-duplicated text IS
-    boilerplate)."""
+    boilerplate).
+
+    ``hot``: optional precomputed table of the over-cap grams (single
+    column ``_g``) — the incremental-maintenance surface: per-batch
+    gram-df partials are ADDITIVE when batches partition the docs
+    (each doc contributes its distinct grams exactly once), so a
+    stream can keep the df state and hand the read-side hot set in
+    (q_stream_boilerplate). Must be built under the same (k,
+    max_doc_freq) rule; the caller owns that agreement."""
     s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
     cleaned = df.select(id_col, s.alias("_s"))
     n = F.length("_s")
@@ -323,14 +332,15 @@ def boilerplate_strip(
     posting = cleaned.select(
         id_col, F.explode(gram_starts).alias("_i"), "_s"
     ).select(id_col, "_i", F.substr(F.col("_s"), F.col("_i"), F.lit(k)).alias("_g"))
-    hot = (
-        posting.select("_g", id_col)
-        .distinct()
-        .groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") > max_doc_freq)
-        .select("_g")
-    )
+    if hot is None:
+        hot = (
+            posting.select("_g", id_col)
+            .distinct()
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("_g")
+        )
     starts = (
         posting.join(hot, "_g")
         .groupBy(id_col)

@@ -92,9 +92,84 @@ FROM rebuilt ORDER BY doc_id
 """
 
 
+def q_stream_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed q_boilerplate_strip (same oracle): the gram
+    document-frequency state maintained INCREMENTALLY — each
+    micro-batch lands its own (gram, df) partial in a per-batch_id
+    overwrite store (22nd `run_partial_stream` stream,
+    crash/restart-covered by name), correct because batches PARTITION
+    the docs, so each doc contributes its distinct grams to exactly
+    one partial and per-gram df is a plain additive sum of partials.
+    The read side sums the partials, cuts at the cap, and hands the
+    hot set to the SAME rebuild (`boilerplate_strip(hot=...)`). This
+    is the transform's production shape: a corpus append costs one
+    batch df partial; the expensive corpus-wide state never rebuilds
+    from scratch, and the rewrite itself stays a single read-time
+    pass. Streamed ≡ batch by construction."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.text import boilerplate_strip
+    from .session import scale_out
+    from .streaming.partial_store import run_partial_stream
+
+    k, cap = 8, 50
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_boiler_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = f"{work}/src"
+    store = f"{work}/df"
+    for c in range(3):
+        docs.where(F.col("doc_id") % 3 == c).coalesce(1).write.parquet(
+            f"{src}/chunk_{c}"
+        )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        s = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+        cleaned = batch.select("doc_id", s.alias("_s"))
+        n = F.length("_s")
+        grams = F.when(
+            n >= k, F.sequence(F.lit(1), n - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        posting = cleaned.select(
+            "doc_id", F.explode(grams).alias("_i"), "_s"
+        ).select(
+            "doc_id", F.substr(F.col("_s"), F.col("_i"), F.lit(k)).alias("_g")
+        )
+        (
+            posting.distinct()
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_{batch_id:05d}")
+        )
+
+    run_partial_stream(
+        spark, src=src, schema=docs.schema, sink=sink, ckpt=f"{work}/ckpt"
+    )
+
+    hot = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(store)
+        .groupBy("_g")
+        .agg(F.sum("_df").alias("_df"))
+        .where(F.col("_df") > cap)
+        .select("_g")
+    )
+    return boilerplate_strip(
+        scale_out(docs), "doc_id", "text", k=k, max_doc_freq=cap, hot=hot
+    ).orderBy("doc_id")
+
+
 EXT37_QUERIES = {
     "q_boilerplate_strip": q_boilerplate_strip,
+    "q_stream_boilerplate": q_stream_boilerplate,
 }
 EXT37_ORACLES = {
     "q_boilerplate_strip": Q_BOILERPLATE_STRIP_SQL,
+    # streamed ≡ batch: incremental df state, identical rebuild + oracle
+    "q_stream_boilerplate": Q_BOILERPLATE_STRIP_SQL,
 }

@@ -50,6 +50,7 @@ PARTIAL_STORE_STREAMS = [
     "q_stream_kmv",
     "q_stream_quantile",
     "q_stream_kmv_contamination",
+    "q_stream_boilerplate",
 ]
 
 
