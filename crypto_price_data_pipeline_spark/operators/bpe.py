@@ -1,0 +1,122 @@
+"""BPE merge learning (tokenizer induction) — Sennrich et al.'s
+byte-pair-encoding vocabulary construction, the step the token-
+counting family stops short of: COUNTING tokens the registry already
+does; LEARNING the merge table is what an LLM data pipeline runs
+before tokenizing 100 TB.
+
+Spark-first shape: after one corpus pass builds the word-frequency
+table, everything is VOCAB-sized — each merge round is one pair-count
+aggregate whose argmax (a SINGLE row: the next merge) comes back to
+the driver, exactly the bounded per-iteration driver scalar the
+fixed-point operators already use (components/graph convergence
+checksums; see tests/test_collect_budget.py). Because each learned
+merge is then a LITERAL, the current segmentation is one chained
+``replace`` column expression — no crossJoin, no cached state, no
+lineage blowup; round k's aggregate just re-evaluates k in-row
+replaces over the vocab (k ≤ n_merges, vocab-sized input).
+
+Cross-engine exactness: the segmentation is encoded as a sentinel-
+bracketed string (every symbol wrapped as ``␣sym␣``, units
+concatenated), so one ``replace(enc, ' a  b ', ' ab ')`` call applies
+the canonical LEFT-TO-RIGHT NON-OVERLAPPING greedy merge — the
+single-pass replace Spark and DuckDB implement identically, with
+boundary false-matches impossible (symbols are alnum; a pattern match
+must align the ``␣␣`` between-unit gaps). Pair counts weight every
+ADJACENT symbol pair (overlapping runs count each adjacency — the
+reference BPE rule) by word frequency; ties break (count DESC, left,
+right) lexicographically. Every step is therefore a pure function of
+the word-frequency table — bit-identical in any engine, which is what
+lets the registry query's DuckDB oracle replay the learning loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _initial_enc(word_col: str) -> Column:
+    return F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.col(word_col), ""), "  "),
+        F.lit(" "),
+    )
+
+
+def _apply_merges(enc: Column, merges: list[tuple[str, str]]) -> Column:
+    for left, right in merges:
+        if " " in left + right:
+            raise ValueError("BPE symbols must be space-free")
+        enc = F.replace(
+            enc,
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
+        )
+    return enc
+
+
+def bpe_learn(
+    words: DataFrame,
+    n_merges: int = 8,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, freq) table; returns
+    [(step, left_sym, right_sym, merged, pair_count)] in learning
+    order — broadcast-sized by construction (one row per merge), the
+    shape callers feed to :func:`bpe_segment` or register as a lookup
+    table. A corpus that runs out of adjacent pairs early returns
+    fewer rows; an empty corpus returns none.
+
+    Words must be space-free (the tokenizer's alnum contract): the
+    space character is the segmentation sentinel."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        enc = _apply_merges(
+            _initial_enc(word_col), [(l, r) for _, l, r, _, _ in merges]
+        )
+        syms = F.split(F.trim(enc), "  ")
+        # guard: sequence(1, 0) is DESCENDING in Spark — a single-symbol
+        # word has no adjacent pairs, not a [1, 0] index walk
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = words.select(
+            F.col(freq_col).alias("_f"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("l"),
+                        F.element_at(syms, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        # bounded per-iteration driver scalar: the single argmax row
+        # (the next merge), the components/graph fixed-point pattern
+        best = (
+            pairs.groupBy("_p.l", "_p.r")
+            .agg(F.sum("_f").alias("_c"))
+            .orderBy(F.desc("_c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["_c"])
+        merges.append((step, l, r, l + r, c))
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Apply a learned merge list to words: the same sentinel-string
+    rewrite replayed in learning order, then split back to the symbol
+    array — the serving half of the tokenizer. Merges are literals, so
+    applying is a zero-shuffle projection however large ``df`` is."""
+    enc = _apply_merges(_initial_enc(word_col), merges)
+    return df.withColumn(out_col, F.split(F.trim(enc), "  "))

@@ -164,12 +164,94 @@ def q_stream_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer induction: the first 8 BPE merges learned from the
+    corpus word-frequency table (operators/bpe.bpe_learn) — (step,
+    left_sym, right_sym, merged, pair_count) in learning order. The
+    corpus pass is ONE tokenize+count (persisted across the learning
+    rounds); every round after that is vocab-sized: a pair-count
+    aggregate over the chained-literal-replace segmentation expression
+    plus a single-row argmax (the bounded per-iteration driver scalar
+    of the fixed-point family). The oracle replays the identical
+    greedy loop as 8 chained SQL stages — counts, tie-breaks and the
+    left-to-right non-overlapping merge rule are all engine-neutral,
+    so the learned table matches bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from .operators.bpe import bpe_learn
+    from .operators.dedup import tokens_col
+    from .session import scale_out
+
+    docs = load_table(spark, sf, "documents").select("text")
+    words = (
+        scale_out(docs)
+        .select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        rows = bpe_learn(words, n_merges=8)
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("step")
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    ctes = [
+        "toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),"
+        " '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents)",
+        "wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word)",
+        "w0 AS (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(word) + 1),"
+        " i -> substring(word, CAST(i AS INTEGER), 1)), '  ') || ' ' AS enc,"
+        " freq FROM wf)",
+    ]
+    selects = []
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"s{k} AS (SELECT string_split(trim(enc), '  ') AS syms, freq"
+            f" FROM {prev})"
+        )
+        ctes.append(
+            f"p{k} AS (SELECT syms[CAST(i AS INTEGER)] AS l,"
+            f" syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS c"
+            f" FROM s{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) t"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT replace(enc,"
+            f" ' ' || l || '  ' || r || ' ',"
+            f" ' ' || l || r || ' ') AS enc, freq FROM {prev}, b{k})"
+        )
+        selects.append(
+            f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym,"
+            f" r AS right_sym, l || r AS merged,"
+            f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY step"
+    )
+
+
 EXT37_QUERIES = {
     "q_boilerplate_strip": q_boilerplate_strip,
     "q_stream_boilerplate": q_stream_boilerplate,
+    "q_bpe_merges": q_bpe_merges,
 }
 EXT37_ORACLES = {
     "q_boilerplate_strip": Q_BOILERPLATE_STRIP_SQL,
     # streamed ≡ batch: incremental df state, identical rebuild + oracle
     "q_stream_boilerplate": Q_BOILERPLATE_STRIP_SQL,
+    "q_bpe_merges": _bpe_oracle(8),
 }

@@ -361,3 +361,67 @@ def test_boilerplate_strip_semantics(spark):
     # sub-k and empty docs: no grams, identity
     assert out[101]["kept_text"] == "tiny" and out[101]["n_masked"] == 0
     assert out[102]["kept_text"] == "" and out[102]["n_chars"] == 0
+
+
+def test_bpe_learn_matches_reference_and_segments(spark):
+    """bpe_learn replays canonical greedy BPE exactly: merges (order,
+    symbols, counts) equal a pure-Python reference on a corpus with
+    overlapping runs ('aaaa'), shared morphology ('est') and ties;
+    bpe_segment reproduces the reference segmentation; a corpus with
+    no adjacent pairs learns nothing."""
+    from crypto_price_data_pipeline_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment,
+    )
+
+    def ref_bpe(wf, n):
+        segs = {w: [*w] for w in wf}
+        merges = []
+        for step in range(1, n + 1):
+            counts = {}
+            for w, f in wf.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = (
+                        counts.get((s[i], s[i + 1]), 0) + f
+                    )
+            if not counts:
+                break
+            (l, r), c = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            merges.append((step, l, r, l + r, c))
+            for w in segs:
+                s = segs[w]
+                out = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges, segs
+
+    wf = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "aaaa": 4, "banana": 2, "loop": 1, "x": 9,
+    }
+    ref, segs = ref_bpe(wf, 8)
+    df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    assert bpe_learn(df, 8) == ref
+    seg = bpe_segment(
+        spark.createDataFrame([(w,) for w in wf], "word string"),
+        [(l, r) for _, l, r, _, _ in ref],
+    )
+    for row in seg.collect():
+        assert row.symbols == segs[row.word]
+    assert (
+        bpe_learn(
+            spark.createDataFrame([("a", 3), ("b", 2)], "word string, freq long"),
+            4,
+        )
+        == []
+    )
