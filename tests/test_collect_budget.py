@@ -48,6 +48,10 @@ ALLOWED = {
     ],
     # 1-row median bucket probe (two-pass exact median)
     "queries_ext26.py": [".collect()"],
+    # BPE learning: ONE argmax row per merge round (the next merge) —
+    # the fixed-point family's bounded per-iteration driver scalar;
+    # n_merges rounds total, each a single limit(1) row
+    "operators/bpe.py": [".collect()"],
     # top-10 rank list (bounded by the preceding limit)
     "queries_ext24.py": [".collect()"],
 }
