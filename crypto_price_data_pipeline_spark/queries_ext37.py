@@ -201,6 +201,42 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("step")
 
 
+def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned tokenizer SERVING: segment every corpus word with
+    the 8 learned merges (bpe_segment — merges are literals, so the
+    segmentation is a zero-shuffle projection over the vocab table)
+    and report the top-50 symbols by corpus frequency (ties broken by
+    symbol). Pins that the induced vocabulary actually tokenizes: the
+    oracle replays the learning chain and reads the FINAL segmentation
+    state (the w8 stage) for the same weighted symbol counts."""
+    from pyspark.sql import functions as F
+
+    from .operators.bpe import bpe_learn, bpe_segment
+    from .operators.dedup import tokens_col
+    from .session import scale_out
+
+    docs = load_table(spark, sf, "documents").select("text")
+    words = (
+        scale_out(docs)
+        .select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        merges = bpe_learn(words, n_merges=8)
+    finally:
+        words.unpersist()
+    seg = bpe_segment(words, [(l, r) for _, l, r, _, _ in merges])
+    return (
+        seg.select(F.explode("symbols").alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "symbol")
+        .limit(50)
+    )
+
+
 def _bpe_oracle(n_merges: int = 8) -> str:
     ctes = [
         "toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),"
@@ -244,14 +280,35 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     )
 
 
+def _bpe_vocab_oracle(n_merges: int = 8) -> str:
+    """Top-50 weighted symbol counts read from the learning chain's
+    FINAL segmentation stage — the serving oracle shares every CTE
+    with the merge-table oracle."""
+    body = _bpe_oracle(n_merges)
+    # keep only the CTE list (drop the merge-table SELECT chain)
+    ctes = body.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    return (
+        ctes
+        + f"""
+SELECT syms[CAST(i AS INTEGER)] AS symbol,
+       CAST(SUM(freq) AS BIGINT) AS n
+FROM (SELECT string_split(trim(enc), '  ') AS syms, freq FROM w{n_merges}),
+     LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i) t
+GROUP BY 1 ORDER BY n DESC, symbol LIMIT 50
+"""
+    )
+
+
 EXT37_QUERIES = {
     "q_boilerplate_strip": q_boilerplate_strip,
     "q_stream_boilerplate": q_stream_boilerplate,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_vocab": q_bpe_vocab,
 }
 EXT37_ORACLES = {
     "q_boilerplate_strip": Q_BOILERPLATE_STRIP_SQL,
     # streamed ≡ batch: incremental df state, identical rebuild + oracle
     "q_stream_boilerplate": Q_BOILERPLATE_STRIP_SQL,
     "q_bpe_merges": _bpe_oracle(8),
+    "q_bpe_vocab": _bpe_vocab_oracle(8),
 }
