@@ -330,7 +330,12 @@ def _unstuff(ent: bytes) -> bytes:
     """Remove the 0x00 stuffed after every 0xFF entropy byte (numpy
     pass); any 0xFF followed by a non-zero is a stray marker and any
     trailing bare 0xFF is a truncation — same taxonomy as the old
-    per-byte reader."""
+    per-byte reader, with one documented tightening: validation covers
+    the WHOLE segment up front, so junk bytes between the last
+    consumed bit and EOI that the old lazy bit-reader never touched
+    now also raise. A well-formed encoder never emits such bytes; the
+    stricter contract trades tolerance of that malformation for the
+    single-pass numpy unstuff."""
     arr = np.frombuffer(ent, dtype=np.uint8)
     if arr.size and arr[-1] == 0xFF:
         raise ValueError("JPEG entropy stream truncated at FF")
@@ -524,6 +529,16 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
         # the first scan would silently leave the remaining planes zero.
         raise NotImplementedError(
             "multi-scan (non-interleaved) baseline JPEG unsupported"
+        )
+    if [ci for ci, _, _ in scan] != list(range(len(comps))):
+        # T.81 B.2.3: scan components SHALL follow the frame-header
+        # order. The batched dequant/plane assembly below indexes
+        # blocks positionally by frame order; a reordered (or
+        # duplicated) SOS list would silently swap planes and quant
+        # tables, so refuse the non-conforming stream outright.
+        raise ValueError(
+            "JPEG SOS component order differs from SOF frame order "
+            "(non-conforming baseline stream)"
         )
     w, h = size_wh
     # entropy data runs until the EOI marker

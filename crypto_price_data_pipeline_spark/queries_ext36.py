@@ -500,10 +500,11 @@ h AS (
              (a, b) -> a * 16 + b) AS hv
   FROM ev
 ),
+dh AS (SELECT DISTINCT event_type, day, hv, value FROM h),
 rk AS (
   SELECT event_type, day, hv, value,
          ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY hv, value) AS rn
-  FROM h
+  FROM dh
 ),
 daily AS (SELECT event_type, day, hv, value FROM rk WHERE rn <= 128),
 spread AS (
@@ -512,10 +513,11 @@ spread AS (
   WHERE day + CAST(off AS INTEGER)
         IN (SELECT DISTINCT CAST(ts AS DATE) FROM events)
 ),
+d2 AS (SELECT DISTINCT event_type, wday, hv, value FROM spread),
 rk2 AS (
   SELECT event_type, wday, hv, value,
          ROW_NUMBER() OVER (PARTITION BY event_type, wday ORDER BY hv, value) AS rn
-  FROM spread
+  FROM d2
 ),
 sk AS (
   SELECT event_type, wday, list_sort(list(value)) AS vals
@@ -598,10 +600,11 @@ WITH h AS (
              (a, b) -> a * 16 + b) AS hv
   FROM events
 ),
+dh AS (SELECT DISTINCT event_type, hv, value FROM h),
 rk AS (
   SELECT event_type, hv, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv, value) AS rn
-  FROM h
+  FROM dh
 ),
 sk AS (
   SELECT event_type, list_sort(list(value)) AS vals

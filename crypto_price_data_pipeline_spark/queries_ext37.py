@@ -259,10 +259,20 @@ def _bpe_oracle(n_merges: int = 8) -> str:
         ctes.append(
             f"b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1)"
         )
+        # LEFT JOIN fallback (ADVICE r14): a corpus whose pair supply
+        # dries up before n_merges rounds leaves b{k} EMPTY; a plain
+        # cross join would then empty every later w-stage while the
+        # engine still segments with the shorter merge list. Passing
+        # the previous segmentation through unchanged mirrors
+        # bpe_learn's early break exactly (b{k} is empty only when NO
+        # adjacent pair exists, so no later stage can learn either —
+        # the merge-table selects are unaffected).
         ctes.append(
-            f"w{k} AS (SELECT replace(enc,"
+            f"w{k} AS (SELECT CASE WHEN l IS NULL THEN enc ELSE"
+            f" replace(enc,"
             f" ' ' || l || '  ' || r || ' ',"
-            f" ' ' || l || r || ' ') AS enc, freq FROM {prev}, b{k})"
+            f" ' ' || l || r || ' ') END AS enc, freq"
+            f" FROM {prev} LEFT JOIN b{k} ON TRUE)"
         )
         selects.append(
             f"SELECT CAST({k} AS INTEGER) AS step, l AS left_sym,"

