@@ -275,6 +275,49 @@ def winnowing_fingerprints(
     )
 
 
+def gram_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """The SINGLE normalization + character-k-gram posting rule behind
+    boilerplate span removal — extracted so the batch operator
+    (:func:`boilerplate_strip`) and the streamed df-state sink
+    (q_stream_boilerplate) cannot drift: the streamed ≡ batch
+    guarantee is exactly "both sides posted the same grams under the
+    same normalization", so that rule must live in one place
+    (VERDICT r14 #2).
+
+    Returns ``(cleaned, posting)``: ``cleaned`` = (id_col, ``_s``
+    lower-alnum-normalized text); ``posting`` = (id_col, ``_i`` 1-based
+    gram start, ``_g`` the k-char gram). Docs shorter than ``k`` post
+    nothing but keep their ``cleaned`` row."""
+    s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
+    cleaned = df.select(id_col, s.alias("_s"))
+    n = F.length("_s")
+    gram_starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    posting = cleaned.select(
+        id_col, F.explode(gram_starts).alias("_i"), "_s"
+    ).select(
+        id_col, "_i", F.substr(F.col("_s"), F.col("_i"), F.lit(k)).alias("_g")
+    )
+    return cleaned, posting
+
+
+def gram_doc_freq(posting: DataFrame, id_col: str) -> DataFrame:
+    """(``_g``, ``_df``): per-gram distinct-document counts from a
+    :func:`gram_postings` posting — the additive df partial the stream
+    sink stores per batch (batches PARTITION the docs, so each doc
+    contributes its distinct grams to exactly one partial and the
+    corpus df is a plain SUM of partials)."""
+    return (
+        posting.select("_g", id_col)
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+
 def boilerplate_strip(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -323,21 +366,11 @@ def boilerplate_strip(
     stream can keep the df state and hand the read-side hot set in
     (q_stream_boilerplate). Must be built under the same (k,
     max_doc_freq) rule; the caller owns that agreement."""
-    s = F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")
-    cleaned = df.select(id_col, s.alias("_s"))
+    cleaned, posting = gram_postings(df, id_col, text_col, k)
     n = F.length("_s")
-    gram_starts = F.when(
-        n >= k, F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    posting = cleaned.select(
-        id_col, F.explode(gram_starts).alias("_i"), "_s"
-    ).select(id_col, "_i", F.substr(F.col("_s"), F.col("_i"), F.lit(k)).alias("_g"))
     if hot is None:
         hot = (
-            posting.select("_g", id_col)
-            .distinct()
-            .groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
+            gram_doc_freq(posting, id_col)
             .where(F.col("_df") > max_doc_freq)
             .select("_g")
         )

@@ -128,23 +128,13 @@ def q_stream_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        s = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
-        cleaned = batch.select("doc_id", s.alias("_s"))
-        n = F.length("_s")
-        grams = F.when(
-            n >= k, F.sequence(F.lit(1), n - (k - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        posting = cleaned.select(
-            "doc_id", F.explode(grams).alias("_i"), "_s"
-        ).select(
-            "doc_id", F.substr(F.col("_s"), F.col("_i"), F.lit(k)).alias("_g")
-        )
-        (
-            posting.distinct()
-            .groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .write.mode("overwrite")
-            .parquet(f"{store}/batch_{batch_id:05d}")
+        # the SAME normalization + posting + df rule as the batch
+        # operator — shared helper, so streamed ≡ batch cannot drift
+        from .operators.text import gram_doc_freq, gram_postings
+
+        _, posting = gram_postings(batch, "doc_id", "text", k)
+        gram_doc_freq(posting, "doc_id").write.mode("overwrite").parquet(
+            f"{store}/batch_{batch_id:05d}"
         )
 
     run_partial_stream(

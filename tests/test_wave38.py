@@ -105,3 +105,22 @@ def test_sample_oracle_distinct_mirrors_engine_dedup(spark):
             assert re.search(
                 rf"{src} AS \(SELECT DISTINCT", sql
             ), f"rank source {src} not DISTINCT-deduped in oracle"
+
+
+def test_boilerplate_gram_rule_shared_single_source():
+    """The streamed df-state sink and the batch operator must both go
+    through operators.text.gram_postings/gram_doc_freq — the streamed
+    ≡ batch guarantee is structural only while the posting rule has
+    exactly one definition (VERDICT r14 #2). Guard against a future
+    inline re-implementation in either site."""
+    import inspect
+
+    from crypto_price_data_pipeline_spark import queries_ext37
+    from crypto_price_data_pipeline_spark.operators import text
+
+    sink_src = inspect.getsource(queries_ext37.q_stream_boilerplate)
+    assert "gram_postings" in sink_src and "gram_doc_freq" in sink_src
+    assert "regexp_replace" not in sink_src  # no inline normalization
+    strip_src = inspect.getsource(text.boilerplate_strip)
+    assert "gram_postings" in strip_src and "gram_doc_freq" in strip_src
+    assert "regexp_replace" not in strip_src
