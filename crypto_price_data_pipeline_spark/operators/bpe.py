@@ -34,10 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _initial_enc(word_col: str) -> Column:
+def _initial_enc(word: Column | str) -> Column:
+    c = F.col(word) if isinstance(word, str) else word
     return F.concat(
         F.lit(" "),
-        F.array_join(F.split(F.col(word_col), ""), "  "),
+        F.array_join(F.split(c, ""), "  "),
         F.lit(" "),
     )
 
@@ -108,6 +109,17 @@ def bpe_learn(
     return merges
 
 
+def bpe_symbols(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol array of ONE word (any Column expression, e.g. a lambda
+    variable inside ``F.transform`` over a doc's token array) under a
+    learned merge list — the same sentinel-string rewrite as
+    :func:`bpe_segment`, exposed at expression level so corpus-wide
+    tokenization stays a zero-shuffle projection: merges are literals
+    and the rewrite is pure per-row string arithmetic, however many
+    documents flow through."""
+    return F.split(F.trim(_apply_merges(_initial_enc(word), merges)), "  ")
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -118,5 +130,4 @@ def bpe_segment(
     rewrite replayed in learning order, then split back to the symbol
     array — the serving half of the tokenizer. Merges are literals, so
     applying is a zero-shuffle projection however large ``df`` is."""
-    enc = _apply_merges(_initial_enc(word_col), merges)
-    return df.withColumn(out_col, F.split(F.trim(enc), "  "))
+    return df.withColumn(out_col, bpe_symbols(F.col(word_col), merges))

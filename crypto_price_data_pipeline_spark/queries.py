@@ -1611,6 +1611,10 @@ from .queries_ext37 import EXT37_ORACLES, EXT37_QUERIES  # noqa: E402
 
 QUERIES.update(EXT37_QUERIES)
 ORACLES.update(EXT37_ORACLES)
+from .queries_ext38 import EXT38_ORACLES, EXT38_QUERIES  # noqa: E402
+
+QUERIES.update(EXT38_QUERIES)
+ORACLES.update(EXT38_ORACLES)
 # heavy-oracle verification twins (wave 34): generated LAST so they
 # wrap the final registered callables/oracles
 from .queries_ext34 import make_verification_twins  # noqa: E402

@@ -223,9 +223,14 @@ def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_chain_ctes(n_merges: int = 8) -> tuple[list[str], list[str]]:
+    """The shared DuckDB replay of the greedy merge-learning loop:
+    (ctes, per-step merge-row selects). ``toks`` carries doc_id so
+    downstream oracles (q_bpe_chunks) can reuse the tokenize; the
+    wf aggregation ignores it."""
     ctes = [
-        "toks AS (SELECT unnest(list_filter(string_split_regex(lower(text),"
+        "toks AS (SELECT doc_id,"
+        " unnest(list_filter(string_split_regex(lower(text),"
         " '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents)",
         "wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word)",
         "w0 AS (SELECT ' ' || array_to_string(list_transform("
@@ -269,6 +274,11 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             f" r AS right_sym, l || r AS merged,"
             f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
         )
+    return ctes, selects
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    ctes, selects = _bpe_chain_ctes(n_merges)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL ".join(selects)
@@ -280,11 +290,9 @@ def _bpe_vocab_oracle(n_merges: int = 8) -> str:
     """Top-50 weighted symbol counts read from the learning chain's
     FINAL segmentation stage — the serving oracle shares every CTE
     with the merge-table oracle."""
-    body = _bpe_oracle(n_merges)
-    # keep only the CTE list (drop the merge-table SELECT chain)
-    ctes = body.split("\nSELECT CAST(1 AS INTEGER)")[0]
+    ctes, _ = _bpe_chain_ctes(n_merges)
     return (
-        ctes
+        "WITH " + ",\n".join(ctes)
         + f"""
 SELECT syms[CAST(i AS INTEGER)] AS symbol,
        CAST(SUM(freq) AS BIGINT) AS n

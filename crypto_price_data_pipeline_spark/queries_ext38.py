@@ -1,0 +1,142 @@
+"""Wave 38 [EXT]: BPE-tokenized sequence packing — the last split in
+the LLM-pipeline tokenizer arc. q_bpe_merges LEARNS the merge table
+from the corpus word-frequency cube; q_bpe_vocab SERVES the induced
+vocabulary over the vocab table; q_bpe_chunks closes the loop by
+tokenizing the CORPUS with the learned merges and feeding the result
+straight into the existing concat-and-chunk packing machinery
+(operators/packing.pack_sequences): learn merges → segment documents
+→ pack into fixed-length training sequences — the exact productions a
+pre-training data pipeline runs over 100 TB.
+
+Scale shape: the learned merges are LITERALS, so corpus segmentation
+is a zero-shuffle projection (operators/bpe.bpe_symbols applied
+per-token inside an in-row transform — no vocab broadcast, no join;
+each doc's BPE token count is pure string arithmetic on its own row).
+The only shuffles are the ones the packing operator already owns: the
+two-phase distributed prefix sum (bucketed window, never a global
+single-partition sort) plus the final per-sequence aggregate.
+
+Reference parity: [EXT] — the reference (bpi_crawler.py) has no
+corpus tooling; this extends the §2.11 training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.sources import load_table
+
+BPE_SEQ_LEN = 128
+BPE_N_MERGES = 8
+
+
+def q_bpe_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack the BPE-tokenized corpus into 128-token training
+    sequences: learn the 8-merge table from the counting cube
+    (bpe_learn — vocab-sized rounds), count each document's BPE
+    symbols with an in-row per-token rewrite (merges are literals:
+    zero-shuffle projection), then concat-and-chunk in doc_id order
+    via the distributed prefix sum. Per sequence: docs starting in
+    it, their BPE-token mass, boundary-straddlers, and the doc-id
+    span. The oracle replays the learning chain, segments every
+    vocab word relationally (the v-chain), joins the per-word symbol
+    counts back to the doc token stream, and recomputes the same
+    cumsum layout — bit-exact at every SF."""
+    from .operators.bpe import bpe_learn, bpe_symbols
+    from .operators.dedup import tokens_col
+    from .operators.packing import pack_sequences
+    from .queries_ext37 import _bpe_words
+    from .session import scale_out
+
+    merges = bpe_learn(_bpe_words(spark, sf), n_merges=BPE_N_MERGES)
+    pairs = [(l, r) for _, l, r, _, _ in merges]
+    docs = scale_out(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+    n_tok = F.aggregate(
+        F.transform(
+            tokens_col("text"),
+            lambda t: F.size(bpe_symbols(t, pairs)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sized = docs.select("doc_id", n_tok.alias("n_tok"))
+    packed = pack_sequences(sized, "doc_id", "n_tok", BPE_SEQ_LEN)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bpe_tokens_started"),
+            F.sum(
+                F.when(F.col("end_seq_id") > F.col("seq_id"), 1).otherwise(0)
+            ).alias("n_boundary_crossers"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def _bpe_chunks_oracle(
+    n_merges: int = BPE_N_MERGES, seq_len: int = BPE_SEQ_LEN
+) -> str:
+    """Replay the merge-learning chain (shared CTEs), then segment the
+    VOCAB relationally — a v-chain that carries the word through the
+    same per-round LEFT-JOIN replace, so a short-merge corpus
+    degrades identically to the engine — and join per-word symbol
+    counts to the doc token stream before the packing cumsum."""
+    from .queries_ext37 import _bpe_chain_ctes
+
+    ctes, _ = _bpe_chain_ctes(n_merges)
+    ctes.append(
+        "v0 AS (SELECT word, ' ' || array_to_string(list_transform("
+        "range(1, length(word) + 1),"
+        " i -> substring(word, CAST(i AS INTEGER), 1)), '  ') || ' ' AS enc"
+        " FROM wf)"
+    )
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"v{k} AS (SELECT word, CASE WHEN l IS NULL THEN enc ELSE"
+            f" replace(enc,"
+            f" ' ' || l || '  ' || r || ' ',"
+            f" ' ' || l || r || ' ') END AS enc"
+            f" FROM v{k - 1} LEFT JOIN b{k} ON TRUE)"
+        )
+    ctes.append(
+        f"wsym AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns"
+        f" FROM v{n_merges})"
+    )
+    ctes.append(
+        "dcnt AS (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_tok"
+        " FROM toks JOIN wsym USING (word) GROUP BY doc_id)"
+    )
+    ctes.append(
+        "off AS (SELECT doc_id, n_tok,"
+        " COALESCE(SUM(n_tok) OVER (ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off"
+        " FROM dcnt WHERE n_tok > 0)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(off // {seq_len} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens_started,
+       CAST(SUM(CASE WHEN (off + n_tok - 1) // {seq_len} > off // {seq_len}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_crossers,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM off
+GROUP BY 1
+ORDER BY 1
+"""
+    )
+
+
+EXT38_QUERIES = {
+    "q_bpe_chunks": q_bpe_chunks,
+}
+EXT38_ORACLES = {
+    "q_bpe_chunks": _bpe_chunks_oracle(),
+}

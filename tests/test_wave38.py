@@ -124,3 +124,75 @@ def test_boilerplate_gram_rule_shared_single_source():
     strip_src = inspect.getsource(text.boilerplate_strip)
     assert "gram_postings" in strip_src and "gram_doc_freq" in strip_src
     assert "regexp_replace" not in strip_src
+
+
+def test_bpe_scale_guard_n_merges_capped_or_heavy():
+    """The NOTES rule encoded (VERDICT r15 #4): any registered query
+    learning more than ~32 BPE merges must be HEAVY_EXACT with a
+    registered twin — the oracle replays n_merges chained SQL stages
+    and the segmentation expression deepens per round, so past the
+    cap the exact form belongs in the deep pass only. No behavior
+    change at the current n_merges=8."""
+    import inspect
+    import re
+    import sys
+
+    from crypto_price_data_pipeline_spark.queries import QUERIES
+    from crypto_price_data_pipeline_spark.queries_ext34 import HEAVY_EXACT
+
+    checked = 0
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if "bpe_learn(" not in src:
+            continue
+        for m in re.finditer(r"n_merges\s*=\s*(\w+)", src):
+            tok = m.group(1)
+            k = int(tok) if tok.isdigit() else int(
+                getattr(sys.modules[fn.__module__], tok)
+            )
+            checked += 1
+            assert k <= 32 or (
+                name in HEAVY_EXACT and f"{name}_sub" in QUERIES
+            ), f"{name}: n_merges={k} > 32 must be HEAVY_EXACT with a twin"
+    assert checked >= 3  # merges, vocab, chunks all resolved
+
+
+def test_changed_only_import_closure_attribution():
+    """--changed-only's static import graph must attribute operator
+    edits to the queries that reach them: queries_ext38 (BPE chunks)
+    depends on operators/bpe, operators/packing and operators/dedup
+    through function-local imports, and operator modules never import
+    a queries module back (no spurious whole-registry selection)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "co", os.path.join(root, "tools", "check_oracle.py")
+    )
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+    mods = co._package_modules(root)
+    deps = co._import_graph(root, mods)
+    pkg = "crypto_price_data_pipeline_spark"
+
+    def closure(m, seen=None):
+        seen = seen or set()
+        if m in seen:
+            return seen
+        seen.add(m)
+        for d in deps.get(m, ()):
+            closure(d, seen)
+        return seen
+
+    c38 = closure(f"{pkg}.queries_ext38")
+    for dep in ("operators.bpe", "operators.packing", "operators.dedup",
+                "queries_ext37", "io.sources", "session"):
+        assert f"{pkg}.{dep}" in c38, dep
+    for op in ("operators.bpe", "operators.text", "operators.packing"):
+        assert not any(
+            d.startswith(f"{pkg}.queries") for d in closure(f"{pkg}.{op}")
+        ), f"{op} reaches a queries module"
