@@ -98,6 +98,10 @@ HEADLINE = [
     "q_nb_language_id",
     # round-14: boilerplate span removal (the dedup family's transform)
     "q_boilerplate_strip",
+    # round-15: the tokenizer arc closed — learn merges (8 vocab-sized
+    # driver rounds), segment the corpus in-row, pack into 128-token
+    # sequences via the distributed prefix sum
+    "q_bpe_chunks",
     # NOT headline: q_simhash_dupheavy / q_minhash_dupheavy (and the
     # r13 q_winnow_dupheavy / q_overlap_dupheavy) are REGIME pins —
     # they build signatures over synthetic 12-60x replica corpora to

@@ -134,9 +134,89 @@ ORDER BY 1
     )
 
 
+def q_pack_slices(spark: SparkSession, sf: str) -> DataFrame:
+    """The trainer-facing half of sequence packing: materialize every
+    (document, sequence) SLICE — which contiguous token range of each
+    doc lands in which 128-token training sequence. q_seq_packing
+    reports per-sequence statistics; the dataloader needs the inverse
+    map (per doc: the sequences it feeds, the in-doc token offset and
+    the slice length). Pure arithmetic on the distributed-prefix-sum
+    offsets: a doc at global offset o with n tokens spans sequences
+    o//L .. (o+n-1)//L, and its slice in sequence s is
+    [max(sL, o), min((s+1)L, o+n)) — so the whole operator is the
+    packing cumsum plus a zero-shuffle in-row sequence explode. The
+    oracle recomputes the layout with a plain window cumsum and the
+    same interval intersection, bit-exact."""
+    from .operators.packing import with_global_offsets
+    from .operators.text import tokenize
+    from .queries_ext6 import SEQ_LEN
+    from .session import scale_out
+
+    docs = scale_out(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    ).select("doc_id", F.size(tokenize("text")).alias("n_tok"))
+    off = with_global_offsets(
+        docs.where(F.col("n_tok") > 0).withColumn(
+            "n_tok", F.col("n_tok").cast("long")
+        ),
+        "doc_id",
+        "n_tok",
+    )
+    L = int(SEQ_LEN)
+    sl = off.select(
+        "doc_id",
+        "n_tok",
+        "offset",
+        F.explode(
+            F.sequence(
+                F.expr(f"offset div {L}"),
+                F.expr(f"(offset + n_tok - 1) div {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * L, F.col("offset"))
+    hi = F.least((F.col("seq_id") + 1) * L, F.col("offset") + F.col("n_tok"))
+    return sl.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("offset")).cast("long").alias("tok_start"),
+        (hi - lo).cast("long").alias("n_tok_in_seq"),
+    ).orderBy("doc_id", "seq_id")
+
+
+Q_PACK_SLICES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+off AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks WHERE n_tok > 0
+),
+sl AS (
+  SELECT doc_id, n_tok, CAST(off AS BIGINT) AS off,
+         unnest(range(CAST(off // 128 AS BIGINT),
+                      CAST((off + n_tok - 1) // 128 + 1 AS BIGINT))) AS seq_id
+  FROM off
+)
+SELECT doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(seq_id * 128, off) - off AS BIGINT) AS tok_start,
+       CAST(least((seq_id + 1) * 128, off + n_tok)
+            - greatest(seq_id * 128, off) AS BIGINT) AS n_tok_in_seq
+FROM sl
+ORDER BY doc_id, seq_id
+"""
+
+
 EXT38_QUERIES = {
     "q_bpe_chunks": q_bpe_chunks,
+    "q_pack_slices": q_pack_slices,
 }
 EXT38_ORACLES = {
     "q_bpe_chunks": _bpe_chunks_oracle(),
+    "q_pack_slices": Q_PACK_SLICES_SQL,
 }

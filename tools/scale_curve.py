@@ -135,8 +135,13 @@ def build_corpus(spark, base_sf: str, scale: int, out_dir: str) -> int:
 
 
 def measure(
-    spark, sf_dir: str, queries: list[str] | None = None
+    spark,
+    sf_dir: str,
+    queries: list[str] | None = None,
+    materialize: str = "count",
 ) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
     from crypto_price_data_pipeline_spark import artifacts
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
@@ -148,7 +153,22 @@ def measure(
             times[f"artifact_{name}"] = round(time.monotonic() - t0, 3)
     for name in queries if queries is not None else PAIR_QUERIES:
         t0 = time.monotonic()
-        n = QUERIES[name](spark, sf_dir).count()
+        df = QUERIES[name](spark, sf_dir)
+        if materialize == "full":
+            # checksum EVERY output column: .count() lets Catalyst
+            # prune expensive computed columns a query emits but no
+            # aggregate consumes (q_boilerplate_strip's kept_text
+            # rebuild vanished under count — the curve read as
+            # sub-constant). The checksum forces the whole row.
+            row = df.select(
+                F.count(F.lit(1)).alias("_n"),
+                F.bit_xor(
+                    F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+                ).alias("_ck"),
+            ).collect()[0]
+            n = row["_n"]
+        else:
+            n = df.count()
         times[name] = round(time.monotonic() - t0, 3)
         times[f"{name}_rows"] = n
     return times
@@ -158,6 +178,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--scales", default="1,4,10")
+    ap.add_argument(
+        "--materialize",
+        default="count",
+        choices=["count", "full"],
+        help="how to force each query: count (fast, default; matches "
+        "the historical tables) or full (checksum every output column "
+        "- required for transform queries whose expensive columns "
+        "count() would prune)",
+    )
     ap.add_argument(
         "--queries",
         default=None,
@@ -182,8 +211,8 @@ def main() -> None:
                 # otherwise inflate the 1x point and FLATTER the
                 # exponent (the similarity tier amortizes this across
                 # its artifact builds; a short query list does not)
-                measure(spark, work, qnames)
-            times = measure(spark, work, qnames)
+                measure(spark, work, qnames, args.materialize)
+            times = measure(spark, work, qnames, args.materialize)
             times["n_docs"] = n
             results[scale] = times
         finally:
