@@ -85,10 +85,14 @@ PARAMS: dict[str, dict] = {
     "tfidf_w": {"ngram": 3, "max_df": 50},
     "lm_bigram": {"smoothing": "add1"},
     "token_counts": {"split": "ascii", "unit": "unigram", "dims": "lang,nib"},
+    "bpe_merges": {"n_merges": 8},
 }
 
 # upstream -> derived artifacts that must drop when it rebuilds
-_DERIVED: dict[str, list[str]] = {"minhash_base": ["minhash_mins"]}
+_DERIVED: dict[str, list[str]] = {
+    "minhash_base": ["minhash_mins"],
+    "token_counts": ["bpe_merges"],
+}
 
 
 # per-(name, corpus) MEASURED build statistics merged into the stamp —
@@ -407,6 +411,44 @@ def token_lang_counts(spark: SparkSession, sf: str) -> DataFrame:
     return _artifact(spark, "token_counts", sf, _build)
 
 
+def bpe_word_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """(word, freq): the corpus word-frequency table served from the
+    counting cube — the cube's ``c`` column counts corpus token
+    occurrences under the same tokenizer rule, so summing cells per
+    token is bit-identical to an inline tokenize+count at zero corpus
+    cost (the r12 cube-relocation rule). The single word-supply
+    definition for every BPE query and the bpe_merges build."""
+    return (
+        token_lang_counts(spark, sf)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.sum("c").alias("freq"))
+    )
+
+
+def bpe_merge_table(spark: SparkSession, sf: str) -> DataFrame:
+    """(step, left_sym, right_sym, merged, pair_count): the learned
+    8-merge BPE table (operators/bpe.bpe_learn over
+    :func:`bpe_word_freq`). A tokenizer is TRAINED once per corpus
+    and then serves every downstream job — re-learning the merges in
+    each query that segments (merges/vocab/chunks) would re-run the
+    8-round driver loop per query, the exact per-query recompute this
+    store exists to relocate. Derived from token_counts, so a cube
+    rebuild invalidates it (_DERIVED). The table is vocab-
+    bounded (≤ n_merges rows); consumers that need the merges as
+    expression literals read it with a bounded ≤8-row collect."""
+    from .operators.bpe import bpe_learn
+
+    def _build() -> DataFrame:
+        rows = bpe_learn(bpe_word_freq(spark, sf), n_merges=8)
+        return spark.createDataFrame(
+            rows,
+            "step int, left_sym string, right_sym string, "
+            "merged string, pair_count long",
+        )
+
+    return _artifact(spark, "bpe_merges", sf, _build)
+
+
 # name -> accessor, for bench.py's cold-build timing loop
 BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_base": minhash_base,
@@ -416,4 +458,5 @@ BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_w": tfidf_weights,
     "lm_bigram": lm_bigram_probs,
     "token_counts": token_lang_counts,
+    "bpe_merges": bpe_merge_table,
 }

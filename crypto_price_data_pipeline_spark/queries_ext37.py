@@ -155,19 +155,24 @@ def q_stream_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bpe_words(spark: SparkSession, sf: str):
-    """(word, freq) served from the stored counting cube — the cube's
-    ``c`` column counts corpus token occurrences under the SAME
-    tokenizer rule, so summing cells per token is bit-identical to an
-    inline tokenize+count at zero corpus cost."""
-    from pyspark.sql import functions as F
+    """(word, freq) served from the stored counting cube — delegates
+    to artifacts.bpe_word_freq (single definition of the word-supply
+    rule, shared with the bpe_merges artifact build)."""
+    from .artifacts import bpe_word_freq
 
-    from .artifacts import token_lang_counts
+    return bpe_word_freq(spark, sf)
 
-    return (
-        token_lang_counts(spark, sf)
-        .groupBy(F.col("w").alias("word"))
-        .agg(F.sum("c").alias("freq"))
-    )
+
+def _bpe_merge_pairs(spark: SparkSession, sf: str) -> list[tuple[str, str]]:
+    """The learned (left, right) merge list read from the stored
+    bpe_merges artifact — a bounded ≤ n_merges-row collect (8 rows):
+    segmentation consumers need the merges as expression LITERALS
+    (the zero-shuffle chained-replace projection), and the table is
+    vocab-bounded by construction. Annotated in the collect budget."""
+    from .artifacts import bpe_merge_table
+
+    rows = bpe_merge_table(spark, sf).orderBy("step").collect()
+    return [(r["left_sym"], r["right_sym"]) for r in rows]
 
 
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
@@ -183,18 +188,16 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     The oracle replays the identical greedy loop as 8 chained SQL
     stages — counts, tie-breaks and the left-to-right non-overlapping
     merge rule are all engine-neutral, so the learned table matches
-    bit-for-bit."""
-    from pyspark.sql import functions as F
+    bit-for-bit.
 
-    from .operators.bpe import bpe_learn
+    r15: the learned table is now a stored ARTIFACT
+    (artifacts.bpe_merge_table — a tokenizer trains once per corpus
+    and serves every downstream job); this query reads the store, and
+    the oracle's from-scratch replay is exactly the artifact's
+    correctness pin."""
+    from .artifacts import bpe_merge_table
 
-    words = _bpe_words(spark, sf)
-    rows = bpe_learn(words, n_merges=8)
-    return spark.createDataFrame(
-        rows,
-        "step int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("step")
+    return bpe_merge_table(spark, sf).orderBy("step")
 
 
 def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
@@ -209,11 +212,9 @@ def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     tokenize — the q_bpe_merges rule)."""
     from pyspark.sql import functions as F
 
-    from .operators.bpe import bpe_learn, bpe_segment
+    from .operators.bpe import bpe_segment
 
-    words = _bpe_words(spark, sf)
-    merges = bpe_learn(words, n_merges=8)
-    seg = bpe_segment(words, [(l, r) for _, l, r, _, _ in merges])
+    seg = bpe_segment(_bpe_words(spark, sf), _bpe_merge_pairs(spark, sf))
     return (
         seg.select(F.explode("symbols").alias("symbol"), "freq")
         .groupBy("symbol")

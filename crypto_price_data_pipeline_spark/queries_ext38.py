@@ -33,24 +33,23 @@ BPE_N_MERGES = 8
 
 def q_bpe_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Pack the BPE-tokenized corpus into 128-token training
-    sequences: learn the 8-merge table from the counting cube
-    (bpe_learn — vocab-sized rounds), count each document's BPE
-    symbols with an in-row per-token rewrite (merges are literals:
-    zero-shuffle projection), then concat-and-chunk in doc_id order
-    via the distributed prefix sum. Per sequence: docs starting in
+    sequences: read the learned 8-merge table from the stored
+    bpe_merges artifact (trained once per corpus), count each
+    document's BPE symbols with an in-row per-token rewrite (merges
+    are literals: zero-shuffle projection), then concat-and-chunk in
+    doc_id order via the distributed prefix sum. Per sequence: docs starting in
     it, their BPE-token mass, boundary-straddlers, and the doc-id
     span. The oracle replays the learning chain, segments every
     vocab word relationally (the v-chain), joins the per-word symbol
     counts back to the doc token stream, and recomputes the same
     cumsum layout — bit-exact at every SF."""
-    from .operators.bpe import bpe_learn, bpe_symbols
+    from .operators.bpe import bpe_symbols
     from .operators.dedup import tokens_col
     from .operators.packing import pack_sequences
-    from .queries_ext37 import _bpe_words
+    from .queries_ext37 import _bpe_merge_pairs
     from .session import scale_out
 
-    merges = bpe_learn(_bpe_words(spark, sf), n_merges=BPE_N_MERGES)
-    pairs = [(l, r) for _, l, r, _, _ in merges]
+    pairs = _bpe_merge_pairs(spark, sf)
     docs = scale_out(
         load_table(spark, sf, "documents").select("doc_id", "text")
     )

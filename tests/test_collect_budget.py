@@ -54,6 +54,11 @@ ALLOWED = {
     "operators/bpe.py": [".collect()"],
     # top-10 rank list (bounded by the preceding limit)
     "queries_ext24.py": [".collect()"],
+    # the stored bpe_merges artifact read as expression literals:
+    # vocab-bounded by construction (<= n_merges = 8 rows)
+    "queries_ext37.py": [
+        'rows = bpe_merge_table(spark, sf).orderBy("step").collect()',
+    ],
 }
 
 

@@ -137,27 +137,38 @@ def test_bpe_scale_guard_n_merges_capped_or_heavy():
     import re
     import sys
 
+    from crypto_price_data_pipeline_spark import artifacts
     from crypto_price_data_pipeline_spark.queries import QUERIES
     from crypto_price_data_pipeline_spark.queries_ext34 import HEAVY_EXACT
 
+    def resolve(src: str, module) -> list[int]:
+        out = []
+        if "bpe_learn(" not in src:
+            return out
+        for m in re.finditer(r"n_merges\s*=\s*(\w+)", src):
+            tok = m.group(1)
+            out.append(
+                int(tok) if tok.isdigit() else int(getattr(module, tok))
+            )
+        return out
+
     checked = 0
+    # serving path: the artifact builder owns the only bpe_learn call
+    for k in resolve(inspect.getsource(artifacts.bpe_merge_table), artifacts):
+        checked += 1
+        assert k <= 32, f"bpe_merges artifact: n_merges={k} > 32 cap"
+    # any query that still learns inline must obey the cap or be heavy
     for name, fn in QUERIES.items():
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             continue
-        if "bpe_learn(" not in src:
-            continue
-        for m in re.finditer(r"n_merges\s*=\s*(\w+)", src):
-            tok = m.group(1)
-            k = int(tok) if tok.isdigit() else int(
-                getattr(sys.modules[fn.__module__], tok)
-            )
+        for k in resolve(src, sys.modules[fn.__module__]):
             checked += 1
             assert k <= 32 or (
                 name in HEAVY_EXACT and f"{name}_sub" in QUERIES
             ), f"{name}: n_merges={k} > 32 must be HEAVY_EXACT with a twin"
-    assert checked >= 3  # merges, vocab, chunks all resolved
+    assert checked >= 1  # the artifact builder at minimum
 
 
 def test_changed_only_import_closure_attribution():
