@@ -131,3 +131,62 @@ def bpe_segment(
     array — the serving half of the tokenizer. Merges are literals, so
     applying is a zero-shuffle projection however large ``df`` is."""
     return df.withColumn(out_col, bpe_symbols(F.col(word_col), merges))
+
+
+def greedy_segment(word: Column, symbols: list[str]) -> Column:
+    """WordPiece-style GREEDY LONGEST-MATCH segmentation of one word
+    against a literal symbol inventory — the serving rule BERT-class
+    tokenizers use, distinct from :func:`bpe_symbols`' merge-order
+    replay (the two diverge exactly where a long symbol overlaps a
+    higher-priority merge boundary; q_wordpiece_vocab audits that
+    divergence corpus-wide). At each position take the LONGEST
+    inventory symbol matching the remaining suffix, append it, and
+    advance by its length.
+
+    Implementation: one in-row ``aggregate`` over the word's character
+    positions with (pos, parts) state — iterations below the cursor
+    pass the state through, the iteration AT the cursor consumes the
+    longest match, so variable-length steps ride a fixed-length fold
+    and the whole operator stays a zero-shuffle projection (symbols
+    are literals; no vocab join, no UDF).
+
+    Callers must guarantee every single character of the input is in
+    the inventory (the alnum tokenizer contract — base alphabet plus
+    learned merges), so a match always exists and no UNK branch is
+    needed; length-1 fallback is implicit."""
+    lens = sorted({len(s) for s in symbols if len(s) > 1})
+    by_len = {L: sorted(s for s in symbols if len(s) == L) for L in lens}
+
+    def match_len(p: Column) -> Column:
+        # built smallest..largest so the LARGEST length is the
+        # outermost (first-checked) branch: greedy longest match
+        expr: Column = F.lit(1)
+        for L in lens:
+            expr = F.when(
+                F.substr(word, p, F.lit(L)).isin(*by_len[L]), F.lit(L)
+            ).otherwise(expr)
+        return expr
+
+    def step(s: Column, i: Column) -> Column:
+        p = s["pos"]
+        ln = match_len(p)
+        consumed = F.struct(
+            (p + ln).alias("pos"),
+            F.concat(
+                s["parts"], F.array(F.substr(word, p, ln))
+            ).alias("parts"),
+        )
+        return F.when(i == p, consumed).otherwise(s)
+
+    empty = F.array().cast("array<string>")
+    # guard: sequence(1, 0) is DESCENDING in Spark — an empty word
+    # must fold over no positions, not a [1, 0] walk
+    return F.when(
+        F.length(word) >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(word)),
+            F.struct(F.lit(1).alias("pos"), empty.alias("parts")),
+            step,
+            lambda s: s["parts"],
+        ),
+    ).otherwise(empty)

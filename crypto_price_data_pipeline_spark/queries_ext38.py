@@ -211,11 +211,100 @@ ORDER BY doc_id, seq_id
 """
 
 
+_BASE_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + list(
+    "0123456789"
+)
+
+
+def q_wordpiece_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """The THIRD tokenizer family: WordPiece-style greedy
+    longest-match serving (operators/bpe.greedy_segment) over the
+    learned inventory — base alphabet plus the stored bpe_merges
+    symbols. Reports the corpus-weighted top-50 symbols, the same
+    shape as q_bpe_vocab, so the two serving rules' divergence
+    (greedy longest-match vs merge-order replay — they differ where a
+    long symbol spans a higher-priority merge boundary) is auditable
+    side by side. Segmentation is a vocab-sized zero-shuffle
+    projection (symbols are literals; the in-row fold carries a
+    (pos, parts) cursor over each word). The oracle re-derives the
+    inventory from the learning chain and replays greedy
+    longest-match with a per-word recursive CTE over a materialized
+    longest-match-length table."""
+    from .operators.bpe import greedy_segment
+    from .queries_ext37 import _bpe_merge_pairs, _bpe_words
+
+    symbols = [l + r for l, r in _bpe_merge_pairs(spark, sf)] + _BASE_ALPHABET
+    seg = _bpe_words(spark, sf).select(
+        F.explode(greedy_segment(F.col("word"), symbols)).alias("symbol"),
+        "freq",
+    )
+    return (
+        seg.groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "symbol")
+        .limit(50)
+    )
+
+
+def _wordpiece_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    """Replay the merge chain for the inventory, then greedy
+    longest-match relationally: a materialized per-(word, position)
+    longest-match-length table drives a recursive CTE whose cursor
+    jumps by the matched length — the sequential rule a window
+    cannot express (each step's position depends on every prior
+    match)."""
+    from .queries_ext37 import _bpe_chain_ctes
+
+    ctes, _ = _bpe_chain_ctes(n_merges)
+    merged_union = " UNION ALL ".join(
+        f"SELECT l || r AS sym FROM b{k}" for k in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"vocab AS MATERIALIZED ({merged_union}"
+        " UNION ALL SELECT chr(CAST(c AS INTEGER)) AS sym"
+        " FROM (SELECT unnest(range(97, 123)) AS c)"
+        " UNION ALL SELECT CAST(d AS VARCHAR) AS sym"
+        " FROM (SELECT unnest(range(0, 10)) AS d))"
+    )
+    ctes.append(
+        "wpos AS MATERIALIZED (SELECT word,"
+        " CAST(unnest(range(1, length(word) + 1)) AS INTEGER) AS p FROM wf)"
+    )
+    ctes.append(
+        "cand AS MATERIALIZED ("
+        "SELECT wpos.word, wpos.p, MAX(length(v.sym)) AS len"
+        " FROM wpos JOIN vocab v"
+        " ON substring(wpos.word, wpos.p, length(v.sym)) = v.sym"
+        " GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "seg AS ("
+        "SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS parts, freq FROM wf"
+        " UNION ALL"
+        " SELECT s.word, s.pos + c.len,"
+        " list_append(s.parts, substring(s.word, s.pos, c.len)), s.freq"
+        " FROM seg s JOIN cand c ON c.word = s.word AND c.p = s.pos"
+        " WHERE s.pos <= length(s.word))"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + """
+SELECT sym AS symbol, CAST(SUM(freq) AS BIGINT) AS n
+FROM (SELECT unnest(parts) AS sym, freq FROM seg
+      WHERE pos = length(word) + 1)
+GROUP BY 1
+ORDER BY n DESC, symbol
+LIMIT 50
+"""
+    )
+
+
 EXT38_QUERIES = {
     "q_bpe_chunks": q_bpe_chunks,
     "q_pack_slices": q_pack_slices,
+    "q_wordpiece_vocab": q_wordpiece_vocab,
 }
 EXT38_ORACLES = {
     "q_bpe_chunks": _bpe_chunks_oracle(),
     "q_pack_slices": Q_PACK_SLICES_SQL,
+    "q_wordpiece_vocab": _wordpiece_oracle(),
 }

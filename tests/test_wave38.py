@@ -207,3 +207,28 @@ def test_changed_only_import_closure_attribution():
         assert not any(
             d.startswith(f"{pkg}.queries") for d in closure(f"{pkg}.{op}")
         ), f"{op} reaches a queries module"
+
+
+def test_greedy_vs_merge_order_divergence_pinned(spark):
+    """The two serving rules genuinely differ: with merges learned in
+    order (b,c) then (a,b), merge-order replay segments 'abc' as
+    [a, bc] (the first merge consumes b, blocking ab), while greedy
+    longest-match over the same inventory takes the leftmost longest
+    symbol: [ab, c]. Pins that q_wordpiece_vocab audits a REAL
+    divergence, not a re-labelled q_bpe_vocab."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.bpe import (
+        bpe_symbols,
+        greedy_segment,
+    )
+
+    df = spark.createDataFrame([("abc",)], "word string")
+    merges = [("b", "c"), ("a", "b")]
+    inventory = ["bc", "ab"] + [chr(c) for c in range(97, 123)]
+    row = df.select(
+        bpe_symbols(F.col("word"), merges).alias("merge_order"),
+        greedy_segment(F.col("word"), inventory).alias("greedy"),
+    ).collect()[0]
+    assert row["merge_order"] == ["a", "bc"]
+    assert row["greedy"] == ["ab", "c"]
