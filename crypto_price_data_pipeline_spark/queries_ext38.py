@@ -78,14 +78,13 @@ def q_bpe_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bpe_chunks_oracle(
-    n_merges: int = BPE_N_MERGES, seq_len: int = BPE_SEQ_LEN
-) -> str:
-    """Replay the merge-learning chain (shared CTEs), then segment the
-    VOCAB relationally — a v-chain that carries the word through the
-    same per-round LEFT-JOIN replace, so a short-merge corpus
-    degrades identically to the engine — and join per-word symbol
-    counts to the doc token stream before the packing cumsum."""
+def _bpe_vchain_ctes(n_merges: int = BPE_N_MERGES) -> list[str]:
+    """The learning-chain CTEs plus a word-carrying segmentation
+    chain (v0..v{n}) and the per-word symbol-count table ``wsym`` —
+    shared by every oracle that needs the learned segmentation AT THE
+    WORD LEVEL (chunks, compression). Each v-stage applies the same
+    per-round LEFT-JOIN replace as the w-chain, so a short-merge
+    corpus degrades identically to the engine."""
     from .queries_ext37 import _bpe_chain_ctes
 
     ctes, _ = _bpe_chain_ctes(n_merges)
@@ -107,6 +106,18 @@ def _bpe_chunks_oracle(
         f"wsym AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns"
         f" FROM v{n_merges})"
     )
+    return ctes
+
+
+def _bpe_chunks_oracle(
+    n_merges: int = BPE_N_MERGES, seq_len: int = BPE_SEQ_LEN
+) -> str:
+    """Replay the merge-learning chain (shared CTEs), then segment the
+    VOCAB relationally — a v-chain that carries the word through the
+    same per-round LEFT-JOIN replace, so a short-merge corpus
+    degrades identically to the engine — and join per-word symbol
+    counts to the doc token stream before the packing cumsum."""
+    ctes = _bpe_vchain_ctes(n_merges)
     ctes.append(
         "dcnt AS (SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_tok"
         " FROM toks JOIN wsym USING (word) GROUP BY doc_id)"
@@ -298,13 +309,80 @@ LIMIT 50
     )
 
 
+def q_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility / compression audit per language — the
+    numbers a tokenizer team tracks before committing a vocab to a
+    100-TB run: chars per BPE token (compression) and BPE tokens per
+    word (fertility), weighted by corpus frequency. Served entirely
+    from the counting cube + the stored merge table (zero corpus
+    scan): per-(word, lang) counts come from cube cells and each
+    word's symbol count is the in-row literal rewrite. Ratios are
+    int/int doubles rounded to 9 (the cross-engine float contract);
+    the oracle replays the chain and recomputes the same weighted
+    sums from the raw corpus."""
+    from .artifacts import token_lang_counts
+    from .operators.bpe import bpe_symbols
+    from .queries_ext37 import _bpe_merge_pairs
+
+    pairs = _bpe_merge_pairs(spark, sf)
+    cube = token_lang_counts(spark, sf)
+    agg = cube.groupBy("lang").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.length("w")).alias("n_chars"),
+        F.sum(
+            F.col("c") * F.size(bpe_symbols(F.col("w"), pairs))
+        ).alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 9).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 9).alias(
+            "fertility"
+        ),
+    ).orderBy("lang")
+
+
+def _bpe_compression_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    ctes = _bpe_vchain_ctes(n_merges)
+    ctes.append(
+        "tl AS (SELECT lang,"
+        " unnest(list_filter(string_split_regex(lower(text),"
+        " '[^a-z0-9]+'), t -> t <> '')) AS word FROM documents)"
+    )
+    ctes.append(
+        "lwf AS (SELECT lang, word, COUNT(*) AS c FROM tl GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(c * ns) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(c * length(word)) AS BIGINT)
+             / CAST(SUM(c * ns) AS BIGINT), 9) AS chars_per_token,
+       ROUND(CAST(SUM(c * ns) AS BIGINT)
+             / CAST(SUM(c) AS BIGINT), 9) AS fertility
+FROM lwf JOIN wsym USING (word)
+GROUP BY lang
+ORDER BY lang
+"""
+    )
+
+
 EXT38_QUERIES = {
     "q_bpe_chunks": q_bpe_chunks,
     "q_pack_slices": q_pack_slices,
     "q_wordpiece_vocab": q_wordpiece_vocab,
+    "q_bpe_compression": q_bpe_compression,
 }
 EXT38_ORACLES = {
     "q_bpe_chunks": _bpe_chunks_oracle(),
     "q_pack_slices": Q_PACK_SLICES_SQL,
     "q_wordpiece_vocab": _wordpiece_oracle(),
+    "q_bpe_compression": _bpe_compression_oracle(),
 }
