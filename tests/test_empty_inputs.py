@@ -97,15 +97,22 @@ def dup_sf_dir(spark, tmp_path_factory):
 
 def test_every_registry_query_survives_duplicate_rows(spark, dup_sf_dir):
     """Third degenerate class: duplicated rows. Zero-variance guards
-    and the distinct-clamped KMeans must hold; the TWO intended
-    exceptions are q_seq_packing (with_global_offsets duplicate-id
-    guard) and, since r11, q_shard_manifest
-    (global_order_offsets_inplan's duplicate-key-tuple guard) — both
-    exist precisely to FAIL THE JOB on a corrupt (duplicate doc_id)
-    corpus, where ranks and offsets would be nondeterministic —
-    asserted as the designed diagnostic, not skipped."""
+    and the distinct-clamped KMeans must hold; the intended
+    exceptions are the packing/ordering family — q_seq_packing
+    (with_global_offsets duplicate-id guard), q_shard_manifest
+    (global_order_offsets_inplan's duplicate-key-tuple guard, r11),
+    and since r15 q_bpe_chunks + q_pack_slices (both ride
+    with_global_offsets) — all exist precisely to FAIL THE JOB on a
+    corrupt (duplicate doc_id) corpus, where ranks and offsets would
+    be nondeterministic — asserted as the designed diagnostic, not
+    skipped."""
     fails = _sweep(spark, dup_sf_dir)
-    for name in ("q_seq_packing", "q_shard_manifest"):
+    for name in (
+        "q_seq_packing",
+        "q_shard_manifest",
+        "q_bpe_chunks",
+        "q_pack_slices",
+    ):
         msg = fails.pop(name, None)
         assert msg is not None and "duplicate" in msg, (
             f"{name} must reject duplicate doc_ids loudly; got: {msg}"
