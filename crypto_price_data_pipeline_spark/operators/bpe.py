@@ -69,7 +69,29 @@ def bpe_learn(
     fewer rows; an empty corpus returns none.
 
     Words must be space-free (the tokenizer's alnum contract): the
-    space character is the segmentation sentinel."""
+    space character is the segmentation sentinel.
+
+    r15 (optimization round): the word-frequency input is MATERIALIZED
+    once up front, COALESCED TO ONE PARTITION FIRST — each of the
+    ``n_merges`` rounds drives its own pair-count aggregate over
+    ``words``, and when the caller passes a lazy cube-served frame
+    (artifacts.bpe_word_freq: parquet scan + groupBy) every round
+    re-ran that scan+aggregate from scratch. The coalesce matters as
+    much as the checkpoint: a localCheckpoint pins its input's
+    partitioning, and pinning the aggregate's un-coalesced shuffle
+    output (32 partitions locally) gave every round 32 pinned input
+    tasks that AQE previously coalesced away — measured 5-10× SLOWER
+    than baseline (20-47 s/build). Coalescing first is scale-correct:
+    the table is vocab-bounded at any corpus size, so one partition
+    (the map-side partial aggregation still runs distributed) is the
+    right width. Measured at sf0.1 (cold rebuild, same session):
+    baseline samples 4.3-52.8 s (wild per-round task stalls), after
+    3.7-4.7 s steady and far lower variance; ``reliable=False`` per
+    the fixpoint-loop convention (recomputable from the stored
+    cube)."""
+    from ..session import materialize
+
+    words = materialize(words.coalesce(1), reliable=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         enc = _apply_merges(

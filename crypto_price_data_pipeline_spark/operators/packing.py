@@ -69,7 +69,25 @@ def with_global_offsets(
     sf0.1 — an exact global distinct cannot be cheaper than this.)
     The error surfaces at action time as USER_RAISED_EXCEPTION with the
     offending value in the message.
+
+    r15 (optimization round, guide §8 "decide with small rows"): the
+    input is MATERIALIZED once up front. This operator necessarily
+    drives THREE actions over ``df`` — the min/max/count that defines
+    the bucket range, the per-bucket totals collect, and the caller's
+    own action over the result — and each one re-ran the caller's
+    whole upstream (q_bpe_chunks' per-token BPE rewrite three times:
+    noop-sink steady state 3.43 s → 0.97 s at sf0.1, in-bench 10.4 s
+    before; q_seq_packing's tokenize likewise noop 0.95 s → 0.67 s,
+    construct 1.43 s → 0.90 s). The materialized frame is only
+    ``(order_col, weight_col, carried cols)`` — bytes per row, the
+    lightweight-proxy shape — so pinning it is cheap at any scale,
+    and ``reliable=False`` keeps it a localCheckpoint (recomputable;
+    losing an executor costs one re-run of the packing decision, not
+    the job — the fixpoint-loop convention in session.materialize).
     """
+    from ..session import materialize
+
+    df = materialize(df, reliable=False)
     lo, hi, n_rows = df.agg(
         F.min(order_col), F.max(order_col), F.count(F.lit(1))
     ).first()

@@ -87,3 +87,17 @@ def test_offsets_fail_job_on_all_null_orders(spark):
     )
     with pytest.raises(ValueError, match="all 2 rows have NULL 'k'"):
         with_global_offsets(df, "k", "w")
+
+
+def test_offsets_input_is_materialized_once(spark):
+    # r15 optimization: the operator necessarily drives three actions
+    # over its input (range agg, bucket totals, caller's action); the
+    # input must be localCheckpoint-materialized once so an expensive
+    # upstream (tokenize / BPE rewrite) is not recomputed per action.
+    # Pin it structurally: the result plan must scan the checkpointed
+    # RDD, not re-derive the upstream projection.
+    df = spark.createDataFrame([(i, i % 5 + 1) for i in range(50)], "k long, w long")
+    upstream = df.withColumn("w", F.col("w") * 2)  # stand-in "expensive" projection
+    packed = with_global_offsets(upstream, "k", "w", num_buckets=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
