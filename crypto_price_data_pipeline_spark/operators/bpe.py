@@ -142,6 +142,48 @@ def bpe_symbols(word: Column, merges: list[tuple[str, str]]) -> Column:
     return F.split(F.trim(_apply_merges(_initial_enc(word), merges)), "  ")
 
 
+def bpe_doc_token_count(tokens: Column, merges: list[tuple[str, str]]) -> Column:
+    """Total BPE symbol count of a whole DOCUMENT (``tokens``: the
+    doc's token array) under a learned merge list — bit-identical to
+    ``aggregate(transform(tokens, t -> size(bpe_symbols(t, merges))),
+    0, +)`` but one sentinel-string rewrite per DOCUMENT instead of
+    one per token occurrence (r15 optimization round, guide §1.2
+    "per-task work": the per-token form built and tore down the
+    8-replace chain, a trim, a split and an array per token — the
+    doc-level form runs the chain once over one string and counts
+    symbols with pure length arithmetic, no arrays at all).
+
+    Construction: every token is char-split and joined with the
+    double-space symbol separator exactly as ``_initial_enc`` does,
+    then tokens are joined with a ``\\x00`` SEPARATOR UNIT (double-
+    spaced like any symbol). Merge patterns are `` l  r `` with l, r
+    alnum, so no pattern can match across a ``\\x00`` unit — merges
+    apply within tokens only, exactly the per-token semantics. The
+    final symbol count is (number of ``'  '`` gaps + 1) minus the
+    (n_tokens - 1) separator units; an empty token array is 0 by the
+    outer guard. Equivalence is unit-pinned against the per-token
+    form and the registry oracle replays the per-word chain
+    relationally (q_bpe_chunks, bit-exact at all three SFs)."""
+    enc = _apply_merges(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    tokens, lambda t: F.array_join(F.split(t, ""), "  ")
+                ),
+                "  \x00  ",
+            ),
+            F.lit(" "),
+        ),
+        merges,
+    )
+    gaps = F.length(enc) - F.length(F.replace(enc, F.lit("  "), F.lit(" ")))
+    n_units = gaps + F.lit(1)
+    return F.when(
+        F.size(tokens) > 0, (n_units - (F.size(tokens) - 1)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],

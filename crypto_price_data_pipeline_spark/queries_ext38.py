@@ -43,7 +43,7 @@ def q_bpe_chunks(spark: SparkSession, sf: str) -> DataFrame:
     vocab word relationally (the v-chain), joins the per-word symbol
     counts back to the doc token stream, and recomputes the same
     cumsum layout — bit-exact at every SF."""
-    from .operators.bpe import bpe_symbols
+    from .operators.bpe import bpe_doc_token_count
     from .operators.dedup import tokens_col
     from .operators.packing import pack_sequences
     from .queries_ext37 import _bpe_merge_pairs
@@ -53,14 +53,12 @@ def q_bpe_chunks(spark: SparkSession, sf: str) -> DataFrame:
     docs = scale_out(
         load_table(spark, sf, "documents").select("doc_id", "text")
     )
-    n_tok = F.aggregate(
-        F.transform(
-            tokens_col("text"),
-            lambda t: F.size(bpe_symbols(t, pairs)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # r15 optimization: one sentinel-string rewrite per DOCUMENT
+    # (operators/bpe.bpe_doc_token_count) instead of the former
+    # per-token transform+aggregate — bit-identical counts (the \x00
+    # separator unit blocks cross-token merges), unit-pinned and
+    # oracle-verified at all three SFs.
+    n_tok = bpe_doc_token_count(tokens_col("text"), pairs)
     sized = docs.select("doc_id", n_tok.alias("n_tok"))
     packed = pack_sequences(sized, "doc_id", "n_tok", BPE_SEQ_LEN)
     return (

@@ -232,3 +232,45 @@ def test_greedy_vs_merge_order_divergence_pinned(spark):
     ).collect()[0]
     assert row["merge_order"] == ["a", "bc"]
     assert row["greedy"] == ["ab", "c"]
+
+
+def test_bpe_doc_token_count_equals_per_token_form(spark):
+    """r15 optimization: the doc-level sentinel-string token count
+    (one 8-replace chain per DOCUMENT, \x00 separator units blocking
+    cross-token merges) must be bit-identical to the per-token
+    transform+aggregate it replaced — including adjacent identical
+    tokens (a merge pattern must never fire across the boundary),
+    chained merges inside one token, single-char tokens, and the
+    empty token array."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.bpe import (
+        bpe_doc_token_count,
+        bpe_symbols,
+    )
+
+    merges = [("a", "b"), ("ab", "c"), ("x", "x")]
+    rows = [
+        (1, ["abc", "abc"]),      # chained merges per token
+        (2, ["ab", "ab"]),        # trailing 'b' + leading 'a' adjacency
+        (3, ["b", "a"]),          # would merge ONLY if boundary leaked
+        (4, ["x", "x", "xx"]),    # self-pair symbol at the boundary
+        (5, ["a"]),               # single char
+        (6, []),                  # empty doc
+        (7, ["aaa", "xxxx"]),     # overlapping runs, left-to-right rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, toks array<string>")
+    per_token = F.aggregate(
+        F.transform(
+            F.col("toks"), lambda t: F.size(bpe_symbols(t, merges)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    got = df.select(
+        "doc_id",
+        bpe_doc_token_count(F.col("toks"), merges).alias("fast"),
+        per_token.alias("ref"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["ref"], (r["doc_id"], r["fast"], r["ref"])
