@@ -33,6 +33,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Partition width for the learning loop's materialized word table and
+# its per-round shuffles. Bounded and >1 (r16, the r15 verdict's #3):
+# small enough that a vocab-sized round costs a handful of task
+# launches locally, large enough that no stage funnels a 100-TB
+# corpus's tens-of-millions-row vocabulary through one task.
+_LEARN_WIDTH = 8
+
 
 def _initial_enc(word: Column | str) -> Column:
     c = F.col(word) if isinstance(word, str) else word
@@ -69,66 +76,94 @@ def bpe_learn(
     fewer rows; an empty corpus returns none.
 
     Words must be space-free (the tokenizer's alnum contract): the
-    space character is the segmentation sentinel.
+    space character is the segmentation sentinel. Words should arrive
+    as an AGGREGATED (shuffled) frame — artifacts.bpe_word_freq's
+    groupBy output; a shuffle-free (word, freq) frame would have its
+    entire upstream scan collapsed to ``_LEARN_WIDTH`` tasks by the
+    coalesce below (r15 advice note).
 
     r15 (optimization round): the word-frequency input is MATERIALIZED
-    once up front, COALESCED TO ONE PARTITION FIRST — each of the
-    ``n_merges`` rounds drives its own pair-count aggregate over
-    ``words``, and when the caller passes a lazy cube-served frame
-    (artifacts.bpe_word_freq: parquet scan + groupBy) every round
-    re-ran that scan+aggregate from scratch. The coalesce matters as
-    much as the checkpoint: a localCheckpoint pins its input's
-    partitioning, and pinning the aggregate's un-coalesced shuffle
-    output (32 partitions locally) gave every round 32 pinned input
-    tasks that AQE previously coalesced away — measured 5-10× SLOWER
-    than baseline (20-47 s/build). Coalescing first is scale-correct:
-    the table is vocab-bounded at any corpus size, so one partition
-    (the map-side partial aggregation still runs distributed) is the
-    right width. Measured at sf0.1 (cold rebuild, same session):
-    baseline samples 4.3-52.8 s (wild per-round task stalls), after
-    3.7-4.7 s steady and far lower variance; ``reliable=False`` per
-    the fixpoint-loop convention (recomputable from the stored
-    cube)."""
+    once up front — each of the ``n_merges`` rounds drives its own
+    pair-count aggregate over ``words``, and when the caller passes a
+    lazy cube-served frame (artifacts.bpe_word_freq: parquet scan +
+    groupBy) every round re-ran that scan+aggregate from scratch. The
+    coalesce matters as much as the checkpoint: a localCheckpoint pins
+    its input's partitioning, and pinning the aggregate's un-coalesced
+    shuffle output (32 partitions locally) gave every round 32 pinned
+    input tasks — measured 5-10× SLOWER than baseline (20-47 s/build).
+
+    r16 (optimization round, the r15 verdict's #3):
+
+    - the coalesce WIDTH is ``_LEARN_WIDTH`` (8), not 1: a vocab table
+      at 100 TB runs to tens of millions of distinct words (Heaps'
+      law), and coalesce(1) funneled every round's scan AND the
+      word-frequency reduce through ONE task — a straggler and memory
+      ceiling. A small bounded width keeps every stage multi-task at
+      any corpus size while staying cheap locally (8 tasks/round).
+    - AQE and the shuffle width are pinned DOWN for the duration of
+      the loop (restored in ``finally``): every per-round query here
+      is vocab-sized, and AQE's per-exchange stage materialization
+      costs one extra JOB per round plus a driver replan — measured at
+      sf0.1: 19 jobs / min 3.31 s for the 8-round learn with AQE on
+      vs 10 jobs / min ~2.0-2.5 s with AQE off and the loop's shuffle
+      width pinned to ``_LEARN_WIDTH`` (the pair-count + argmax of a
+      round FUSE into one job). Values are unaffected (AQE is an
+      execution-time optimizer; merges asserted identical across all
+      variants). The conf flips are session-visible while the loop
+      runs — bpe_learn is a synchronous build-path call (bench,
+      artifact store, tests), not something run concurrently with
+      other driver threads."""
     from ..session import materialize
 
-    words = materialize(words.coalesce(1), reliable=False)
-    merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        enc = _apply_merges(
-            _initial_enc(word_col), [(l, r) for _, l, r, _, _ in merges]
-        )
-        syms = F.split(F.trim(enc), "  ")
-        # guard: sequence(1, 0) is DESCENDING in Spark — a single-symbol
-        # word has no adjacent pairs, not a [1, 0] index walk
-        idx = F.when(
-            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = words.select(
-            F.col(freq_col).alias("_f"),
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.element_at(syms, i).alias("l"),
-                        F.element_at(syms, i + 1).alias("r"),
-                    ),
-                )
-            ).alias("_p"),
-        )
-        # bounded per-iteration driver scalar: the single argmax row
-        # (the next merge), the components/graph fixed-point pattern
-        best = (
-            pairs.groupBy("_p.l", "_p.r")
-            .agg(F.sum("_f").alias("_c"))
-            .orderBy(F.desc("_c"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["_c"])
-        merges.append((step, l, r, l + r, c))
-    return merges
+    spark = words.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_LEARN_WIDTH))
+    try:
+        words = materialize(words.coalesce(_LEARN_WIDTH), reliable=False)
+        merges: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, n_merges + 1):
+            enc = _apply_merges(
+                _initial_enc(word_col), [(l, r) for _, l, r, _, _ in merges]
+            )
+            syms = F.split(F.trim(enc), "  ")
+            # guard: sequence(1, 0) is DESCENDING in Spark — a
+            # single-symbol word has no adjacent pairs, not a [1, 0]
+            # index walk
+            idx = F.when(
+                F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            pairs = words.select(
+                F.col(freq_col).alias("_f"),
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("l"),
+                            F.element_at(syms, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("_p"),
+            )
+            # bounded per-iteration driver scalar: the single argmax
+            # row (the next merge), the components/graph fixed-point
+            # pattern
+            best = (
+                pairs.groupBy("_p.l", "_p.r")
+                .agg(F.sum("_f").alias("_c"))
+                .orderBy(F.desc("_c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["_c"])
+            merges.append((step, l, r, l + r, c))
+        return merges
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def bpe_symbols(word: Column, merges: list[tuple[str, str]]) -> Column:
@@ -163,7 +198,15 @@ def bpe_doc_token_count(tokens: Column, merges: list[tuple[str, str]]) -> Column
     (n_tokens - 1) separator units; an empty token array is 0 by the
     outer guard. Equivalence is unit-pinned against the per-token
     form and the registry oracle replays the per-word chain
-    relationally (q_bpe_chunks, bit-exact at all three SFs)."""
+    relationally (q_bpe_chunks, bit-exact at all three SFs).
+
+    PRECONDITION (r15 advice): every token must be NON-EMPTY and free
+    of spaces and ``\\x00`` — the alnum-token contract ``tokens_col``
+    guarantees. An empty-string token would be counted as 2 symbols
+    instead of 1 (its unit contributes a gap with no characters), and
+    a space or NUL inside a token would collide with the segmentation
+    sentinel / separator encoding and silently corrupt counts. Callers
+    tokenizing outside ``tokens_col`` must enforce this themselves."""
     enc = _apply_merges(
         F.concat(
             F.lit(" "),

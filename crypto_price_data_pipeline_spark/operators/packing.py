@@ -80,10 +80,16 @@ def with_global_offsets(
     before; q_seq_packing's tokenize likewise noop 0.95 s → 0.67 s,
     construct 1.43 s → 0.90 s). The materialized frame is only
     ``(order_col, weight_col, carried cols)`` — bytes per row, the
-    lightweight-proxy shape — so pinning it is cheap at any scale,
-    and ``reliable=False`` keeps it a localCheckpoint (recomputable;
-    losing an executor costs one re-run of the packing decision, not
-    the job — the fixpoint-loop convention in session.materialize).
+    lightweight-proxy shape — so pinning it is cheap at any scale.
+    ``reliable=False`` forces the localCheckpoint form even when the
+    session has a reliable checkpoint dir; the cluster cost (r15
+    advice): localCheckpoint TRUNCATES lineage, so losing an
+    executor's pinned blocks mid-query fails the caller's JOB — the
+    proxy is not recomputable in place, and recovery is re-running
+    the query. That is the accepted trade for a bytes-per-row proxy
+    table recomputed per invocation; a deployment that cannot absorb
+    a job re-run on executor loss should use the session-configured
+    reliable checkpoint here instead (drop the reliable=False).
     """
     from ..session import materialize
 

@@ -8,13 +8,14 @@ straight into the existing concat-and-chunk packing machinery
 → pack into fixed-length training sequences — the exact productions a
 pre-training data pipeline runs over 100 TB.
 
-Scale shape: the learned merges are LITERALS, so corpus segmentation
-is a zero-shuffle projection (operators/bpe.bpe_symbols applied
-per-token inside an in-row transform — no vocab broadcast, no join;
-each doc's BPE token count is pure string arithmetic on its own row).
-The only shuffles are the ones the packing operator already owns: the
-two-phase distributed prefix sum (bucketed window, never a global
-single-partition sort) plus the final per-sequence aggregate.
+Scale shape (r16): the learned merges are LITERALS, and the 8-replace
+segmentation rewrite runs once per DISTINCT WORD over the stored
+counting cube's vocab table — never over the corpus text. Per-doc
+symbol counts come back via an explode + word join + per-doc sum
+(one aggregate shuffle keyed by doc_id); the remaining shuffles are
+the ones the packing operator already owns: the two-phase distributed
+prefix sum (bucketed window, never a global single-partition sort)
+plus the final per-sequence aggregate.
 
 Reference parity: [EXT] — the reference (bpi_crawler.py) has no
 corpus tooling; this extends the §2.11 training-data surface.
@@ -35,31 +36,52 @@ def q_bpe_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Pack the BPE-tokenized corpus into 128-token training
     sequences: read the learned 8-merge table from the stored
     bpe_merges artifact (trained once per corpus), count each
-    document's BPE symbols with an in-row per-token rewrite (merges
-    are literals: zero-shuffle projection), then concat-and-chunk in
-    doc_id order via the distributed prefix sum. Per sequence: docs starting in
-    it, their BPE-token mass, boundary-straddlers, and the doc-id
-    span. The oracle replays the learning chain, segments every
-    vocab word relationally (the v-chain), joins the per-word symbol
-    counts back to the doc token stream, and recomputes the same
-    cumsum layout — bit-exact at every SF."""
-    from .operators.bpe import bpe_doc_token_count
+    document's BPE symbols by segmenting the DISTINCT-WORD table once
+    (vocab-sized rewrite; merges are literals) and joining per-word
+    symbol counts back to the doc token stream (r16), then
+    concat-and-chunk in doc_id order via the distributed prefix sum.
+    Per sequence: docs starting in it, their BPE-token mass,
+    boundary-straddlers, and the doc-id span. The oracle replays the
+    learning chain, segments every vocab word relationally (the
+    v-chain), joins the per-word symbol counts back to the doc token
+    stream, and recomputes the same cumsum layout — bit-exact at
+    every SF."""
+    from .operators.bpe import bpe_symbols
     from .operators.dedup import tokens_col
     from .operators.packing import pack_sequences
-    from .queries_ext37 import _bpe_merge_pairs
+    from .queries_ext37 import _bpe_merge_pairs, _bpe_words
     from .session import scale_out
 
     pairs = _bpe_merge_pairs(spark, sf)
     docs = scale_out(
         load_table(spark, sf, "documents").select("doc_id", "text")
     )
-    # r15 optimization: one sentinel-string rewrite per DOCUMENT
-    # (operators/bpe.bpe_doc_token_count) instead of the former
-    # per-token transform+aggregate — bit-identical counts (the \x00
-    # separator unit blocks cross-token merges), unit-pinned and
-    # oracle-verified at all three SFs.
-    n_tok = bpe_doc_token_count(tokens_col("text"), pairs)
-    sized = docs.select("doc_id", n_tok.alias("n_tok"))
+    # r16 optimization (the r15 verdict's #4): count BPE symbols per
+    # DISTINCT WORD, not per document. The r15 doc-level form ran the
+    # 8-replace sentinel rewrite over every document's full text (~24
+    # string passes over 3× the corpus bytes); the corpus's distinct-
+    # word table (the stored counting cube, artifacts.bpe_word_freq —
+    # the exact word supply the merges were learned from, same
+    # tokenizer) is far smaller than the token stream, so the rewrite
+    # now runs once per VOCAB ROW and per-doc counts come back through
+    # an explode + word join + per-doc sum. Bit-identical: every
+    # corpus token appears in the cube by construction (same
+    # tokens_col over the same documents), so the join is lossless and
+    # sum(ns per token) is exactly the doc's symbol count; docs with
+    # zero tokens vanish from the aggregate, which pack_sequences'
+    # n_tok > 0 filter dropped anyway. Oracle-verified bit-exact at
+    # all three SFs (its dcnt CTE is literally this join). The word
+    # join is left to the planner: vocab-bounded ⇒ broadcast locally;
+    # at a 100-TB vocab the sort-merge fallback is the correct shape.
+    wsym = _bpe_words(spark, sf).select(
+        "word", F.size(bpe_symbols(F.col("word"), pairs)).alias("_ns")
+    )
+    sized = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+        .join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("_ns").cast("long").alias("n_tok"))
+    )
     packed = pack_sequences(sized, "doc_id", "n_tok", BPE_SEQ_LEN)
     return (
         packed.groupBy("seq_id")

@@ -13,8 +13,13 @@ For each named registry query:
   - reports construct / first (warm-up) / min-of-2 steady-state
     seconds as one JSON line per query.
 
-Usage: python tools/isolate.py SF_DIR SUFFIX query [query ...]
-  SUFFIX names the plan files (e.g. "before" / "after").
+Usage: python tools/isolate.py SF_DIR TAG/SUFFIX name [name ...]
+  TAG/SUFFIX routes plan files to plans/<TAG>/<name>_<SUFFIX>.txt
+  (e.g. "r16/before"); a bare SUFFIX with no slash keeps the r15
+  directory for backwards compatibility with that round's captures.
+  ``artifact_<name>_build`` names time a forced cold rebuild
+  (artifacts.rebuild, the bench's methodology) and capture the BUILD
+  plan — the write's input query plan, which bench.py never exposes.
 Env: SPARK_GRAFT_CPUS respected like bench.py.
 """
 
@@ -32,15 +37,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1]
-    suffix = sys.argv[2]
+    tag_suffix = sys.argv[2]
     names = sys.argv[3:]
+    tag, _, suffix = tag_suffix.rpartition("/")
+    tag = tag or "r15"  # pre-r16 invocations passed a bare suffix
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        tag,
     )
     os.makedirs(plans_dir, exist_ok=True)
 
+    from crypto_price_data_pipeline_spark import artifacts
     from crypto_price_data_pipeline_spark.queries import QUERIES
     from crypto_price_data_pipeline_spark.session import get_spark
 
@@ -50,6 +58,12 @@ def main() -> None:
     import gc
 
     for name in names:
+        if name.startswith("artifact_") and name.endswith("_build"):
+            _isolate_build(
+                spark, sf_dir, name[len("artifact_") : -len("_build")],
+                plans_dir, suffix,
+            )
+            continue
         fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"isolate:{name}:construct")
         t0 = time.time()
@@ -84,6 +98,62 @@ def main() -> None:
         del df
         gc.collect()
     spark.stop()
+
+
+def _isolate_build(spark, sf_dir, art, plans_dir, suffix) -> None:
+    """Time a forced artifact cold rebuild (bench methodology: rebuild
+    is construct + write + read-back) and capture the BUILD-side plan:
+    the builder's DataFrame as handed to the parquet write. bench.py
+    times these paths but never exposes their plans — this closes the
+    r15 verdict's 'no plan captures for the artifact build paths'.
+    The capture pass intercepts ``_artifact`` to explain the build
+    frame (one extra lazy construct; for bpe_merges the construct IS
+    the 8-round driver loop, so the capture pass pays one extra learn
+    — timing samples below are clean rebuilds without the spy)."""
+    import gc
+
+    from crypto_price_data_pipeline_spark import artifacts
+
+    orig = artifacts._artifact
+    captured: dict[str, str] = {}
+
+    def spy(spark_, name_, sf_, build, stats_fn=None):
+        if name_ == art and art not in captured:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                build().explain("formatted")
+            captured[art] = buf.getvalue()
+        return orig(spark_, name_, sf_, build, stats_fn)
+
+    artifacts._artifact = spy
+    try:
+        spark.sparkContext.setJobDescription(f"isolate:artifact_{art}:plan")
+        artifacts.rebuild(spark, sf_dir, art)
+    finally:
+        artifacts._artifact = orig
+    with open(
+        os.path.join(plans_dir, f"artifact_{art}_build_{suffix}.txt"), "w"
+    ) as fh:
+        fh.write(captured.get(art, "(no build plan captured)\n"))
+
+    samples = []
+    for i in range(3):  # first sample is the warm-up, as in main()
+        gc.collect()
+        spark.sparkContext.setJobDescription(f"isolate:artifact_{art}:rebuild{i}")
+        t0 = time.time()
+        artifacts.rebuild(spark, sf_dir, art)
+        samples.append(round(time.time() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "query": f"artifact_{art}_build",
+                "rebuild_first_sec": samples[0],
+                "rebuild_min_sec": min(samples[1:]),
+                "rebuild_samples": samples,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
