@@ -101,16 +101,24 @@ def test_every_registry_query_survives_duplicate_rows(spark, dup_sf_dir):
     exceptions are the packing/ordering family — q_seq_packing
     (with_global_offsets duplicate-id guard), q_shard_manifest
     (global_order_offsets_inplan's duplicate-key-tuple guard, r11),
-    and since r15 q_bpe_chunks + q_pack_slices (both ride
-    with_global_offsets) — all exist precisely to FAIL THE JOB on a
-    corrupt (duplicate doc_id) corpus, where ranks and offsets would
-    be nondeterministic — asserted as the designed diagnostic, not
-    skipped."""
+    and q_pack_slices (rides with_global_offsets) — all exist
+    precisely to FAIL THE JOB on a corrupt (duplicate doc_id) corpus,
+    where ranks and offsets would be nondeterministic — asserted as
+    the designed diagnostic, not skipped.
+
+    q_bpe_chunks LEFT this list in r16: its per-distinct-word rewrite
+    derives per-doc counts through a groupBy(doc_id), which merges a
+    duplicated doc's tokens into one row — exactly what its DuckDB
+    oracle's ``dcnt`` CTE (``toks JOIN wsym ... GROUP BY doc_id``)
+    has always computed, so engine and oracle now AGREE on corrupt
+    corpora where they previously diverged (engine raised, oracle
+    merged). The duplicate diagnostic for raw packing inputs stays
+    pinned by the three names above; doc_ids reaching q_bpe_chunks'
+    packing stage are unique by construction post-aggregate."""
     fails = _sweep(spark, dup_sf_dir)
     for name in (
         "q_seq_packing",
         "q_shard_manifest",
-        "q_bpe_chunks",
         "q_pack_slices",
     ):
         msg = fails.pop(name, None)

@@ -274,3 +274,48 @@ def test_bpe_doc_token_count_equals_per_token_form(spark):
     ).collect()
     for r in got:
         assert r["fast"] == r["ref"], (r["doc_id"], r["fast"], r["ref"])
+
+
+def test_bpe_distinct_word_counts_equal_doc_level_form(spark):
+    """r16 optimization (q_bpe_chunks): per-doc BPE symbol counts
+    derived per DISTINCT WORD (vocab-sized rewrite + explode/join/sum
+    — the r15 verdict's #4) must be bit-identical to the r15
+    doc-level sentinel-string form over any corpus whose tokens all
+    appear in the word table — including repeated words within a doc,
+    words shared across docs, and docs whose every word merges."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.bpe import (
+        bpe_doc_token_count,
+        bpe_symbols,
+    )
+
+    merges = [("a", "b"), ("ab", "c"), ("x", "x")]
+    rows = [
+        (1, ["abc", "abc", "b"]),   # repeated word in one doc
+        (2, ["ab", "xx", "abc"]),   # all-merging doc
+        (3, ["b", "a", "ab"]),      # shares words with docs 1-2
+        (4, ["xxxx"]),              # left-to-right self-pair run
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, toks array<string>")
+    ref = docs.select(
+        "doc_id", bpe_doc_token_count(F.col("toks"), merges).alias("n_tok")
+    )
+    # the distinct-word table derived from the same corpus (the role
+    # artifacts.bpe_word_freq plays for q_bpe_chunks)
+    wsym = (
+        docs.select(F.explode("toks").alias("word"))
+        .distinct()
+        .select("word", F.size(bpe_symbols(F.col("word"), merges)).alias("_ns"))
+    )
+    got = (
+        docs.select("doc_id", F.explode("toks").alias("word"))
+        .join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("_ns").cast("long").alias("n_tok"))
+    )
+    ref_rows = {r["doc_id"]: r["n_tok"] for r in ref.collect()}
+    got_rows = {r["doc_id"]: r["n_tok"] for r in got.collect()}
+    # doc 4's count must exist in both; empty-doc rows vanish from the
+    # aggregate by design (pack_sequences drops n_tok=0 rows anyway)
+    assert got_rows == {k: v for k, v in ref_rows.items() if v > 0}
