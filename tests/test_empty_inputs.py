@@ -19,6 +19,11 @@ import os
 
 import pytest
 
+# slow tier (see pytest.ini): each sweep here collects EVERY registry
+# query (~300) on a degenerate corpus — 200-300 s per test at 32
+# cores, the three together ~45% of the whole suite's wall clock.
+pytestmark = pytest.mark.slow
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

@@ -133,6 +133,7 @@ _ALLOWED_ROW_PYTHON = {"q_udtf_chunks"}
 _FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
+@pytest.mark.slow  # registry-wide walk (~300 queries), see pytest.ini
 def test_registry_plans_free_of_cartesian_and_row_python(spark):
     from crypto_price_data_pipeline_spark.queries import QUERIES
 
@@ -274,6 +275,7 @@ def test_served_pq_scan_reads_only_codes_columns(spark, tmp_path):
         assert "embedding" not in schema, ln
 
 
+@pytest.mark.slow  # registry-wide walk (~300 queries), see pytest.ini
 def test_registry_outputs_are_driver_canonicalizer_safe(spark):
     """No registered query may emit a top-level array/map/struct output
     column: the driver's correctness gate sorts the collected result by
