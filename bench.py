@@ -293,8 +293,11 @@ def main() -> None:
         # surface, methodology and every primary field are unchanged;
         # only where the derived diagnostics are printed moved.
         out["prev_round"] = prev_round
+        # NOTE: deliberately no "metric" key — the stdout contract
+        # line is identified by that key, and this stderr line must
+        # never be mistakable for it by a stream-merging consumer.
         diag: dict = {
-            "metric": "vs_prev_diagnostics",
+            "diagnostic": "vs_prev",
             "prev_round": prev_round,
             "delta_vs_prev": {
                 name: round(t - prev["queries"][name], 3)
