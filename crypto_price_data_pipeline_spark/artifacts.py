@@ -91,7 +91,8 @@ PARAMS: dict[str, dict] = {
 # upstream -> derived artifacts that must drop when it rebuilds
 _DERIVED: dict[str, list[str]] = {
     "minhash_base": ["minhash_mins"],
-    "token_counts": ["bpe_merges"],
+    # simhash32 since r16: its md5 vocabulary is served from the cube
+    "token_counts": ["bpe_merges", "simhash32"],
 }
 
 
@@ -255,11 +256,26 @@ def simhash32_table(spark: SparkSession, sf: str) -> DataFrame:
     measured fingerprint group stats (fp_n rows, fp_d distinct
     fingerprints, fp_pdup = Σ C(m,2) within identical-fp groups) so
     ``simhash_md5_pairs(strategy="auto")`` picks canonical-filter vs
-    distinct-fp banding per corpus for free (r12)."""
+    distinct-fp banding per corpus for free (r12).
+
+    r16 (guide §2.4): the md5 vocabulary comes from the stored
+    counting cube (token_lang_counts — the same tokens_col over the
+    same documents, so the token SET is identical and the
+    fingerprints bit-exact) instead of a second scan + tokenize of
+    the corpus inside simhash_md5. One corpus pass per build instead
+    of two; the cube dependency is registered in _DERIVED so a cube
+    rebuild invalidates this table."""
     from .operators.dedup import fp_group_stats, simhash_md5
 
     def _build() -> DataFrame:
-        return simhash_md5(_scale_out(load_table(spark, sf, "documents")))
+        vocab = (
+            token_lang_counts(spark, sf)
+            .select(F.col("w").alias("_t"))
+            .distinct()
+        )
+        return simhash_md5(
+            _scale_out(load_table(spark, sf, "documents")), vocab=vocab
+        )
 
     return _artifact(
         spark,

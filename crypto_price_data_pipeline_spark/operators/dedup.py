@@ -947,6 +947,7 @@ def simhash_md5(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "simhash32",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """32-bit SimHash whose token hashes are md5-derived, so any engine
     with md5 reproduces the fingerprint bit-for-bit — the cross-engine
@@ -967,9 +968,25 @@ def simhash_md5(
     the fingerprint bit-identical. The broadcast assumes a bounded
     vocabulary (word tokens — millions of entries at worst), which holds
     for the verification corpus this twin exists for; the xxhash64
-    production twin needs no vocabulary table at all."""
+    production twin needs no vocabulary table at all.
+
+    ``vocab`` (r16, guide §2.4 — remove a redundant corpus pass): a
+    single-column ``_t`` frame whose token set must be a SUPERSET of
+    ``df``'s distinct ``tokens_col`` tokens (the per-token join below
+    is inner from the token-stream side, so extra vocab rows are
+    harmless and a MISSING token would silently drop its votes — the
+    caller owns that contract). When omitted, the vocabulary is
+    derived from ``df`` itself, which plans a SECOND full scan +
+    tokenize of the corpus (column pruning trims it to the text
+    column, but at 100 TB it is still a second pass over the data).
+    The artifact build passes the stored counting cube's vocabulary —
+    the same tokenizer over the same corpus, so the sets are equal and
+    the fingerprints bit-identical, with the second corpus pass
+    replaced by a vocabulary-sized cube scan."""
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
-    vocab = toks.select("_t").distinct().select(
+    if vocab is None:
+        vocab = toks.select("_t").distinct()
+    vocab = vocab.select(
         "_t",
         F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
     )

@@ -1203,3 +1203,42 @@ def test_wav_query_fails_loudly_on_non_ascii_corpus(spark, tmp_path):
     ).write.parquet(os.path.join(d, "documents.parquet"))
     with pytest.raises(Exception, match="non-ASCII byte"):
         q_wav_decode(spark, d).collect()
+
+
+def test_simhash_md5_external_vocab_bit_identical(spark):
+    """r16 (guide §2.4): simhash_md5 with a caller-supplied vocabulary
+    (the artifact build passes the counting cube's token set) must be
+    bit-identical to the self-derived-vocabulary form — including when
+    the supplied vocab is a strict SUPERSET of the corpus tokens
+    (extra rows must not perturb any fingerprint)."""
+    from pyspark.sql import functions as F
+
+    from crypto_price_data_pipeline_spark.operators.dedup import (
+        simhash_md5,
+        tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta gamma delta"),
+            (3, "unrelated words entirely different"),
+            (4, "alpha beta gamma alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = {
+        r["doc_id"]: r["simhash32"] for r in simhash_md5(docs).collect()
+    }
+    exact_vocab = docs.select(
+        F.explode(tokens_col("text")).alias("_t")
+    ).distinct()
+    superset = exact_vocab.union(
+        spark.createDataFrame([("neverseen",), ("zzz9",)], "_t string")
+    )
+    for vocab in (exact_vocab, superset):
+        got = {
+            r["doc_id"]: r["simhash32"]
+            for r in simhash_md5(docs, vocab=vocab).collect()
+        }
+        assert got == ref
